@@ -6,9 +6,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import reference_queries
+from . import reference_queries, relational_queries, tpch_queries
 
-_MODULES = [reference_queries]
+_MODULES = [reference_queries, relational_queries, tpch_queries]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
