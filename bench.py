@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total wall seconds), "unit", "queries"
+(per-query seconds), "sf"}.
+
+Each query executes end-to-end via the noop sink (full plan runs, nothing
+collected to the driver). First query absorbs session/JIT warmup; a scan
+of every table is forced first so OS page cache is comparable across
+runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from content_analytics_etl_spark.plans import all_queries  # noqa: E402
+from content_analytics_etl_spark.schemas import TABLE_NAMES  # noqa: E402
+from content_analytics_etl_spark.session import get_spark  # noqa: E402
+from content_analytics_etl_spark.sources.readers import load_table  # noqa: E402
+
+HEADLINE = [
+    "flagship_profile",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "monthly_revenue",
+    "topk_per_group",
+    "events_tumbling",
+    "events_session",
+    "doc_token_stats",
+    "token_frequency",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_brute_topk",
+    "sim_ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # warm the page cache + JVM before timing
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).write.format("noop").mode("overwrite").save()
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Deduplication queries over ``documents`` (BASELINE extension).
+
+Each dedup family is a ``queries()`` entry with a full DuckDB oracle —
+including MinHash-LSH and SimHash, which are reproducible cross-engine
+because every hash is the portable md5-derived 64-bit hash
+(functions/hashing.py, verified bit-identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_fingerprint
+from ..functions.text_metrics import norm_text
+from ..operators.dedup import (
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    simhash60,
+    word_shingles,
+)
+from ._util import t
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 6
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL building blocks mirroring the Spark constructions
+# ---------------------------------------------------------------------------
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_DH64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_SHINGLES_CTE = f"""
+  SELECT doc_id, lang,
+         list_distinct(
+           CASE WHEN len({_TOKS}) < 3 THEN []
+                ELSE list_transform(range(1, len({_TOKS}) - 1),
+                       i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+           END) AS shingles
+  FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct normalized content, canonical =
+    min doc_id. One shuffle on the md5 fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", md5_fingerprint(norm_text("text")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdict: is this row a duplicate of an earlier doc
+    with identical normalized content? (window-min, no self-join)."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("fp")
+    return (
+        d.withColumn("fp", md5_fingerprint(norm_text("text")))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-trigram Jaccard ≥ 0.5, blocked by lang
+    (quadratic only within a block; the MinHash query below is the
+    at-scale replacement that needs no blocking)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", word_shingles("text").alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    j = jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4 bands × 4 rows) candidate generation →
+    exact-Jaccard verification. The candidate join is an equi-join on the
+    band key — linear shuffle, no blocking key needed, the 100 TB path."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", word_shingles("text").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    sig = sh.withColumn("sig", minhash_signature("shingles", k=16))
+    bands = lsh_bands(sig, "sig", "doc_id", bands=4, rows=4)
+
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard("sh_a", "sh_b").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 over trigram shingles + near-dup pairs within
+    hamming ≤ 6, blocked by lang. Shingle features (not raw tokens):
+    this corpus has a ~31-word vocabulary, so token-level signatures
+    would collapse into one majority pattern."""
+    d = t(spark, sf_dir, "documents")
+    sg = (
+        d.select("doc_id", "lang", word_shingles("text").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("simhash", simhash60("shingles"))
+    )
+    a = sg.select("doc_id", "lang", "simhash").alias("a")
+    b = sg.select("doc_id", "lang", "simhash").alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_flags": dedup_exact_flags,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+_SEED_HASH = _DH64.format(expr="concat(CAST(s AS VARCHAR), '|', x)")
+_TOK_HASH = _DH64.format(expr="x")
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5({_NORM}) AS fp, min(doc_id) AS canonical_id, count(1) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_exact_flags": f"""
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5({_NORM})) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5({_NORM})) AS is_duplicate
+        FROM documents
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES_CTE})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS ({_SHINGLES_CTE}),
+        sig AS (
+          SELECT doc_id, shingles,
+                 list_transform(range(0, 16),
+                   s -> list_min(list_transform(shingles, x -> {_SEED_HASH}))) AS sig
+          FROM sh WHERE len(shingles) > 0
+        ),
+        bands AS (
+          SELECT doc_id, b.b AS band_idx,
+                 CAST(sig[4*b.b + 1] AS VARCHAR) || ',' || CAST(sig[4*b.b + 2] AS VARCHAR)
+                 || ',' || CAST(sig[4*b.b + 3] AS VARCHAR) || ',' || CAST(sig[4*b.b + 4] AS VARCHAR)
+                   AS band_key
+          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+        ),
+        cand AS (
+          SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+          FROM bands ba JOIN bands bb
+            ON ba.band_idx = bb.band_idx AND ba.band_key = bb.band_key
+           AND ba.doc_id < bb.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+                 AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash": f"""
+        WITH sh AS ({_SHINGLES_CTE}),
+        hs AS (
+          SELECT doc_id, lang,
+                 list_transform(shingles, x -> {_TOK_HASH}) AS hashes
+          FROM sh WHERE len(shingles) > 0
+        ),
+        sg AS (
+          SELECT doc_id, lang,
+                 CAST(list_sum(list_transform(range(0, 60),
+                   b -> CASE WHEN list_sum(list_transform(hashes,
+                                hv -> ((hv >> b) & 1) * 2 - 1)) > 0
+                             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM hs
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+}

@@ -1,0 +1,186 @@
+"""Event-stream analytics, batch form (SURVEY.md §7 Phase 3).
+
+The reference's only notion of time is its file-per-day layout (S3);
+a real engine needs first-class event-time operators. These are the
+batch-executable (and therefore DuckDB-oracle-checkable) versions of the
+streaming queries in ``streaming/`` — identical window semantics, so the
+oracle that validates these validates the streaming logic too.
+
+Scale notes: tumbling/sliding windows are plain hash aggregations keyed
+by (window, type) — no global state. Sessionization partitions by
+user_id (the natural shuffle key) and uses lag+cumsum, one window pass,
+no per-user driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ._util import dec, dsum, t
+
+SESSION_GAP_SECONDS = 1800  # 30 min
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 15-minute slide (each event lands
+    in exactly 4 windows)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), batch form:
+    lag → new-session flag → running sum = session number → aggregate.
+    One shuffle on user_id; the same semantics as
+    ``streaming.session_windows`` (F.session_window) in streaming mode."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"))
+                > SESSION_GAP_SECONDS
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (get_json_object) + per-type stats over the
+    extracted value."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def events_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity matrix (explicit pivot values)."""
+    e = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        e.withColumn("hour_of_day", F.hour("ts"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, subset=types)
+    )
+    return wide.select(
+        "hour_of_day",
+        *[F.col(c).alias(f"n_{c}") for c in types],
+    )
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sliding": events_sliding,
+    "events_session": events_session,
+    "events_json_props": events_json_props,
+    "events_type_hourly_pivot": events_type_hourly_pivot,
+}
+
+ORACLES = {
+    "events_tumbling": """
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS TIMESTAMP)
+                 AS window_end,
+               event_type,
+               count(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "events_sliding": """
+        SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                    - k * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+               count(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offsets(k)
+        GROUP BY 1
+    """,
+    "events_session": """
+        WITH flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               count(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM numbered GROUP BY 1, 2
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               count(1) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        FROM events GROUP BY 1
+    """,
+    "events_type_hourly_pivot": """
+        SELECT hour(ts) AS hour_of_day,
+               count(1) FILTER (event_type = 'click') AS n_click,
+               count(1) FILTER (event_type = 'view') AS n_view,
+               count(1) FILTER (event_type = 'purchase') AS n_purchase,
+               count(1) FILTER (event_type = 'signup') AS n_signup,
+               count(1) FILTER (event_type = 'error') AS n_error
+        FROM events GROUP BY 1
+    """,
+}

@@ -1,0 +1,73 @@
+"""Multimodal-column queries (BASELINE extension). The asset table is
+derived deterministically from ``documents`` (multimodal.py), so even
+the byte-level feature extraction is oracle-checkable: the fake
+decode→embed stand-in is a pure bytes→floats function both engines can
+compute. The real-codec path stays stubbed (decode_payload)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal import extract_features, synthetic_assets
+from ._util import t
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata analytics over binary assets: per kind, payload
+    volume and metadata stats — the predicate/pruning layer that must
+    run WITHOUT touching payload bytes at scale."""
+    assets = synthetic_assets(t(spark, sf_dir, "documents"))
+    return assets.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min("meta.width").alias("min_width"),
+        F.max("meta.height").alias("max_height"),
+        F.sum(F.col("meta.duration_s").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_duration_s"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over payload bytes (Arrow batch
+    path) — asset_id, kind, n_bytes, 8-dim features."""
+    assets = synthetic_assets(t(spark, sf_dir, "documents"))
+    return extract_features(assets)
+
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+}
+
+_KIND = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+    "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+)
+
+ORACLES = {
+    "multimodal_metadata": f"""
+        SELECT {_KIND} AS kind,
+               count(1) AS n_assets,
+               sum(octet_length(encode(text))) AS total_bytes,
+               min(CAST(doc_id % 640 + 64 AS INT)) AS min_width,
+               max(CAST(doc_id % 480 + 48 AS INT)) AS max_height,
+               CAST(SUM(CAST(n_chars / 100.0 AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_duration_s
+        FROM documents GROUP BY 1
+    """,
+    "multimodal_features": f"""
+        WITH bytes AS (
+          SELECT doc_id, {_KIND} AS kind,
+                 list_transform(string_split_regex(text, ''), c -> ascii(c)) AS bs
+          FROM documents
+        )
+        SELECT doc_id AS asset_id, kind,
+               CAST(len(bs) AS BIGINT) AS n_bytes,
+               list_transform(range(0, 8),
+                 k -> CAST(len(list_filter(bs, b -> b % 8 = k)) AS DOUBLE)
+                      / CAST(len(bs) AS DOUBLE)) AS features
+        FROM bytes
+    """,
+}

@@ -6,9 +6,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import reference_queries, relational_queries, tpch_queries
+from . import (
+    dedup_queries,
+    multimodal_queries,
+    events_queries,
+    reference_queries,
+    relational_queries,
+    similarity_queries,
+    text_queries,
+    tpch_queries,
+)
 
-_MODULES = [reference_queries, relational_queries, tpch_queries]
+_MODULES = [
+    reference_queries,
+    relational_queries,
+    tpch_queries,
+    events_queries,
+    text_queries,
+    dedup_queries,
+    similarity_queries,
+    multimodal_queries,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

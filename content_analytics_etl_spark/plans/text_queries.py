@@ -1,0 +1,218 @@
+"""Text analysis over the ``documents`` table (BASELINE extension:
+language-ID heuristic, quality scoring, token counting, fingerprinting,
+token/n-gram frequency).
+
+Everything is built-in expressions (split / higher-order array funcs /
+md5) — scan-speed, shuffle only for the global frequency aggregations,
+and every query oracle-checked. At 100 TB these all scale linearly:
+per-row ops have no shuffle at all; the frequency aggs shuffle compact
+(token, count) pairs after map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_fingerprint
+from ..functions.text_metrics import marker_hits, norm_text, tokens
+from ._util import t
+
+# Marker vocabularies for the language-ID heuristic. The synthetic corpus
+# draws from one shared vocabulary, so these partition that vocabulary
+# into disjoint marker sets; on real data they'd be per-language stopword
+# lists. Deterministic and oracle-expressible either way.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data", "query", "table"),
+    "de": ("scan", "join", "merge", "hash"),
+    "es": ("fast", "slow", "big", "small"),
+    "fr": ("row", "column", "line", "value"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total, distinct, avg token length per doc."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    total_len = F.length(F.regexp_replace(norm_text("text"), " ", ""))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (total_len.cast("double") / n.cast("double")).alias("avg_token_len"),
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, long-token ratio, composite
+    score, keep/drop flag — the standard pre-training corpus filter."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    n_stop = marker_hits(toks, STOPWORDS).cast("double")
+    n_long = F.size(F.filter(toks, lambda x: F.length(x) >= 5)).cast("double")
+    stop_ratio = n_stop / n
+    long_ratio = n_long / n
+    score = (1 - stop_ratio) * 0.5 + long_ratio * 0.5
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        long_ratio.alias("long_token_ratio"),
+        score.alias("quality_score"),
+        (score > 0.4).alias("keep"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-set hit counts, argmax with a fixed
+    tie order (the reference's F4 argmax pattern applied to text)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    hit_cols = {f"hits_{lang}": marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    df = d.select("doc_id", "lang", *[c.alias(name) for name, c in hit_cols.items()])
+    best = F.greatest(*[F.col(name) for name in hit_cols])
+    pred: Column | None = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return df.select(
+        "doc_id",
+        "lang",
+        *hit_cols.keys(),
+        pred.alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text (md5) + portable 64-bit
+    form — the key for exact dedup."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_fingerprint(norm_text("text")).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm_text("text")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("fp64"),
+    )
+
+
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency + document frequency (explode → agg)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global word-bigram frequency via higher-order functions (n-gram
+    construction without a UDF)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    # guard: sequence(1, 0) would count DOWN in Spark, so single-token
+    # docs must map to an empty bigram list explicitly
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "token_frequency": token_frequency,
+    "bigram_frequency": bigram_frequency,
+}
+
+_HITS = {
+    lang: f"len(list_filter({_TOKS_SQL}, x -> x IN {_in_list(m)}))"
+    for lang, m in LANG_MARKERS.items()
+}
+
+ORACLES = {
+    "doc_token_stats": f"""
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(list_distinct({_TOKS_SQL})) AS n_distinct_tokens,
+               CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE)
+                 / CAST(len({_TOKS_SQL}) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "doc_quality": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 len({_TOKS_SQL}) AS n_tokens,
+                 CAST(len(list_filter({_TOKS_SQL}, x -> x IN {_in_list(STOPWORDS)})) AS DOUBLE)
+                   / CAST(len({_TOKS_SQL}) AS DOUBLE) AS stopword_ratio,
+                 CAST(len(list_filter({_TOKS_SQL}, x -> length(x) >= 5)) AS DOUBLE)
+                   / CAST(len({_TOKS_SQL}) AS DOUBLE) AS long_token_ratio
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, long_token_ratio,
+               (1 - stopword_ratio) * 0.5 + long_token_ratio * 0.5 AS quality_score,
+               ((1 - stopword_ratio) * 0.5 + long_token_ratio * 0.5) > 0.4 AS keep
+        FROM base
+    """,
+    "lang_id": f"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+                 {_HITS['en']} AS hits_en,
+                 {_HITS['de']} AS hits_de,
+                 {_HITS['es']} AS hits_es,
+                 {_HITS['fr']} AS hits_fr
+          FROM documents
+        )
+        SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
+               CASE WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+                    WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+                    WHEN hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
+               END AS lang_pred
+        FROM hits
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM_SQL}) AS fp_md5,
+               CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) AS fp64
+        FROM documents
+    """,
+    "token_frequency": f"""
+        SELECT token, count(1) AS tf, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+        GROUP BY 1
+    """,
+    "bigram_frequency": f"""
+        SELECT bigram, count(1) AS n
+        FROM (
+          SELECT unnest(list_transform(range(1, len({_TOKS_SQL})),
+                        i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])) AS bigram
+          FROM documents
+        )
+        GROUP BY 1
+    """,
+}

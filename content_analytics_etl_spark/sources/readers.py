@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import STAR_SCHEMAS, TABLE_NAMES, VIEWING_LOG_SCHEMA
 
@@ -27,10 +28,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet + declared schema ⇒ column pruning and predicate pushdown
     reach the file scan (``.explain`` shows PushedFilters/ReadSchema).
+
+    ``events.ts`` is stored as parquet ``timestamp[ns]``, which Spark
+    cannot read natively: with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set in session.py) it scans as epoch-nanos long, converted here to a
+    microsecond timestamp (``ts DIV 1000`` truncates exactly like
+    DuckDB's ns→µs cast, so both engines see identical instants).
     """
     if name not in STAR_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.schema(STAR_SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    schema = STAR_SCHEMAS[name]
+    if name == "events":
+        raw = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        df = spark.read.schema(raw).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")).select(
+            *[f.name for f in schema.fields]
+        )
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

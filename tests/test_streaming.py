@@ -1,0 +1,92 @@
+"""Streaming ≡ batch equivalence: the streaming windowed/session/stateful
+operators, driven to completion with availableNow over a file source,
+must produce exactly the batch results on the same rows."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from content_analytics_etl_spark.plans.events_queries import (
+    events_session,
+    events_tumbling,
+)
+from content_analytics_etl_spark.streaming import (
+    running_user_totals,
+    session_aggregate,
+    stream_events,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir):
+    name = f"tumb_{uuid.uuid4().hex[:8]}"
+    _run_stream(tumbling_counts(stream_events(spark, events_dir)), name)
+    got = _rows(spark, name)
+    want = {tuple(r) for r in events_tumbling(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_dir):
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_stream(session_aggregate(stream_events(spark, events_dir)), name)
+    got = _rows(spark, name)
+    batch = events_session(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream_events(spark, events_dir))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    from content_analytics_etl_spark.sources.readers import load_table
+
+    want = {
+        r["user_id"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    # same key set and same counts; totals to float tolerance
+    assert set(got) == set(want)
+    for uid, r in want.items():
+        assert got[uid]["n_events"] == r["n"]
+        assert abs(got[uid]["total_value"] - r["tv"]) < 1e-6
