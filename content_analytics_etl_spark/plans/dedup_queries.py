@@ -14,11 +14,16 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import norm_text
 from ..operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     jaccard,
-    lsh_bands,
-    minhash_signature,
-    simhash60,
-    word_shingles,
+    lsh_band_keys,
+    minhash_signature_agg,
+    shingle_hashes,
+    shingle_rows,
+    shingled,
+    simhash60_agg,
 )
 from ._util import t
 
@@ -74,27 +79,44 @@ def dedup_exact_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-trigram Jaccard ≥ 0.5, blocked by lang
-    (quadratic only within a block; the MinHash query below is the
-    at-scale replacement that needs no blocking)."""
+    """Near-dup pairs by word-trigram Jaccard ≥ 0.5, same-lang blocked,
+    via an inverted-index join: explode shingles, equi-join on
+    (shingle, lang), count shared shingles per pair, then
+    J = c / (|A| + |B| − c).
+
+    No quadratic pair scan and no per-pair array intersection — pairs
+    materialize only when they share ≥ 1 shingle (J ≥ t ⇒ they do), and
+    every step is a codegen'd shuffle join/agg. At 100 TB add a
+    document-frequency cutoff on hot shingles (prefix filtering) to
+    bound the worst posting list; not needed for result parity here."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "lang", word_shingles("text").alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    j = jaccard(F.col("a.shingles"), F.col("b.shingles"))
-    return (
+    rows = shingle_rows(d, ["doc_id", "lang"])
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = rows.alias("a"), rows.alias("b")
+    shared = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            j.alias("jaccard"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = F.col("c").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("c")
+    ).cast("double")
+    # sizes join: one row per doc — NOT hinted broadcast (unbounded at
+    # scale); AQE picks broadcast-hash when the runtime size allows
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -102,14 +124,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4 bands × 4 rows) candidate generation →
     exact-Jaccard verification. The candidate join is an equi-join on the
-    band key — linear shuffle, no blocking key needed, the 100 TB path."""
+    band key — linear shuffle, no blocking key needed, the 100 TB path.
+
+    Physical shape: explode→(1 md5/shingle)→16 codegen'd min-aggs (one
+    partial+final hash agg, one bigint×16 row per doc on the wire) →
+    band explode → equi self-join → verify. No interpreted lambdas, no
+    expression re-inlining (see operators/dedup.py module docstring)."""
     d = t(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", word_shingles("text").alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
-    sig = sh.withColumn("sig", minhash_signature("shingles", k=16))
-    bands = lsh_bands(sig, "sig", "doc_id", bands=4, rows=4)
+    # distinct=False: min over the shingle multiset equals min over its
+    # set, so MinHash skips the distinct shuffle entirely
+    rows = shingle_rows(d, ["doc_id"], distinct=False)
+    sig = minhash_signature_agg(shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16)
+    bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
 
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
@@ -123,8 +149,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    arrs = shingled(d, ["doc_id"])
+    sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -143,13 +170,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus has a ~31-word vocabulary, so token-level signatures
     would collapse into one majority pattern."""
     d = t(spark, sf_dir, "documents")
-    sg = (
-        d.select("doc_id", "lang", word_shingles("text").alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .withColumn("simhash", simhash60("shingles"))
-    )
-    a = sg.select("doc_id", "lang", "simhash").alias("a")
-    b = sg.select("doc_id", "lang", "simhash").alias("b")
+    rows = shingle_rows(d, ["doc_id", "lang"])
+    sg = simhash60_agg(shingle_hashes(rows, ["doc_id", "lang"]), ["doc_id", "lang"])
+    a = sg.alias("a")
+    b = sg.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
         a.join(
@@ -174,8 +198,20 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
 }
 
-_SEED_HASH = _DH64.format(expr="concat(CAST(s AS VARCHAR), '|', x)")
 _TOK_HASH = _DH64.format(expr="x")
+
+# DuckDB mirror of minhash_signature_agg: same base hash, same
+# (a·h + b) mod p constants ⇒ bit-identical signatures.
+_MH_COLS = ",\n                 ".join(
+    f"min(({MINHASH_A[s]} * (h & 2147483647) + {MINHASH_B[s]}) % {MINHASH_P}) AS mh{s}"
+    for s in range(16)
+)
+_BAND_SELECTS = "\n          UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, ".format(b=b)
+    + " || ',' || ".join(f"CAST(mh{4 * b + r} AS VARCHAR)" for r in range(4))
+    + " AS band_key FROM sig"
+    for b in range(4)
+)
 
 ORACLES = {
     "dedup_exact": f"""
@@ -202,18 +238,18 @@ ORACLES = {
     """,
     "dedup_minhash_lsh": f"""
         WITH sh AS ({_SHINGLES_CTE}),
+        shnz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        hb AS (
+          SELECT doc_id, {_TOK_HASH} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS x FROM shnz)
+        ),
         sig AS (
-          SELECT doc_id, shingles,
-                 list_transform(range(0, 16),
-                   s -> list_min(list_transform(shingles, x -> {_SEED_HASH}))) AS sig
-          FROM sh WHERE len(shingles) > 0
+          SELECT doc_id,
+                 {_MH_COLS}
+          FROM hb GROUP BY doc_id
         ),
         bands AS (
-          SELECT doc_id, b.b AS band_idx,
-                 CAST(sig[4*b.b + 1] AS VARCHAR) || ',' || CAST(sig[4*b.b + 2] AS VARCHAR)
-                 || ',' || CAST(sig[4*b.b + 3] AS VARCHAR) || ',' || CAST(sig[4*b.b + 4] AS VARCHAR)
-                   AS band_key
-          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)
+          {_BAND_SELECTS}
         ),
         cand AS (
           SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
@@ -226,8 +262,8 @@ ORACLES = {
                  / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
                  AS jaccard
         FROM cand c
-        JOIN sig sa ON sa.doc_id = c.doc_a
-        JOIN sig sb ON sb.doc_id = c.doc_b
+        JOIN shnz sa ON sa.doc_id = c.doc_a
+        JOIN shnz sb ON sb.doc_id = c.doc_b
         WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                 / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
               >= {JACCARD_THRESHOLD}

@@ -56,6 +56,33 @@ def test_simhash_identical_and_perturbed(spark):
     assert bin(sig[1] ^ sig[3]).count("1") > 10  # unrelated text → far
 
 
+def test_simhash_agg_matches_fold_spec(spark, sf_dir):
+    """The codegen'd explode→60-sum→pack path must be bit-identical to
+    the fold-expression spec on the same distinct-shingle sets."""
+    from content_analytics_etl_spark.operators.dedup import (
+        shingle_hashes,
+        shingle_rows,
+        simhash60_agg,
+    )
+    from content_analytics_etl_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    fold = {
+        r["doc_id"]: r["s"]
+        for r in d.select("doc_id", word_shingles("text").alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", simhash60("sh").alias("s"))
+        .collect()
+    }
+    agg = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash60_agg(
+            shingle_hashes(shingle_rows(d, ["doc_id"]), ["doc_id"]), ["doc_id"]
+        ).collect()
+    }
+    assert fold == agg
+
+
 def test_jaccard_column(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
     assert df.select(jaccard("x", "y").alias("j")).collect()[0]["j"] == 0.5
