@@ -14,6 +14,7 @@ from . import (
     relational_queries,
     similarity_queries,
     text_queries,
+    tpch_deep_queries,
     tpch_queries,
 )
 
@@ -21,6 +22,7 @@ _MODULES = [
     reference_queries,
     relational_queries,
     tpch_queries,
+    tpch_deep_queries,
     events_queries,
     text_queries,
     dedup_queries,
