@@ -13,6 +13,7 @@ from . import (
     reference_queries,
     relational_queries,
     similarity_queries,
+    temporal_queries,
     text_queries,
     tpch_deep_queries,
     tpch_queries,
@@ -24,6 +25,7 @@ _MODULES = [
     tpch_queries,
     tpch_deep_queries,
     events_queries,
+    temporal_queries,
     text_queries,
     dedup_queries,
     similarity_queries,

@@ -1,0 +1,73 @@
+"""Semantics tests for the temporal join operators (operators/asof.py,
+plans/temporal_queries.py): inclusive backward match, tie-breaks,
+null-before-first-match, and bucketized range-join exactness."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from content_analytics_etl_spark.operators.asof import asof_join_backward
+from content_analytics_etl_spark.plans.temporal_queries import (
+    RANGE_WINDOW_US,
+    events_range_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T00:05:00")),  # after v1 -> 10.0
+            (101, 1, _ts("2024-01-01T00:10:00")),  # equal-ts view visible -> 20.0
+            (102, 1, _ts("2024-01-01T00:00:30")),  # before any view -> NULL
+            (103, 2, _ts("2024-01-01T09:00:00")),  # other key, tie on ts -> larger id wins
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:01:00"), 11, 10.0),
+            (1, _ts("2024-01-01T00:10:00"), 12, 20.0),
+            (2, _ts("2024-01-01T08:00:00"), 13, 30.0),
+            (2, _ts("2024-01-01T08:00:00"), 14, 40.0),  # same ts, id 14 > 13 wins
+        ],
+        ["user_id", "ts", "event_id", "v"],
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join_backward(
+            left, right, on=["user_id"], ts_col="ts",
+            right_value_cols=["v"], right_tiebreak="event_id",
+        ).collect()
+    }
+    assert out == {100: 10.0, 101: 20.0, 102: None, 103: 40.0}
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    """The bucketized plan must produce exactly the naive non-equi
+    join's pairs (no duplicates, no misses across bucket edges)."""
+    from content_analytics_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.unix_micros("ts").alias("vus")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.unix_micros("ts").alias("cus")
+    )
+    naive = {
+        (r["view_id"], r["click_id"])
+        for r in v.join(c, "user_id")
+        .filter((F.col("cus") - F.col("vus") > 0) & (F.col("cus") - F.col("vus") <= RANGE_WINDOW_US))
+        .collect()
+    }
+    bucketed = [
+        (r["view_id"], r["click_id"]) for r in events_range_join(spark, sf_dir).collect()
+    ]
+    assert len(bucketed) == len(set(bucketed))  # exactly-once generation
+    assert set(bucketed) == naive
