@@ -30,10 +30,16 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
     "monthly_revenue",
     "topk_per_group",
     "events_tumbling",
     "events_session",
+    "events_asof_join",
+    "events_range_join",
     "doc_token_stats",
     "token_frequency",
     "dedup_exact",

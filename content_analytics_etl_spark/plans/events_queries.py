@@ -117,12 +117,46 @@ def events_type_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting next to the exact answer. At
+    100 TB ``approx_count_distinct`` (HyperLogLog++, mergeable partial
+    sketches, O(1) state) replaces the exact expand-distinct shuffle;
+    here the exact count rides along and the sketch is asserted within
+    5% of it — the oracle checks the exact column and the bound (HLL
+    internals differ per engine, so the raw estimate itself is not
+    cross-engine comparable)."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    err_ok = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+        <= 0.05
+    )
+    return agg.select("event_type", "exact_users", err_ok.alias("approx_within_5pct"))
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of value per event type (the
+    sort-based exact form; ``approx_percentile`` is the sketch
+    replacement at scale, same call shape)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sliding": events_sliding,
     "events_session": events_session,
     "events_json_props": events_json_props,
     "events_type_hourly_pivot": events_type_hourly_pivot,
+    "events_approx_distinct": events_approx_distinct,
+    "events_value_percentiles": events_value_percentiles,
 }
 
 ORACLES = {
@@ -172,6 +206,18 @@ ORACLES = {
                min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        FROM events GROUP BY 1
+    """,
+    "events_approx_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY 1
+    """,
+    "events_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95
         FROM events GROUP BY 1
     """,
     "events_type_hourly_pivot": """

@@ -21,6 +21,8 @@ ANN_TOPK = 3
 N_PLANES = 6
 NEARDUP_COSINE = 0.45
 QUERY_MOD = 50  # query set = vec_id % 50 == 0
+IVF_CELLS = 8
+IVF_NPROBE = 2
 
 PLANES = hyperplane_matrix(N_PLANES, DIM)
 
@@ -88,10 +90,66 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization into IVF_CELLS cells, queries
+    probe their IVF_NPROBE nearest cells, exact cosine re-rank, top-3.
+
+    Centroids are the first IVF_CELLS corpus vectors (a deterministic
+    seed choice — production would k-means them; the *plan shape* is the
+    point). Everything is relational: assignment = broadcast cross join
+    against the 8-row centroid relation + per-vector rank-1 window —
+    corpus shuffles once on vec_id, never pairwise. Candidate join is an
+    equi-join on the cell id: linear shuffle, the IVF scale property."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    cent = e.filter(F.col("vec_id").between(1, IVF_CELLS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    ranked = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "cid", cs.alias("cs"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
+            ),
+        )
+    )
+    corpus = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cvec"),
+        F.col("nrm").alias("cnorm"),
+        F.col("cid").alias("cell"),
+    )
+    probes = ranked.filter(
+        (F.col("crank") <= IVF_NPROBE) & (F.col("vec_id") % QUERY_MOD == 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.col("nrm").alias("qnorm"),
+        F.col("cid").alias("cell"),
+    )
+    cos = dot_product(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ANN_TOPK
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_ann_ivf_topk": sim_ann_ivf_topk,
 }
 
 # ---------------------------------------------------------------------------
@@ -138,6 +196,40 @@ ORACLES = {
                {_DOT(d=DIM, a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE {_DOT(d=DIM, a="a.v", b="b.v")} / (a.nrm * b.nrm) >= {NEARDUP_COSINE}
+    """,
+    "sim_ann_ivf_topk": f"""
+        WITH e AS ({_E_CTE}),
+        cent AS (
+          SELECT vec_id AS cid, v AS cv, nrm AS cn
+          FROM e WHERE vec_id BETWEEN 1 AND {IVF_CELLS}
+        ),
+        ranked AS (
+          SELECT vec_id, v, nrm, cid,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_DOT(d=DIM, a="v", b="cv")} / (nrm * cn) DESC, cid
+                 ) AS crank
+          FROM e CROSS JOIN cent
+        ),
+        corpus AS (
+          SELECT vec_id AS cand_id, v AS cvec, nrm AS cnorm, cid AS cell
+          FROM ranked WHERE crank = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, v AS qvec, nrm AS qnorm, cid AS cell
+          FROM ranked WHERE crank <= {IVF_NPROBE} AND vec_id % {QUERY_MOD} = 0
+        ),
+        scored AS (
+          SELECT query_id, cand_id,
+                 {_DOT(d=DIM, a="qvec", b="cvec")} / (qnorm * cnorm) AS cosine
+          FROM corpus JOIN probes USING (cell)
+          WHERE cand_id <> query_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= {ANN_TOPK}
     """,
     "sim_ann_lsh_topk": f"""
         WITH e AS ({_E_CTE}),
