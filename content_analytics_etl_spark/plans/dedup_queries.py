@@ -166,19 +166,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 over trigram shingles + near-dup pairs within
-    hamming ≤ 6, blocked by lang. Shingle features (not raw tokens):
-    this corpus has a ~31-word vocabulary, so token-level signatures
-    would collapse into one majority pattern."""
+    hamming ≤ 6, same-lang. Shingle features (not raw tokens): this
+    corpus has a ~31-word vocabulary, so token-level signatures would
+    collapse into one majority pattern.
+
+    Pair generation is Hamming-LSH banding, not a quadratic blocked
+    scan: the 60 signature bits split into HAMMING+1 = 7 bands, and by
+    pigeonhole any pair differing in ≤ 6 bits matches exactly on ≥ 1
+    band — so the equi-join on (lang, band_idx, band_bits) finds every
+    qualifying pair (identical result set, linear shuffle), and the
+    bit_count verify + distinct dedups multi-band collisions."""
     d = t(spark, sf_dir, "documents")
     rows = shingle_rows(d, ["doc_id", "lang"])
     sg = simhash60_agg(shingle_hashes(rows, ["doc_id", "lang"]), ["doc_id", "lang"])
-    a = sg.alias("a")
-    b = sg.alias("b")
+
+    n_bands = SIMHASH_MAX_HAMMING + 1
+    widths = [60 // n_bands + (1 if i < 60 % n_bands else 0) for i in range(n_bands)]
+    offs = [sum(widths[:i]) for i in range(n_bands)]
+    bands = sg.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"(simhash >> {offs[i]}) & {(1 << widths[i]) - 1}"
+                        ).alias("band_bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "lang", "simhash", "band.band_idx", "band.band_bits")
+
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -187,6 +218,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
