@@ -36,9 +36,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(assets)
 
 
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video assets: one row per frame to decode
+    (every 2 s over the clip duration). The *planning* half of
+    frame-sampling is pure relational work — sequence + explode off
+    metadata only, payloads untouched; the decode half stays behind the
+    stubbed codec hook (multimodal.decode_payload). At scale this is
+    what feeds the GPU decode stage its work list."""
+    assets = synthetic_assets(t(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "video"
+    )
+    n_frames = F.floor(F.col("meta.duration_s") / 2.0).cast("int")
+    return (
+        assets.filter(n_frames > 0)
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "asset_id",
+            "frame_idx",
+            (F.col("frame_idx") * 2.0).alias("t_offset_s"),
+        )
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_plan": multimodal_frame_plan,
 }
 
 _KIND = (
@@ -56,6 +82,16 @@ ORACLES = {
                CAST(SUM(CAST(n_chars / 100.0 AS DECIMAL(18,6))) AS DOUBLE)
                  AS total_duration_s
         FROM documents GROUP BY 1
+    """,
+    "multimodal_frame_plan": f"""
+        SELECT doc_id AS asset_id,
+               CAST(unnest(range(0, CAST(floor(n_chars / 100.0 / 2.0) AS INT))) AS INT)
+                 AS frame_idx,
+               CAST(unnest(range(0, CAST(floor(n_chars / 100.0 / 2.0) AS INT))) * 2.0
+                 AS DOUBLE) AS t_offset_s
+        FROM documents
+        WHERE {_KIND} = 'video'
+          AND CAST(floor(n_chars / 100.0 / 2.0) AS INT) > 0
     """,
     "multimodal_features": f"""
         WITH bytes AS (
