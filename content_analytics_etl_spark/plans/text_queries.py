@@ -140,9 +140,48 @@ def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: pre-tokenizer pieces via the regex
+    ``[a-z]+|[0-9]+|[^a-z0-9 ]`` (letter runs / digit runs / single
+    punctuation — the GPT-2-style pre-split shape) next to whitespace
+    tokens, plus the pieces-per-word ratio that LLM-data pipelines use
+    to budget token counts before running a real BPE."""
+    d = t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(norm_text("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    n_pieces = F.size(pieces)
+    n_words = F.size(tokens("text"))
+    return d.select(
+        "doc_id",
+        n_pieces.alias("n_subword_pieces"),
+        n_words.alias("n_ws_tokens"),
+        (n_pieces.cast("double") / n_words.cast("double")).alias("pieces_per_word"),
+    )
+
+
+ROLLING_B = 31
+ROLLING_M = 2147483647  # 2³¹ − 1; acc·31 + 255 < 2³⁶, overflow-free
+
+
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via the Rabin-Karp polynomial rolling hash
+    h = fold(chars, (acc, c) → (acc·B + c) mod M) over normalized text —
+    the recurrence that makes windowed/winnowing fingerprints O(1) per
+    step at scale (the whole-doc value doubles as an exact-dup key)."""
+    d = t(spark, sf_dir, "documents")
+    chars = F.split(norm_text("text"), "")
+    h = F.aggregate(
+        F.transform(chars, F.ascii),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * ROLLING_B + x.cast("bigint")) % ROLLING_M,
+    )
+    return d.select("doc_id", h.alias("rolling_hash"))
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
+    "doc_subword_counts": doc_subword_counts,
+    "doc_rolling_hash": doc_rolling_hash,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
     "token_frequency": token_frequency,
@@ -177,6 +216,23 @@ ORACLES = {
                (1 - stopword_ratio) * 0.5 + long_token_ratio * 0.5 AS quality_score,
                ((1 - stopword_ratio) * 0.5 + long_token_ratio * 0.5) > 0.4 AS keep
         FROM base
+    """,
+    "doc_subword_counts": f"""
+        SELECT doc_id,
+               len(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                 AS n_subword_pieces,
+               len({_TOKS_SQL}) AS n_ws_tokens,
+               CAST(len(regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+                 / CAST(len({_TOKS_SQL}) AS DOUBLE) AS pieces_per_word
+        FROM documents
+    """,
+    "doc_rolling_hash": f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_transform(string_split_regex({_NORM_SQL}, ''), c -> CAST(ascii(c) AS BIGINT)),
+                 (acc, x) -> (acc * {ROLLING_B} + x) % {ROLLING_M}
+               ) AS rolling_hash
+        FROM documents
     """,
     "lang_id": f"""
         WITH hits AS (
