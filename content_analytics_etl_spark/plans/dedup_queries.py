@@ -92,7 +92,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     rows = shingle_rows(d, ["doc_id", "lang"])
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = rows.alias("a"), rows.alias("b")
+    # merge hint: with both sides as identical shuffle exchanges Spark
+    # reuses the shuffle instead of recomputing the posting list twice
+    # (a broadcast side would be a *different* exchange kind — no reuse)
+    a, b = rows.alias("a"), rows.alias("b").hint("merge")
     shared = (
         a.join(
             b,
@@ -137,7 +140,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature_agg(shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16)
     bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
 
-    ba, bb = bands.alias("ba"), bands.alias("bb")
+    # merge hint ⇒ shuffle reuse across the self-join (see ngram above)
+    ba, bb = bands.alias("ba"), bands.alias("bb").hint("merge")
     cand = (
         ba.join(
             bb,
@@ -202,7 +206,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "lang", "simhash", "band.band_idx", "band.band_bits")
 
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge hint ⇒ shuffle reuse across the self-join (see ngram above)
+    a, b = bands.alias("a"), bands.alias("b").hint("merge")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
     return (
         a.join(
