@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import norm_text
+from ..operators.graph import connected_components
 from ..operators.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -227,12 +228,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components over
+    the MinHash-LSH pair graph (operators/graph.py, iterative min-label
+    propagation), cluster_id = min doc_id of the component — the final
+    step that turns pairwise similarity into keep/drop groups."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -326,3 +338,23 @@ ORACLES = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
 }
+
+# Connected components as a recursive CTE over the minhash pair graph:
+# reach enumerates (node, reachable label); min per node = the same
+# canonical representative the iterative Spark propagation converges to.
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({ORACLES["dedup_minhash_lsh"]}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach AS (
+      SELECT u AS node, u AS lbl FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl AS lbl
+      FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
+"""
