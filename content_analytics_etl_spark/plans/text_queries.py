@@ -177,7 +177,31 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", h.alias("rolling_hash"))
 
 
+SAMPLE_BUCKETS = 10
+SAMPLE_KEEP = 2  # keep buckets 0,1 → deterministic 20 %
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ~20% of docs per lang by
+    hash-bucketing the doc_id (portable md5 hash mod 10 < 2).
+
+    ``df.sample``/``sampleBy`` draw from an RNG — irreproducible across
+    runs/engines and unstable under repartitioning. Hash sampling is the
+    training-data-pipeline standard: the same doc is in or out forever,
+    on any engine, at any parallelism; per-stratum rates are just
+    per-key bucket predicates. Pure scan-side filter — no shuffle, and
+    at 100 TB the sample never materializes the rejected rows."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(SAMPLE_BUCKETS),
+    )
+    return d.filter(bucket < SAMPLE_KEEP).select("doc_id", "lang", "n_chars")
+
+
 QUERIES = {
+    "doc_sample_stratified": doc_sample_stratified,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_subword_counts": doc_subword_counts,
@@ -194,6 +218,12 @@ _HITS = {
 }
 
 ORACLES = {
+    "doc_sample_stratified": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % {SAMPLE_BUCKETS} < {SAMPLE_KEEP}
+    """,
     "doc_token_stats": f"""
         SELECT doc_id,
                len({_TOKS_SQL}) AS n_tokens,
