@@ -2,8 +2,10 @@ from .windows import stream_events, tumbling_counts, sliding_counts
 from .sessions import session_aggregate
 from .stateful import running_user_totals
 from .ingest import ingest_viewing_logs
+from .joins import view_click_conversions
 
 __all__ = [
+    "view_click_conversions",
     "stream_events",
     "tumbling_counts",
     "sliding_counts",

@@ -90,3 +90,22 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     for uid, r in want.items():
         assert got[uid]["n_events"] == r["n"]
         assert abs(got[uid]["total_value"] - r["tv"]) < 1e-6
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir):
+    from content_analytics_etl_spark.plans.temporal_queries import events_range_join
+    from content_analytics_etl_spark.streaming.joins import view_click_conversions
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        view_click_conversions(stream_events(spark, events_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark, name)
+    want = {tuple(r) for r in events_range_join(spark, sf_dir).collect()}
+    assert got == want
