@@ -149,8 +149,30 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour stats per user — a RANGE frame over
+    event time (vs the ROWS frames elsewhere): every event sees the
+    count/value-sum of its user's events in (ts − 1 h, ts]. One shuffle
+    on user_id + one ordered frame scan, the standard 'rolling feature'
+    shape for training-data pipelines."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # µs, inclusive both ends
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_value"),
+    )
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
+    "events_trailing_window": events_trailing_window,
     "events_sliding": events_sliding,
     "events_session": events_session,
     "events_json_props": events_json_props,
@@ -207,6 +229,15 @@ ORACLES = {
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
         FROM events GROUP BY 1
+    """,
+    "events_trailing_window": """
+        SELECT event_id, user_id, ts,
+               count(1) OVER w AS trailing_n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 AS trailing_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
     "events_approx_distinct": """
         SELECT event_type,
