@@ -170,9 +170,38 @@ def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup: daily per-type stats computed
+    FROM the hourly rollup (sum-of-sums, min-of-mins, count-of-counts) —
+    the continuous-aggregate pattern where a materialized fine-grain
+    rollup answers every coarser grain without rescanning raw events.
+    At 100 TB the hourly table is ~5 orders of magnitude smaller than
+    raw; correctness rests on aggregate decomposability, which this
+    query's oracle (direct daily over raw) proves exactly."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_trailing_window": events_trailing_window,
+    "events_daily_from_hourly": events_daily_from_hourly,
     "events_sliding": events_sliding,
     "events_session": events_session,
     "events_json_props": events_json_props,
@@ -229,6 +258,15 @@ ORACLES = {
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
         FROM events GROUP BY 1
+    """,
+    "events_daily_from_hourly": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               count(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY 1, 2
     """,
     "events_trailing_window": """
         SELECT event_id, user_id, ts,
