@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join_backward"]
+__all__ = ["asof_join_backward", "asof_join_forward"]
 
 
 def asof_join_backward(
@@ -59,6 +59,52 @@ def asof_join_backward(
     w = (
         W.partitionBy(*on)
         .orderBy(ts_col, "_side", F.col("_tb").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[F.col(f"_asof_{c}").alias(c) for c in right_value_cols],
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Attach to each ``left`` row the EARLIEST ``right`` values with
+    ``right.ts_col >= left.ts_col`` per ``on`` group (NULL when no such
+    row) — the forward twin of :func:`asof_join_backward`.
+
+    Same union+window composition, but ordered by ``ts`` DESCENDING so
+    the nearest at-or-after right row is the last non-null value in a
+    running unbounded-preceding frame — an O(n) streaming frame, NOT the
+    O(n²) per-row re-scan a (currentRow, unboundedFollowing) frame would
+    cost. Among right rows tied on (keys, ts) the smallest
+    ``right_tiebreak`` wins (they sort by ``_tb`` desc, so it is the
+    last seen)."""
+    r = right.select(
+        *on,
+        ts_col,
+        F.col(right_tiebreak).alias("_tb"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    l = left.select("*", F.lit(None).cast("long").alias("_tb"), F.lit(1).alias("_side"))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(ts_col).desc(), "_side", F.col("_tb").desc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = u.select(

@@ -1,0 +1,360 @@
+"""Classic warehouse-analytics operators absent from the reference
+(SURVEY.md §2.7-2.8 list them as "not present"): time-series gap filling
+with LOCF, funnel analysis, cohort retention, unpivot/melt, distribution
+windows (ntile / cume_dist / percent_rank), z-score outlier detection,
+histogram binning, TF-IDF ranking, and a forward as-of join.
+
+Scale notes per query are inline; the common theme is one shuffle per
+logical aggregation, broadcast for the tiny derived dimensions (per-type
+stats, corpus size), and decimal-exact double sums (plans/_util.py) so
+results hash-match the DuckDB oracle regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_forward
+from ._util import dec, dsum, t
+from .text_queries import _NORM_SQL, _TOKS_SQL  # oracle-side tokenizer
+from ..functions.text_metrics import tokens
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward
+    (the hypertable `time_bucket_gapfill` + `locf` pattern): per event
+    type, a dense hourly spine from its first to last hour, missing
+    hours get n_events=0 and carry the last seen hourly value-sum.
+
+    Scale: the spine is generated from the per-type bounds (5 rows) via
+    `sequence`+`explode` — hours/type, thousands of rows even over years
+    — so the expensive side stays the one hash-aggregation of raw
+    events; the LOCF pass is one window over the tiny dense table."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("sv"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+        F.last("sv", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: users counted at each
+    step only if the step happened at-or-after their previous step's
+    first completion. Three per-user min-aggregations chained by joins —
+    every join keyed on user_id, so with a shared partitioning the
+    whole funnel is one shuffle of the events table."""
+    e = t(spark, sf_dir, "events")
+
+    def first_at_or_after(etype: str, prev: DataFrame, out: str) -> DataFrame:
+        step = e.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            prev_ts = prev.columns[-1]
+            step = step.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_ts))
+        return step.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s1 = first_at_or_after("view", None, "t1")
+    s2 = first_at_or_after("click", s1, "t2")
+    s3 = first_at_or_after("purchase", s2, "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct actives counted at each day offset. Two aggregations
+    keyed on user_id then (cohort, offset); the firsts table is one row
+    per user so AQE broadcasts it when small."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (`DataFrame.unpivot`, the inverse of the
+    reference's A4 pivot) over lineitem's four measure columns, then
+    re-aggregated per measure. Unpivot is a zero-shuffle row-local
+    expansion; only the 4-group aggregation shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot("l_orderkey", measures, "measure", "val")
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum("val", "total")
+    )
+
+
+def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows per event type: quartile (ntile), cumulative
+    distribution, percent rank. Ordered by (value, event_id) — the
+    explicit tie-break makes ntile deterministic and gives cume_dist /
+    percent_rank a total order both engines agree on."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3). Moments come from one
+    aggregation (decimal-exact Σv and Σv² → double), the 5-row stats
+    table is explicitly broadcast back onto events — the canonical
+    small-dim broadcast join, no second shuffle of the fact table.
+    The z expression is written with the identical operation tree in
+    the oracle so IEEE doubles match bit-for-bit. The squared sum uses
+    decimal(12,2) inputs (values carry 2 dp) so the summed unscaled
+    integer stays below 2^53 — a wider scale would make DuckDB's
+    int128→double→÷10^scale cast double-round vs Java's correctly
+    rounded BigDecimal conversion."""
+    e = t(spark, sf_dir, "events")
+    v2 = F.col("value").cast("decimal(12,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("s"),
+        F.sum(v2 * v2).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 10) of value per event type —
+    binning is row-local arithmetic, one compact aggregation."""
+    e = t(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(10.0)).cast("long")
+    return e.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-(doc, term) frequency × ln(N/df), top 5 terms per doc
+    (score desc, term asc tie-break). The corpus size is a 1-row frame
+    broadcast via crossJoin; df comes from the tf table itself (one row
+    per (doc, term) ⇒ count = document frequency) so the corpus is
+    tokenized exactly once. The ln() is rounded to 9 dp before the
+    multiply: JVM Math.log and C libm log drift by ~2 ulp, so the one
+    transcendental is snapped to a shared grid and every downstream op
+    stays exactly-rounded IEEE — bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 9
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "term", "tf", score.alias("tfidf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+    )
+
+
+def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every view, the value of the same user's NEXT purchase at or
+    after the view (NULL when none follows) — forward as-of join
+    (operators/asof.py: asof_join_forward), one shuffle on user_id."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("next_purchase_value")
+    )
+    return asof_join_forward(
+        views,
+        purchases,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["next_purchase_value"],
+        right_tiebreak="event_id",
+    )
+
+
+QUERIES = {
+    "events_gapfill_locf": events_gapfill_locf,
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
+    "lineitem_unpivot": lineitem_unpivot,
+    "events_value_distribution": events_value_distribution,
+    "events_zscore_outliers": events_zscore_outliers,
+    "events_value_histogram": events_value_histogram,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "events_asof_forward": events_asof_forward,
+}
+
+ORACLES = {
+    "events_gapfill_locf": """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, event_type,
+                 count(1) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+        ),
+        spine AS (
+          SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds
+        )
+        SELECT s.event_type, CAST(s.hour AS TIMESTAMP) AS hour,
+               COALESCE(h.n, 0) AS n_events,
+               CAST(last_value(h.sv IGNORE NULLS) OVER (
+                      PARTITION BY s.event_type ORDER BY s.hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS locf_value
+        FROM spine s
+        LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+    "events_funnel": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+        )
+        SELECT (SELECT count(1) FROM s1) AS n_view,
+               (SELECT count(1) FROM s2) AS n_click_after_view,
+               (SELECT count(1) FROM s3) AS n_purchase_after_click
+    """,
+    "events_cohort_retention": """
+        WITH firsts AS (
+          SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+          FROM events GROUP BY 1
+        )
+        SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS INT)
+                 AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "lineitem_unpivot": """
+        WITH long AS (
+          SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure, count(1) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM long GROUP BY 1
+    """,
+    "events_value_distribution": """
+        SELECT event_id, event_type, value,
+               ntile(4)       OVER w AS quartile,
+               cume_dist()    OVER w AS cume_dist,
+               percent_rank() OVER w AS pct_rank
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    "events_zscore_outliers": """
+        WITH stats AS (
+          SELECT event_type, count(1) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(value AS DECIMAL(12,2))
+                          * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS z
+        FROM events e JOIN stats USING (event_type)
+        WHERE abs((e.value - s / n) / sqrt(ss / n - (s / n) * (s / n))) > 3.0
+    """,
+    "events_value_histogram": """
+        SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+               count(1) AS n, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY 1, 2
+    """,
+    "doc_tfidf_top_terms": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT term, count(1) AS df FROM tf GROUP BY 1
+        ),
+        total AS (SELECT count(1) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+                 CAST(tf AS DOUBLE)
+                   * round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9)
+                   AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN total
+        )
+        SELECT doc_id, term, tf, tfidf FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rk
+          FROM scored
+        ) WHERE rk <= 5
+    """,
+    "events_asof_forward": """
+        SELECT v.event_id, v.user_id, v.ts, p.next_purchase_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view') v
+        LEFT JOIN LATERAL (
+          SELECT value AS next_purchase_value FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+            AND p.ts >= v.ts
+          ORDER BY p.ts, p.event_id LIMIT 1
+        ) p ON TRUE
+    """,
+}

@@ -7,6 +7,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analytics_queries,
     dedup_queries,
     multimodal_queries,
     events_queries,
@@ -25,6 +26,7 @@ _MODULES = [
     tpch_queries,
     tpch_deep_queries,
     events_queries,
+    analytics_queries,
     temporal_queries,
     text_queries,
     dedup_queries,

@@ -8,7 +8,10 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from content_analytics_etl_spark.operators.asof import asof_join_backward
+from content_analytics_etl_spark.operators.asof import (
+    asof_join_backward,
+    asof_join_forward,
+)
 from content_analytics_etl_spark.plans.temporal_queries import (
     RANGE_WINDOW_US,
     events_range_join,
@@ -46,6 +49,35 @@ def test_asof_backward_semantics(spark):
         ).collect()
     }
     assert out == {100: 10.0, 101: 20.0, 102: None, 103: 40.0}
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (100, 1, _ts("2024-01-01T00:05:00")),  # before v2 -> 20.0
+            (101, 1, _ts("2024-01-01T00:10:00")),  # equal-ts row visible -> 20.0
+            (102, 1, _ts("2024-01-01T00:20:00")),  # after every row -> NULL
+            (103, 2, _ts("2024-01-01T07:00:00")),  # tie on ts -> SMALLER id wins
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:01:00"), 11, 10.0),
+            (1, _ts("2024-01-01T00:10:00"), 12, 20.0),
+            (2, _ts("2024-01-01T08:00:00"), 13, 30.0),
+            (2, _ts("2024-01-01T08:00:00"), 14, 40.0),  # same ts, id 13 < 14 wins
+        ],
+        ["user_id", "ts", "event_id", "v"],
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join_forward(
+            left, right, on=["user_id"], ts_col="ts",
+            right_value_cols=["v"], right_tiebreak="event_id",
+        ).collect()
+    }
+    assert out == {100: 20.0, 101: 20.0, 102: None, 103: 30.0}
 
 
 def test_range_join_matches_naive(spark, sf_dir):

@@ -33,6 +33,8 @@ ALLOW_NESTED_LOOP = {
     "sim_ann_ivf_topk": "8-row centroid relation cross join (IVF assignment)",
     "tpch_q11_important_volume": "1-row scalar-subquery total",
     "tpch_q22_sales_opportunity": "1-row scalar-subquery average",
+    "doc_tfidf_top_terms": "1-row corpus-size frame broadcast onto tf table",
+    "events_funnel": "cross join of three 1-row step-count aggregates",
 }
 
 
