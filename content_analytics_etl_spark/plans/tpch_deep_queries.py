@@ -453,25 +453,31 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape (receiptdate > commitdate → returned lines): per
     supplier, finalized multi-supplier orders where ONLY this supplier's
-    line was returned. EXISTS ⇒ left-semi on another-supplier line;
-    NOT EXISTS ⇒ left-anti on another-supplier returned line."""
+    line was returned.
+
+    The textbook EXISTS/NOT-EXISTS pair is decorrelated into ONE
+    per-order aggregate: EXISTS another-supplier line ⇔ the order has
+    >1 distinct suppliers; NOT EXISTS another-supplier returned line ⇔
+    the order has exactly 1 distinct RETURNED supplier (which must be
+    this row's, since this row is returned). That replaces two full
+    lineitem self-joins (3 shuffles of the fact table) with one
+    aggregation + one compact per-order join — at 100 TB the agg output
+    is |orders|-sized, and both sides shuffle on l_orderkey once."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.alias("l2")
-    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
-    exists_other = (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (
-        F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
     )
-    not_exists_other_ret = (F.col("l3.l_orderkey") == F.col("l1.l_orderkey")) & (
-        F.col("l3.l_suppkey") != F.col("l1.l_suppkey")
-    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
     return (
-        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(l2, exists_other, "left_semi")
-        .join(l3, not_exists_other_ret, "left_anti")
-        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        l1.join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)),
+                "l_orderkey")
+        .join(o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
