@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from ..schemas import STAR_SCHEMAS, TABLE_NAMES, VIEWING_LOG_SCHEMA
 
-__all__ = ["load_table", "load_tables", "read_viewing_log"]
+__all__ = ["load_table", "load_tables", "read_viewing_log", "read_table"]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -94,3 +94,22 @@ def read_viewing_log(
         cols = ["_source.*"] + (["log_date"] if date_from_filename else [])
         df = df.select(*cols)
     return df
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    fmt: str = "parquet",
+    **options: str,
+) -> DataFrame:
+    """Format-generic scan (parquet / orc / json / csv / text) with a
+    DECLARED schema — the engine never runs an inference pass (the
+    reference's inference scan, S1 note, is a full extra read of the
+    input). For parquet/ORC the declared schema also drives column
+    pruning + predicate pushdown at the file scan."""
+    reader = spark.read.schema(schema).format(fmt)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_csv_single", "write_parquet_partitioned"]
+__all__ = ["write_csv_single", "write_parquet_partitioned", "write_table"]
 
 
 def write_csv_single(df: DataFrame, path: str, *, header: bool = True) -> None:
@@ -28,3 +28,25 @@ def write_parquet_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Format-generic sink over Spark's built-in file formats
+    (parquet / orc / json / csv / text). Parquet and ORC are the
+    columnar at-scale choices (predicate pushdown + column pruning at
+    the scan); JSON/CSV are interchange formats — row-oriented, no
+    pushdown, read back with an explicit schema (never inference)."""
+    writer = df.write.mode(mode).format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)

@@ -3,8 +3,11 @@ from .sessions import session_aggregate
 from .stateful import running_user_totals
 from .ingest import ingest_viewing_logs
 from .joins import view_click_conversions
+from .dedup import dedup_stream_exact, dedup_stream_within_watermark
 
 __all__ = [
+    "dedup_stream_exact",
+    "dedup_stream_within_watermark",
     "view_click_conversions",
     "stream_events",
     "tumbling_counts",

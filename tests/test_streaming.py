@@ -109,3 +109,55 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir):
     got = _rows(spark, name)
     want = {tuple(r) for r in events_range_join(spark, sf_dir).collect()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(tmp_path_factory, sf_dir):
+    """Events directory with every file duplicated — an at-least-once
+    source: each event arrives exactly twice."""
+    d = tmp_path_factory.mktemp("events_dup")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events_b.parquet")
+    return str(d)
+
+
+def test_streaming_dedup_exact(spark, sf_dir, dup_events_dir):
+    from content_analytics_etl_spark.sources.readers import load_table
+    from content_analytics_etl_spark.streaming import dedup_stream_exact
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream_exact(stream_events(spark, dup_events_dir), ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark, name)
+    want = {tuple(r) for r in load_table(spark, sf_dir, "events").collect()}
+    assert got == want  # each duplicated event emitted exactly once
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, dup_events_dir):
+    from content_analytics_etl_spark.sources.readers import load_table
+    from content_analytics_etl_spark.streaming import dedup_stream_within_watermark
+
+    name = f"dedupw_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream_within_watermark(
+            stream_events(spark, dup_events_dir), ["event_id"], watermark="2 hours"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(spark, name)
+    # duplicates arrive in the same batch (well inside the watermark
+    # horizon), so the bounded-state variant also emits each event once
+    want = {tuple(r) for r in load_table(spark, sf_dir, "events").collect()}
+    assert got == want
