@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_product, l2_norm, to_double_array
+from ..operators.kmeans import _centroid_df, assign_clusters, kmeans_fit
 from ..operators.similarity import add_hyperplane_bucket, brute_topk, hyperplane_matrix
 from ._util import t
 
@@ -145,11 +146,31 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means(k=8, 3 Lloyd iterations) over the embedding corpus →
+    per-cluster size and decimal-exact SSE (operators/kmeans.py). An
+    iterative algorithm with per-iteration driver round-trips of the
+    O(k·dim) centroid table only — NOT SQL-expressible, so this entry
+    takes the driver's rows-only check; the bit-determinism, SSE
+    monotonicity, and partition-count invariance contracts are asserted
+    in tests/test_kmeans.py."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    model = kmeans_fit(e, k=IVF_CELLS, iters=3)
+    assigned = assign_clusters(e, _centroid_df(spark, model.centroids))
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sse"),
+    )
+
+
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 # ---------------------------------------------------------------------------
