@@ -41,7 +41,13 @@ HEADLINE = [
     "events_tumbling",
     "events_session",
     "events_asof_join",
+    "events_asof_forward",
     "events_range_join",
+    "events_gapfill_locf",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_zscore_outliers",
+    "doc_tfidf_top_terms",
     "doc_token_stats",
     "token_frequency",
     "dedup_exact",
