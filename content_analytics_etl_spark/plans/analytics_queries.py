@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_forward
+from ..operators.scd import scd2_apply
 from ._util import dec, dsum, t
 from .text_queries import _NORM_SQL, _TOKS_SQL  # oracle-side tokenizer
 from ..functions.text_metrics import tokens
@@ -219,8 +220,65 @@ def events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dim_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.py): the customer
+    dimension seeded as current-as-of 1995, upserted with a change set
+    derived from 1998+ orders (segment recoded, change time = the
+    customer's latest qualifying order). Matched customers close their
+    old version at change_ts and open an 'UPDATED' one; customers with
+    no qualifying order pass through untouched. One key-shuffle total."""
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    chg = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max("o_orderdate").alias("change_ts"))
+        .join(c.select("c_custkey", "c_acctbal"), "c_custkey")
+        .select(
+            "c_custkey",
+            F.lit("UPDATED").alias("c_mktsegment"),
+            "c_acctbal",
+            "change_ts",
+        )
+    )
+    return scd2_apply(
+        dim, chg, key="c_custkey", tracked=["c_mktsegment", "c_acctbal"]
+    )
+
+
+def events_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles next to the exact answer: per type, exact
+    interpolated p50/p95 plus a flag that the KLL-style
+    ``approx_percentile`` (accuracy 1000, mergeable partial sketches —
+    the 100 TB path where an exact per-group sort is another shuffle)
+    lands within 5% of the exact value. Mirrors the
+    ``events_approx_distinct`` pattern: the oracle checks the exact
+    columns and the bound, since sketch internals differ per engine."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("_a95"),
+    )
+    ok = (F.abs(F.col("_a50") - F.col("p50")) / F.col("p50") <= 0.05) & (
+        F.abs(F.col("_a95") - F.col("p95")) / F.col("p95") <= 0.05
+    )
+    return agg.select("event_type", "p50", "p95", ok.alias("approx_within_5pct"))
+
+
 QUERIES = {
     "events_gapfill_locf": events_gapfill_locf,
+    "dim_scd2_upsert": dim_scd2_upsert,
+    "events_approx_percentile_bound": events_approx_percentile_bound,
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "lineitem_unpivot": lineitem_unpivot,
@@ -232,6 +290,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dim_scd2_upsert": """
+        WITH chg AS (
+          SELECT o.o_custkey AS c_custkey, max(o.o_orderdate) AS change_ts
+          FROM orders o
+          WHERE o.o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM customer c LEFT JOIN chg USING (c_custkey)
+        WHERE chg.change_ts IS NULL
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+               TIMESTAMP '1995-01-01' AS valid_from,
+               chg.change_ts AS valid_to, FALSE AS is_current
+        FROM customer c JOIN chg USING (c_custkey)
+        UNION ALL
+        SELECT c.c_custkey, 'UPDATED' AS c_mktsegment, c.c_acctbal,
+               chg.change_ts AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM customer c JOIN chg USING (c_custkey)
+    """,
+    "events_approx_percentile_bound": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY 1
+    """,
     "events_gapfill_locf": """
         WITH hourly AS (
           SELECT date_trunc('hour', ts) AS hour, event_type,
