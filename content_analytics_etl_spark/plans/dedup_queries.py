@@ -238,6 +238,61 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the step after clustering that a
+    training-data pipeline actually ships: per duplicate cluster keep
+    exactly one document, the longest (``n_chars``; ties → lowest
+    doc_id). One extra key-join plus a per-cluster window on top of
+    ``dedup_clusters``; cluster sizes are small by construction so the
+    window partition never skews."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cc = dedup_clusters(spark, sf_dir)
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cc.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", (F.col("rn") == 1).alias("keep"))
+    )
+
+
+DECONTAM_EVAL_SOURCE = "src0"
+DECONTAM_MIN_SHARED = 3
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: flag training documents (source ≠
+    eval slice) sharing ≥ 3 distinct word-trigram shingles with any
+    document of the held-out slice (``source = 'src0'``).
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` — shingles
+    explode once, the train↔eval match is an equi-join on the shingle
+    (linear shuffle; the eval side is a small fraction of the corpus, so
+    AQE broadcasts it at runtime). At 100 TB add a document-frequency
+    cutoff on stop-shingles (prefix filtering) to bound hot posting
+    lists; parity here needs none."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id", "source"])  # distinct shingles/doc
+    ev = rows.filter(F.col("source") == DECONTAM_EVAL_SOURCE).select(
+        "shingle", F.col("doc_id").alias("eval_id")
+    )
+    tr = rows.filter(F.col("source") != DECONTAM_EVAL_SOURCE).select(
+        "shingle", F.col("doc_id").alias("train_id")
+    )
+    ov = tr.join(ev, "shingle").groupBy("train_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        ov.filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+        .groupBy(F.col("train_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("n_shared").alias("max_shared"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_flags": dedup_exact_flags,
@@ -245,6 +300,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
+    "dedup_decontaminate": dedup_decontaminate,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -357,4 +414,31 @@ ORACLES["dedup_clusters"] = f"""
       FROM reach r JOIN edges e ON e.u = r.node
     )
     SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1
+"""
+
+ORACLES["dedup_keep_best"] = f"""
+    WITH cl AS MATERIALIZED ({ORACLES["dedup_clusters"]})
+    SELECT c.doc_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS keep
+    FROM cl c JOIN documents d USING (doc_id)
+"""
+
+ORACLES["dedup_decontaminate"] = f"""
+    WITH sh AS ({_SHINGLES_CTE}),
+    shs AS (
+      SELECT s.doc_id, d.source, s.shingles
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    ev AS (SELECT doc_id AS eval_id, unnest(shingles) AS shingle
+           FROM shs WHERE source = '{DECONTAM_EVAL_SOURCE}'),
+    tr AS (SELECT doc_id AS train_id, unnest(shingles) AS shingle
+           FROM shs WHERE source <> '{DECONTAM_EVAL_SOURCE}'),
+    ov AS (
+      SELECT train_id, eval_id, count(1) AS n_shared
+      FROM tr JOIN ev USING (shingle) GROUP BY 1, 2
+    )
+    SELECT train_id AS doc_id, count(1) AS n_eval_hits, max(n_shared) AS max_shared
+    FROM ov WHERE n_shared >= {DECONTAM_MIN_SHARED} GROUP BY 1
 """
