@@ -200,7 +200,36 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket < SAMPLE_KEEP).select("doc_id", "lang", "n_chars")
 
 
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix report — docs, tokens, chars, and each
+    source's share of the total token budget (what a pre-training data
+    recipe balances). One partial+final agg over compact per-source
+    rows; the grand total is a 1-row broadcast (constant fan-out at any
+    scale, same shape as ``doc_tfidf_top_terms``'s corpus-size frame)."""
+    d = t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens("text")).alias("n_toks"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sum_chars",
+        (F.col("n_tokens").cast("double") / F.col("_tot").cast("double")).alias(
+            "token_share"
+        ),
+    )
+
+
 QUERIES = {
+    "doc_source_mix": doc_source_mix,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
@@ -218,6 +247,18 @@ _HITS = {
 }
 
 ORACLES = {
+    "doc_source_mix": f"""
+        WITH per AS (
+          SELECT source, count(1) AS n_docs,
+                 sum(len({_TOKS_SQL})) AS n_tokens,
+                 sum(n_chars) AS sum_chars
+          FROM documents GROUP BY 1
+        )
+        SELECT source, n_docs, n_tokens, sum_chars,
+               CAST(n_tokens AS DOUBLE)
+                 / CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS token_share
+        FROM per
+    """,
     "doc_sample_stratified": f"""
         SELECT doc_id, lang, n_chars
         FROM documents

@@ -34,6 +34,7 @@ ALLOW_NESTED_LOOP = {
     "tpch_q11_important_volume": "1-row scalar-subquery total",
     "tpch_q22_sales_opportunity": "1-row scalar-subquery average",
     "doc_tfidf_top_terms": "1-row corpus-size frame broadcast onto tf table",
+    "doc_source_mix": "1-row token-total frame broadcast onto per-source aggs",
     "events_funnel": "cross join of three 1-row step-count aggregates",
     "embedding_kmeans": "k-row centroid relation cross join (Lloyd assignment)",
 }
