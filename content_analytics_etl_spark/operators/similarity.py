@@ -24,18 +24,28 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import reduce
+from operator import add
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64
 from ..functions.vectors import dot_product, l2_norm, to_double_array
 
 __all__ = [
     "hyperplane_matrix",
     "brute_topk",
     "add_hyperplane_bucket",
+    "hyperplane_bucket_agg",
     "brute_topk_matmul",
+    "brute_topk_chunked",
 ]
+
+# Above this many query rows the fold-based broadcast path is the wrong
+# tool (driver ships |Q|·dim doubles to every task AND evaluates
+# |Q|·|corpus| interpreted folds); route to the chunked Arrow matmul.
+BROADCAST_QUERY_LIMIT = 10_000
 
 
 def hyperplane_matrix(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
@@ -109,6 +119,82 @@ def add_hyperplane_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def hyperplane_bucket_agg(
+    df: DataFrame,
+    n_planes: int,
+    dim: int,
+    *,
+    seed: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Signature bucket via explode→aggregate instead of per-row folds —
+    the shape for wide plane matrices (see operators/dedup.py module
+    docstring for why: higher-order folds are CodegenFallback and
+    CollapseProject re-inlines them into every downstream reference,
+    while an Aggregate is a hard boundary and the sums are whole-stage
+    codegen'd with map-side partials).
+
+    The ±1 plane values are derived IN-ENGINE from the same md5 formula
+    as ``hyperplane_matrix`` (bit 0 of ``portable_hash64("seed|p|pos")``)
+    rather than embedded as n_planes×dim literals — a 2048-literal plan
+    costs seconds of Catalyst analysis per query; the hash form is a
+    handful of expression nodes per plane.
+
+    Plane dots are decimal-exact sums (order-independent, identical in
+    any engine — plans/_util.py policy), so the sign bits and therefore
+    the bucket are engine-reproducible even though the input order of
+    the (pos, x) rows is arbitrary.
+
+    Shape: the (plane_idx, pos, pval) relation is generated from
+    ``spark.range`` (n_planes·dim rows, hash evaluated once per cell)
+    and broadcast onto the exploded (id, pos, x) rows; per-(id, plane)
+    decimal sums then per-id bucket assembly. Two compact shuffles
+    (n·planes tiny rows, then n rows), everything whole-stage codegen,
+    linear in corpus size."""
+    spark = df.sparkSession
+    ex = df.select(
+        id_col, F.posexplode(to_double_array(vec_col)).alias("pos", "x")
+    )
+    pl = (
+        spark.range(n_planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("plane_idx"),
+            (F.col("id") % dim).cast("int").alias("pos"),
+            F.concat(
+                F.lit(f"{seed}|"),
+                (F.col("id") / dim).cast("int").cast("string"),
+                F.lit("|"),
+                (F.col("id") % dim).cast("int").cast("string"),
+            ).alias("cell_key"),
+        )
+        .select(
+            "plane_idx",
+            "pos",
+            F.when(
+                portable_hash64(F.col("cell_key")).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("pval"),
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(pl), "pos")
+        .groupBy(id_col, "plane_idx")
+        .agg(F.sum((F.col("x") * F.col("pval")).cast("decimal(28,12)")).alias("dot"))
+    )
+    return dots.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), plane_idx)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias(out_col)
+    )
+
+
 def brute_topk_matmul(
     corpus: DataFrame,
     queries_pdf,  # pandas DataFrame: id + list-of-float vectors
@@ -148,3 +234,38 @@ def brute_topk_matmul(
     ).filter(F.col("query_id") != F.col("cand_id"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_topk_chunked(
+    corpus: DataFrame,
+    queries_pdf,  # pandas DataFrame: id + list-of-float vectors
+    k: int = 5,
+    *,
+    chunk_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Large-|Q| exact top-k: split the query set into fixed-size chunks,
+    run the Arrow batch-matmul scorer per chunk, union the results.
+
+    Size contract: per-task memory is O(chunk_rows × dim) for the query
+    matrix plus one Arrow batch of the corpus — independent of |Q|, so
+    an arbitrarily large query set never has to fit in one broadcast.
+    The corpus is scanned once per chunk (⌈|Q|/chunk_rows⌉ scans); at
+    scale that is the standard block-nested sweep and each scan is an
+    embarrassingly parallel map with no shuffle until the final window.
+    Callers with |Q| ≤ BROADCAST_QUERY_LIMIT should prefer
+    ``brute_topk`` (single scan, oracle-exact fold arithmetic)."""
+    out = None
+    for start in range(0, len(queries_pdf), chunk_rows):
+        chunk = brute_topk_matmul(
+            corpus,
+            queries_pdf.iloc[start : start + chunk_rows],
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        out = chunk if out is None else out.unionByName(chunk)
+    if out is None:
+        raise ValueError("empty query set")
+    return out

@@ -101,13 +101,13 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_keep_best",
     "dedup_decontaminate",
-    # similarity — all 5
+    # similarity
     "sim_brute_topk",
     "sim_neardup_pairs",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
+    "kmeans_assign",
     "embedding_kmeans",
     # multimodal — all 3
     "multimodal_metadata",

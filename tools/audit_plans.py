@@ -28,9 +28,11 @@ from content_analytics_etl_spark.session import get_spark  # noqa: E402
 # (b) cross joins whose build side is O(1) rows by construction (scalar
 #     subqueries, fixed centroid tables) — constant fan-out at any scale.
 ALLOW_NESTED_LOOP = {
-    "sim_neardup_pairs": "exact all-pairs baseline (linear twin: sim_ann_lsh_topk)",
-    "sim_brute_topk": "exact top-k baseline, bounded broadcast query side",
+    "sim_neardup_exact": "DIAGNOSTIC: exact all-pairs recall baseline, input "
+    "hard-capped at EXACT_CAP=1000 rows (linear twin: sim_neardup_pairs)",
+    "sim_brute_topk": "exact top-k baseline, bounded (≤20-row) broadcast query side",
     "sim_ann_ivf_topk": "8-row centroid relation cross join (IVF assignment)",
+    "kmeans_assign": "k-row centroid relation cross join (Lloyd assignment)",
     "tpch_q11_important_volume": "1-row scalar-subquery total",
     "tpch_q22_sales_opportunity": "1-row scalar-subquery average",
     "doc_tfidf_top_terms": "1-row corpus-size frame broadcast onto tf table",
