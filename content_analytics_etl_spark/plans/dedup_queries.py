@@ -87,9 +87,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No quadratic pair scan and no per-pair array intersection — pairs
     materialize only when they share ≥ 1 shingle (J ≥ t ⇒ they do), and
-    every step is a codegen'd shuffle join/agg. At 100 TB add a
-    document-frequency cutoff on hot shingles (prefix filtering) to
-    bound the worst posting list; not needed for result parity here."""
+    every step is a codegen'd shuffle join/agg. One pathological hot
+    shingle still creates a quadratic posting list here;
+    ``dedup_ngram_jaccard_prefix`` is the same result set with posting
+    lists bounded by exact prefix filtering — the 100 TB form."""
     d = t(spark, sf_dir, "documents")
     rows = shingle_rows(d, ["doc_id", "lang"])
     sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -121,6 +122,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result set as ``dedup_ngram_jaccard`` (identical oracle) via
+    EXACT prefix filtering (AllPairs/PPJoin): order shingles globally by
+    (document frequency asc, shingle asc); a doc of |A| distinct
+    shingles indexes only its first |A| − ⌈t·|A|⌉ + 1 in that order.
+    For any pair with J ≥ t the overlap is c ≥ t·|A| (and ≥ t·|B|), so
+    the globally-smallest shared shingle has rank ≤ |X| − c + 1 ≤
+    prefix length in BOTH docs — every qualifying pair still collides,
+    result parity is a theorem, not a tuning choice
+    (tests/test_prefix_filter.py asserts it row-for-row).
+
+    This is the principled form of a hot-shingle DF cutoff: high-DF
+    shingles sort last and drop out of every prefix, so a pathological
+    stop-shingle contributes no posting list at all instead of a
+    quadratic one. Costs two extra linear shuffles (DF aggregate +
+    per-doc rank window) — the right trade at 100 TB where the worst
+    posting list, not the average, sets the job's critical path."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id", "lang"])  # distinct shingles/doc
+    df_tab = rows.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        rows.join(df_tab, ["lang", "shingle"])
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rnk")
+        <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+    ).select("doc_id", "lang", "shingle")
+
+    # merge hint ⇒ shuffle reuse across the self-join (see ngram above)
+    a, b = prefix.alias("a"), prefix.alias("b").hint("merge")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    arrs = shingled(d, ["doc_id"])
+    sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -297,6 +358,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_prefix": dedup_ngram_jaccard_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
@@ -399,6 +461,10 @@ ORACLES = {
 # Connected components as a recursive CTE over the minhash pair graph:
 # reach enumerates (node, reachable label); min per node = the same
 # canonical representative the iterative Spark propagation converges to.
+# Exact prefix filtering returns the identical result set, so the
+# prefix variant shares the exhaustive-form oracle verbatim.
+ORACLES["dedup_ngram_jaccard_prefix"] = ORACLES["dedup_ngram_jaccard"]
+
 ORACLES["dedup_clusters"] = f"""
     WITH RECURSIVE pairs AS MATERIALIZED ({ORACLES["dedup_minhash_lsh"]}),
     edges AS (

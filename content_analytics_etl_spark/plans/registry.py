@@ -97,7 +97,7 @@ DRIVER_WINDOW: list[str] = [
     # dedup — all 8
     "dedup_exact",
     "dedup_exact_flags",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
