@@ -46,13 +46,20 @@ def asof_join_backward(
 ) -> DataFrame:
     """Attach to each ``left`` row the latest ``right`` values with
     ``right.ts_col <= left.ts_col`` per ``on`` group (NULL when no such
-    row). Output = all ``left`` columns + ``right_value_cols``."""
+    row). Output = all ``left`` columns + ``right_value_cols``.
+
+    Row-atomic: the right value columns are packed into ONE struct and
+    ``last(struct, ignorenulls=True)`` picks the matched right ROW —
+    a NULL field in the matched row stays NULL (never backfilled from
+    an older row) and all value columns come from the same right row.
+    The struct itself is non-null for every right row, so null-skipping
+    only skips the left rows interleaved by the union."""
     r = right.select(
         *on,
         ts_col,
         F.col(right_tiebreak).alias("_tb"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv"),
     )
     l = left.select("*", F.lit(None).cast("long").alias("_tb"), F.lit(1).alias("_side"))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -61,16 +68,10 @@ def asof_join_backward(
         .orderBy(ts_col, "_side", F.col("_tb").asc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_value_cols
-        ],
-    )
+    filled = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_asof"))
     return filled.filter(F.col("_side") == 1).select(
         *left.columns,
-        *[F.col(f"_asof_{c}").alias(c) for c in right_value_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_value_cols],
     )
 
 
@@ -92,13 +93,14 @@ def asof_join_forward(
     O(n²) per-row re-scan a (currentRow, unboundedFollowing) frame would
     cost. Among right rows tied on (keys, ts) the smallest
     ``right_tiebreak`` wins (they sort by ``_tb`` desc, so it is the
-    last seen)."""
+    last seen). Row-atomic via the same struct pack as the backward
+    form."""
     r = right.select(
         *on,
         ts_col,
         F.col(right_tiebreak).alias("_tb"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv"),
     )
     l = left.select("*", F.lit(None).cast("long").alias("_tb"), F.lit(1).alias("_side"))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -107,14 +109,8 @@ def asof_join_forward(
         .orderBy(F.col(ts_col).desc(), "_side", F.col("_tb").desc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_value_cols
-        ],
-    )
+    filled = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_asof"))
     return filled.filter(F.col("_side") == 1).select(
         *left.columns,
-        *[F.col(f"_asof_{c}").alias(c) for c in right_value_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in right_value_cols],
     )

@@ -82,3 +82,43 @@ def test_observe_quality_metrics(spark):
     assert got["n_null_id"] == 1
     assert got["n_null_s"] == 2
     assert got["sum_id"] == 6
+
+
+def test_scd2_duplicate_change_keys_collapse_to_latest(spark):
+    """Several change rows for one key must produce exactly one closed
+    and one opened version (latest change wins), not a fan-out."""
+    from datetime import datetime
+
+    dim = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1), None, True)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "b", datetime(2024, 2, 1)),
+            (1, "c", datetime(2024, 3, 1)),  # later -> wins
+        ],
+        "k long, attr string, change_ts timestamp",
+    )
+    out = scd2_apply(dim, changes, key="k", tracked=["attr"]).collect()
+    assert len(out) == 2  # one closed + one opened, no fan-out
+    closed = [r for r in out if not r["is_current"]]
+    opened = [r for r in out if r["is_current"]]
+    assert len(closed) == 1 and closed[0]["attr"] == "a"
+    assert closed[0]["valid_to"] == datetime(2024, 3, 1)
+    assert len(opened) == 1 and opened[0]["attr"] == "c"
+
+
+def test_scd2_null_valid_from_preserved(spark):
+    """A current row with NULL valid_from is legitimate data and must
+    survive an upsert that does not touch its key."""
+    dim = spark.createDataFrame(
+        [(1, "a", None, None, True)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [], "k long, attr string, change_ts timestamp"
+    )
+    out = scd2_apply(dim, changes, key="k", tracked=["attr"]).collect()
+    assert len(out) == 1
+    assert out[0]["is_current"] and out[0]["attr"] == "a"

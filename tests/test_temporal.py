@@ -103,3 +103,44 @@ def test_range_join_matches_naive(spark, sf_dir):
     ]
     assert len(bucketed) == len(set(bucketed))  # exactly-once generation
     assert set(bucketed) == naive
+
+
+def test_asof_row_atomic_null_fields(spark):
+    """A NULL in the matched right row must NOT be backfilled from an
+    older row, and multiple value columns must come from the SAME right
+    row (struct-packed as-of semantics)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:30:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:10:00"), 11, 5.0, "old"),
+            (1, _ts("2024-01-01T00:20:00"), 12, None, "new"),
+        ],
+        "user_id long, ts timestamp, rid long, v double, tag string",
+    )
+    row = asof_join_backward(
+        left, right, on=["user_id"], ts_col="ts",
+        right_value_cols=["v", "tag"], right_tiebreak="rid",
+    ).collect()[0]
+    assert row["tag"] == "new"
+    assert row["v"] is None  # NOT 5.0 backfilled from the older row
+
+
+def test_asof_forward_row_atomic_null_fields(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:10:00"), 11, None, "first"),
+            (1, _ts("2024-01-01T00:20:00"), 12, 7.0, "later"),
+        ],
+        "user_id long, ts timestamp, rid long, v double, tag string",
+    )
+    row = asof_join_forward(
+        left, right, on=["user_id"], ts_col="ts",
+        right_value_cols=["v", "tag"], right_tiebreak="rid",
+    ).collect()[0]
+    assert row["tag"] == "first"
+    assert row["v"] is None  # NOT 7.0 pulled forward from the later row
