@@ -2,14 +2,22 @@
 derived deterministically from ``documents`` (multimodal.py), so even
 the byte-level feature extraction is oracle-checkable: the fake
 decode→embed stand-in is a pure bytes→floats function both engines can
-compute. The real-codec path stays stubbed (decode_payload)."""
+compute. ``multimodal_decode`` goes further: payloads are REAL BMP/WAV
+files and the query parses the actual byte formats; the oracle
+recomputes the expected properties from the generative formulas in SQL,
+so either codec direction failing breaks the hash match."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal import extract_features, synthetic_assets
+from ..multimodal import (
+    decode_properties,
+    extract_features,
+    synthetic_assets,
+    synthetic_media_assets,
+)
 from ._util import t
 
 
@@ -61,10 +69,23 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real codec round-trip: build genuine BMP/WAV payloads from
+    doc_id, then DECODE THE BYTES (header parsing, row padding, PCM
+    frames — multimodal.decode_bmp24/decode_wav16) in an Arrow-batched
+    ``mapInPandas``. Two chained narrow stages, no shuffle. The oracle
+    never sees the bytes: it recomputes width/height/mean_pixel/
+    n_samples/mean_abs from the generative formulas, so the hash match
+    proves encoder and decoder agree end-to-end."""
+    assets = synthetic_media_assets(t(spark, sf_dir, "documents"))
+    return decode_properties(assets)
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_frame_plan": multimodal_frame_plan,
+    "multimodal_decode": multimodal_decode,
 }
 
 _KIND = (
@@ -92,6 +113,30 @@ ORACLES = {
         FROM documents
         WHERE {_KIND} = 'video'
           AND CAST(floor(n_chars / 100.0 / 2.0) AS INT) > 0
+    """,
+    "multimodal_decode": """
+        SELECT doc_id AS asset_id, 'image' AS kind,
+               CAST(8 + doc_id % 8 AS INT) AS width,
+               CAST(4 + doc_id % 4 AS INT) AS height,
+               list_avg(flatten(list_transform(range(0, 8 + doc_id % 8),
+                 i -> list_transform(range(0, 4 + doc_id % 4),
+                   j -> CAST((doc_id % 251 + i + j) % 256 AS DOUBLE)))))
+                 AS mean_pixel,
+               CAST(NULL AS INT) AS sample_rate,
+               CAST(NULL AS BIGINT) AS n_samples,
+               CAST(NULL AS DOUBLE) AS mean_abs
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id AS asset_id, 'audio' AS kind,
+               CAST(NULL AS INT) AS width,
+               CAST(NULL AS INT) AS height,
+               CAST(NULL AS DOUBLE) AS mean_pixel,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+               list_avg(list_transform(range(0, 64 + doc_id % 64),
+                 i -> CAST(abs((doc_id * 31 + i * 7) % 2048 - 1024) AS DOUBLE)))
+                 AS mean_abs
+        FROM documents WHERE doc_id % 2 = 1
     """,
     "multimodal_features": f"""
         WITH bytes AS (

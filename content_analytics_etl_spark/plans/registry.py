@@ -76,7 +76,6 @@ DRIVER_WINDOW: list[str] = [
     "events_sliding",
     "events_approx_distinct",
     "events_json_props",
-    "events_type_hourly_pivot",
     # analytics
     "events_gapfill_locf",
     "dim_scd2_upsert",
@@ -109,10 +108,11 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_ivf_topk",
     "kmeans_assign",
     "embedding_kmeans",
-    # multimodal — all 3
+    # multimodal — all 4 (incl. the real-codec round-trip)
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_frame_plan",
+    "multimodal_decode",
 ]
 
 
