@@ -14,9 +14,13 @@ no per-user driver loops.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..sources.writers import write_parquet_partitioned
 from ._util import dec, dsum, t
 
 SESSION_GAP_SECONDS = 1800  # 30 min
@@ -198,7 +202,42 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_START, PRUNE_END = "2024-01-10", "2024-01-12"
+_PARTITIONED_ROOT = "/root/repo/spark-warehouse"
+
+
+def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Date-partitioned materialization of ``events`` (written once per
+    sf_dir, reused after). This is the Phase-2 layout the engine
+    replaces the reference's filename arithmetic with — the partition
+    column is a real hive-style directory key, so Catalyst prunes
+    out-of-range days at planning time."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(_PARTITIONED_ROOT, f"events_by_date_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e = t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+        write_parquet_partitioned(e, out, "date")
+    return out
+
+
+def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bounded daily rollup over the partitioned layout: the
+    ``between`` on the partition column shows up as PartitionFilters in
+    the physical plan (asserted in tests/test_partitioned_layout.py for
+    this exact query), so 3 of 30 day-directories are read — the I/O
+    contract that matters most at 100 TB, where a date-bounded query
+    must never scan the other 97% of the table."""
+    src = _partitioned_events_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(src)
+        .filter(F.col("date").between(PRUNE_START, PRUNE_END))
+        .groupBy("date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    )
+
+
 QUERIES = {
+    "events_partition_pruned": events_partition_pruned,
     "events_tumbling": events_tumbling,
     "events_trailing_window": events_trailing_window,
     "events_daily_from_hourly": events_daily_from_hourly,
@@ -211,6 +250,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_partition_pruned": f"""
+        SELECT CAST(ts AS DATE) AS date, event_type,
+               count(1) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN '{PRUNE_START}' AND '{PRUNE_END}'
+        GROUP BY 1, 2
+    """,
     "events_tumbling": """
         SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
                CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS TIMESTAMP)

@@ -64,6 +64,7 @@ DRIVER_WINDOW: list[str] = [
     "union_strategy2",
     # relational representatives (family fully driver-verified in round 1)
     "join_inner",
+    "join_salted",
     "window_running",
     # TPC-H: q1 as the family representative + the three never-verified deep queries
     "tpch_q1_pricing_summary",
@@ -71,6 +72,7 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_sales_opportunity",
     # events
+    "events_partition_pruned",
     "events_session",
     "events_tumbling",
     "events_sliding",
@@ -92,10 +94,8 @@ DRIVER_WINDOW: list[str] = [
     "lang_id",
     "doc_subword_counts",
     "doc_rolling_hash",
-    "doc_source_mix",
-    # dedup — all 8
+    # dedup
     "dedup_exact",
-    "dedup_exact_flags",
     "dedup_ngram_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_join
 from ._util import davg, dec, dsum, t
 
 # ---------------------------------------------------------------------------
@@ -300,8 +301,27 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/skew.py): the large events side gets
+    a derived salt ``pmod(xxhash64(event_id), 8)``, the 5-row
+    event_type dim replicates 8×, and the join key becomes
+    (event_type, salt) — each hot key spreads over 8 reducers. Result
+    is row-for-row identical to the unsalted join (that identity IS the
+    oracle check; also asserted against a plain join in
+    tests/test_skew.py). The shape to reach for at 100 TB when one key
+    dominates a shuffled join and AQE can't re-plan (e.g. streaming)."""
+    e = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+    )
+    return salted_join(e, dim, "event_type", salt_from="event_id", n_salts=8)
+
+
 QUERIES = {
     "join_inner": join_inner,
+    "join_salted": join_salted,
     "join_left": join_left,
     "join_full_outer": join_full_outer,
     "join_semi": join_semi,
@@ -326,6 +346,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_salted": """
+        SELECT e.event_type, e.event_id, e.value, d.type_total
+        FROM events e
+        JOIN (SELECT event_type, count(1) AS type_total
+              FROM events GROUP BY 1) d USING (event_type)
+    """,
     "join_inner": """
         SELECT o_orderkey, c_custkey, c_mktsegment, o_orderstatus
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -44,3 +44,21 @@ def test_partition_pruning_in_plan_and_rows(spark, sf_dir, partitioned_dir):
         .count()
     )
     assert df.count() == expected
+
+
+def test_registered_pruned_query_plan_and_oracle_shape(spark):
+    """The registered events_partition_pruned query's physical plan must
+    carry the partition filter (the end-to-end pruning contract)."""
+    from content_analytics_etl_spark.plans.events_queries import (
+        events_partition_pruned,
+    )
+
+    df = events_partition_pruned(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "date" in plan.split("PartitionFilters")[1][:200]
+    rows = df.collect()
+    assert rows  # 3 in-range days exist in the corpus
+    assert {str(r["date"]) for r in rows} <= {
+        "2024-01-10", "2024-01-11", "2024-01-12",
+    }
