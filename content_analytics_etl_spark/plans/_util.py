@@ -12,6 +12,14 @@ partitioning:
 
 Per-row arithmetic on doubles (no reduction) is deterministic and needs
 no such treatment.
+
+Wide-decimal caveat: DuckDB casts int128-backed decimals to double in
+two rounding steps (int128→double, then /10^scale), which can differ by
+1 ULP from Spark's correctly-rounded BigDecimal cast once the value
+exceeds ~16 significant digits. Oracles for such wide sums (e.g. the
+second-moment sums in agg_stats) must round-trip through VARCHAR —
+``CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE)`` — which parses correctly
+rounded and matches the JVM bit-for-bit.
 """
 
 from __future__ import annotations

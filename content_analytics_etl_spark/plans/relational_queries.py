@@ -206,6 +206,57 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function family: percent_rank, cume_dist,
+    lead-with-offset (tie-broken unique ordering, so the rank ratios are
+    the same IEEE divisions in both engines) plus first/nth value over
+    an explicit running frame."""
+    o = t(spark, sf_dir, "orders")
+    wt = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    frame = wt.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(wt).alias("pr"),
+        F.cume_dist().over(wt).alias("cd"),
+        F.lead("o_orderkey", 2).over(wt).alias("next2_key"),
+        F.first("o_orderkey").over(frame).alias("top_key"),
+        F.nth_value("o_orderkey", 3).over(frame).alias("third_key"),
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics under the determinism policy: built-in
+    stddev/var/corr accumulate doubles in partition order (engine- and
+    run-dependent), so the moments are decimal-EXACT sums and the
+    variance/stddev/covariance/correlation are derived with the same
+    fixed double-arithmetic expression in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sq = F.sum(dec("l_quantity")).cast("double")
+    sq2 = F.sum(dec("l_quantity") * dec("l_quantity")).cast("double")
+    sp = F.sum(dec("l_extendedprice")).cast("double")
+    sp2 = F.sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double")
+    sqp = F.sum(dec("l_quantity") * dec("l_extendedprice")).cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sq.alias("sq"), sq2.alias("sq2"),
+        sp.alias("sp"), sp2.alias("sp2"), sqp.alias("sqp"),
+    )
+    var_q = (F.col("sq2") - F.col("sq") * F.col("sq") / F.col("n")) / (F.col("n") - 1)
+    var_p = (F.col("sp2") - F.col("sp") * F.col("sp") / F.col("n")) / (F.col("n") - 1)
+    cov = (F.col("sqp") - F.col("sq") * F.col("sp") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("std_qty"),
+        cov.alias("cov_qty_price"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregate family
 # ---------------------------------------------------------------------------
@@ -336,6 +387,8 @@ QUERIES = {
     "window_running": window_running,
     "window_lag": window_lag,
     "window_rank": window_rank,
+    "window_extras": window_extras,
+    "agg_stats": agg_stats,
     "agg_family": agg_family,
     "agg_conditional": agg_conditional,
     "agg_rollup": agg_rollup,
@@ -391,6 +444,44 @@ ORACLES = {
         FROM lineitem JOIN part
           ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
         GROUP BY 1
+    """,
+    "window_extras": """
+        SELECT o_orderkey, o_orderstatus,
+               percent_rank() OVER wt AS pr,
+               cume_dist() OVER wt AS cd,
+               lead(o_orderkey, 2) OVER wt AS next2_key,
+               first_value(o_orderkey) OVER wf AS top_key,
+               nth_value(o_orderkey, 3) OVER wf AS third_key
+        FROM orders
+        WINDOW wt AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "agg_stats": """
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(count(1) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+                        * CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sq2,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                        * CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sp2,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))
+                        * CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sqp
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               (sq2 - sq * sq / n) / (n - 1) AS var_qty,
+               sqrt((sq2 - sq * sq / n) / (n - 1)) AS std_qty,
+               (sqp - sq * sp / n) / (n - 1) AS cov_qty_price,
+               ((sqp - sq * sp / n) / (n - 1))
+                 / (sqrt((sq2 - sq * sq / n) / (n - 1))
+                    * sqrt((sp2 - sp * sp / n) / (n - 1))) AS corr_qty_price
+        FROM m
     """,
     "setops_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "setops_except": """
