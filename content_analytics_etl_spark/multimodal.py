@@ -124,6 +124,8 @@ def encode_bmp24(width: int, height: int, base: int) -> bytes:
 def decode_bmp24(data: bytes) -> tuple[int, int, float]:
     """Parse a 24-bit BMP: returns (width, height, mean over all channel
     bytes). Integer pixel sum → exact, so the mean is reproducible."""
+    if len(data) < _BMP_HEADER:
+        raise ValueError("not a BMP payload (truncated header)")
     magic, _file_size, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
@@ -160,7 +162,7 @@ def decode_wav16(data: bytes) -> tuple[int, int, float]:
     """Parse 16-bit PCM mono WAV: returns (sample_rate, n_samples, mean
     absolute amplitude). Walks RIFF chunks properly (fmt may not be the
     first chunk in the wild)."""
-    if data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+    if len(data) < 44 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, sample_rate, bits, channels, frames = 12, None, None, None, None
     while pos + 8 <= len(data):

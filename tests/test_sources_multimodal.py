@@ -62,9 +62,17 @@ def test_multimodal_assets_and_features(spark, sf_dir):
     assert feats.count() == docs.count()
 
 
-def test_decode_payload_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_payload_contract():
+    """Image/audio decode is REAL (stdlib BMP/WAV parsing): garbage
+    bytes raise ValueError, valid payloads decode; only video remains a
+    declared integration point."""
+    from content_analytics_etl_spark.multimodal import encode_bmp24
+
+    with pytest.raises(ValueError):
         decode_payload(b"bytes", "image")
+    assert decode_payload(encode_bmp24(2, 2, 0), "image")[:2] == (2, 2)
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"bytes", "video")
 
 
 def test_format_roundtrip_orc_csv_json(spark, sf_dir, tmp_path):
