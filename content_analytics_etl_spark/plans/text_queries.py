@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
+from ..operators.dedup import shingle_rows
 from ._util import t
 
 # Marker vocabularies for the language-ID heuristic. The synthetic corpus
@@ -228,7 +229,122 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
+PHONE_RE = "[+]1-[0-9]{3}-[0-9]{4}"
+GATE_MIN_TOKENS = 20
+GATE_MAX_TOKENS = 100_000
+GATE_MIN_AVG_LEN = 2.0
+GATE_MAX_AVG_LEN = 12.0
+GATE_MAX_TOP_SHARE = 0.25
+GATE_MIN_DISTINCT_RATIO = 0.05
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — a mandatory pass in any training-data pipeline.
+    The corpus is synthetic word-soup, so deterministic PII (an email
+    and a phone derived from doc_id) is INJECTED relationally first and
+    then scrubbed by regex; the oracle mirrors both steps, so the hash
+    match proves the scrubber actually found and replaced every
+    occurrence. Pure per-row regexp work — scan-speed, no shuffle, and
+    the patterns are shared Java/RE2-compatible syntax."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(PHONE_RE)).alias("n_phones"),
+        md5_fingerprint(scrubbed).alias("scrubbed_fp"),
+        (F.length(raw) - F.length(scrubbed)).alias("chars_removed"),
+    )
+
+
+def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates, each reported separately so corpus
+    curation can see WHY a document fails: token-count bounds, mean
+    token length bounds, top-token dominance (repetition proxy),
+    type-token ratio. One explode-free pass + a per-doc mode via
+    aggregate-over-grouped tokens (compact shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select("doc_id", toks.alias("toks"))
+    tok_rows = base.select("doc_id", F.explode("toks").alias("tok"))
+    top = (
+        tok_rows.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_count"))
+    )
+    n = F.size("toks")
+    avg_len = (
+        F.aggregate(
+            F.col("toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n.cast("double")
+    )
+    stats = base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    ).join(top, "doc_id")
+    g_count = F.col("n_tokens").between(GATE_MIN_TOKENS, GATE_MAX_TOKENS)
+    g_len = F.col("avg_token_len").between(GATE_MIN_AVG_LEN, GATE_MAX_AVG_LEN)
+    g_dom = (
+        F.col("top_tok_count").cast("double") / F.col("n_tokens").cast("double")
+    ) <= GATE_MAX_TOP_SHARE
+    g_ttr = (
+        F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    ) >= GATE_MIN_DISTINCT_RATIO
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        g_count.alias("pass_token_count"),
+        g_len.alias("pass_avg_len"),
+        g_dom.alias("pass_dominance"),
+        g_ttr.alias("pass_ttr"),
+        (g_count & g_len & g_dom & g_ttr).alias("keep"),
+    )
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition metric: the fraction of word-trigram
+    occurrences that are repeats of an earlier trigram in the same doc
+    (1 − distinct/total). High values mark boilerplate/spam for the
+    curation pass. Reuses the shingle machinery; one compact shuffle."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id"], distinct=False)
+    per = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct_shingles"),
+    )
+    rep = 1.0 - (
+        F.col("n_distinct_shingles").cast("double")
+        / F.col("n_shingles").cast("double")
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct_shingles",
+        rep.alias("repetition_ratio"),
+        (rep > 0.2).alias("is_repetitive"),
+    )
+
+
 QUERIES = {
+    "doc_pii_scrub": doc_pii_scrub,
+    "doc_quality_gates": doc_quality_gates,
+    "doc_repetition": doc_repetition,
     "doc_source_mix": doc_source_mix,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_token_stats": doc_token_stats,
@@ -246,7 +362,82 @@ _HITS = {
     for lang, m in LANG_MARKERS.items()
 }
 
+_RAW_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_TRIGRAMS_SQL = (
+    f"CASE WHEN len({_TOKS_SQL}) < 3 THEN [] "
+    f"ELSE list_transform(range(1, len({_TOKS_SQL}) - 1), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]) END"
+)
+
 ORACLES = {
+    "doc_pii_scrub": f"""
+        WITH raw AS (SELECT doc_id, {_RAW_SQL} AS r FROM documents),
+        s AS (
+          SELECT doc_id, r,
+                 regexp_replace(
+                   regexp_replace(r, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}',
+                   '<PHONE>', 'g') AS sc
+          FROM raw
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(r, '{EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(r, '{PHONE_RE}')) AS INT)
+                 AS n_phones,
+               md5(sc) AS scrubbed_fp,
+               CAST(length(r) - length(sc) AS INT) AS chars_removed
+        FROM s
+    """,
+    "doc_quality_gates": f"""
+        WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+        top AS (
+          SELECT doc_id, max(c) AS top_tok_count
+          FROM (SELECT doc_id, tok, count(1) AS c FROM tok GROUP BY 1, 2)
+          GROUP BY 1
+        ),
+        stats AS (
+          SELECT b.doc_id,
+                 CAST(len(toks) AS INT) AS n_tokens,
+                 CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+                 len(list_distinct(toks)) AS n_distinct,
+                 t.top_tok_count
+          FROM base b JOIN top t USING (doc_id)
+        )
+        SELECT doc_id, n_tokens,
+               n_tokens BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}
+                 AS pass_token_count,
+               avg_token_len BETWEEN {GATE_MIN_AVG_LEN} AND {GATE_MAX_AVG_LEN}
+                 AS pass_avg_len,
+               CAST(top_tok_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 <= {GATE_MAX_TOP_SHARE} AS pass_dominance,
+               CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 >= {GATE_MIN_DISTINCT_RATIO} AS pass_ttr,
+               (n_tokens BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS})
+                 AND (avg_token_len BETWEEN {GATE_MIN_AVG_LEN} AND {GATE_MAX_AVG_LEN})
+                 AND (CAST(top_tok_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      <= {GATE_MAX_TOP_SHARE})
+                 AND (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      >= {GATE_MIN_DISTINCT_RATIO}) AS keep
+        FROM stats
+    """,
+    "doc_repetition": f"""
+        WITH sh AS (SELECT doc_id, {_TRIGRAMS_SQL} AS shingles FROM documents)
+        SELECT doc_id,
+               CAST(len(shingles) AS BIGINT) AS n_shingles,
+               CAST(len(list_distinct(shingles)) AS BIGINT)
+                 AS n_distinct_shingles,
+               1.0 - (CAST(len(list_distinct(shingles)) AS DOUBLE)
+                      / CAST(len(shingles) AS DOUBLE)) AS repetition_ratio,
+               1.0 - (CAST(len(list_distinct(shingles)) AS DOUBLE)
+                      / CAST(len(shingles) AS DOUBLE)) > 0.2 AS is_repetitive
+        FROM sh WHERE len(shingles) > 0
+    """,
     "doc_source_mix": f"""
         WITH per AS (
           SELECT source, count(1) AS n_docs,
