@@ -206,6 +206,48 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETS = 8
+
+
+def _bucketed_name(sf_dir: str, table: str) -> str:
+    import hashlib
+
+    return f"{table}_b_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: orders and lineitem are
+    written ONCE per sf_dir as bucketed+sorted tables on the join key
+    (8 buckets, spark-warehouse); the recurring join then plans a
+    sort-merge with NO Exchange on either side — the co-located-join
+    strategy for joins that repeat across a pipeline
+    (tests/test_bucketed_join.py asserts the exchange-free plan for this
+    registered query). At 100 TB this converts every repeat of the
+    orders⋈lineitem join from two fact shuffles to zero."""
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = _bucketed_name(sf_dir, table)
+        if not spark.catalog.tableExists(name):
+            (
+                t(spark, sf_dir, table)
+                .write.bucketBy(_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .option("path", f"/root/repo/spark-warehouse/{name}")
+                .saveAsTable(name)
+            )
+    li = spark.table(_bucketed_name(sf_dir, "lineitem"))
+    o = spark.table(_bucketed_name(sf_dir, "orders")).hint("merge")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )
+
+
 def window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the window-function family: percent_rank, cume_dist,
     lead-with-offset (tie-broken unique ordering, so the rank ratios are
@@ -379,6 +421,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_broadcast_dims": join_broadcast_dims,
     "join_theta": join_theta,
+    "join_bucketed": join_bucketed,
     "setops_distinct": setops_distinct,
     "setops_except": setops_except,
     "setops_intersect": setops_intersect,
@@ -482,6 +525,13 @@ ORACLES = {
                  / (sqrt((sq2 - sq * sq / n) / (n - 1))
                     * sqrt((sp2 - sp * sp / n) / (n - 1))) AS corr_qty_price
         FROM m
+    """,
+    "join_bucketed": """
+        SELECT o_orderpriority, count(1) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
     """,
     "setops_distinct": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "setops_except": """

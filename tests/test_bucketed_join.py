@@ -62,3 +62,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
     assert plain_plan.count("Exchange") > plan.count("Exchange")
 
     assert {tuple(r) for r in joined.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_registered_bucketed_query_is_exchange_free(spark):
+    """The registered join_bucketed query must plan the fact-fact join
+    without any Exchange (bucket co-location doing its job)."""
+    from content_analytics_etl_spark.plans.relational_queries import join_bucketed
+
+    df = join_bucketed(spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan.split("SortMergeJoin")[-1]
