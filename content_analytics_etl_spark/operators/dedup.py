@@ -206,49 +206,32 @@ def simhash60(features_col: str) -> Column:
 
 
 def simhash60_agg(hashed: DataFrame, id_cols: list[str]) -> DataFrame:
-    """60-bit SimHash over the exploded hash relation, whole-stage
-    codegen'd with map-side partial aggregation. Bit-identical to
-    :func:`simhash60` on the same feature multiset.
+    """60-bit SimHash over the exploded hash relation: 60 codegen'd
+    conditional sums (one per bit) + a pack projection. Bit-identical to
+    :func:`simhash60` on the same feature multiset, but whole-stage
+    codegen'd with map-side partial aggregation.
 
-    The per-bit ±1 votes are equivalent to ones-counts (vote sum > 0 ⟺
-    2·ones > n), so the aggregate packs FOUR 16-bit ones-counters into
-    each long — 15 packed sums + a count instead of 60 conditional
-    sums: quarter the aggregation buffer, branchless shift/mask update
-    per row (~10% faster on the signature stage, same result; counter
-    overflow needs 65536 shingles in one doc — far beyond any real
-    document). Bit b of the signature lives in counter k = b//4,
-    field j = b%4."""
-    ones_packed = [
+    A packed variant (four 16-bit ones-counters per long, 15 sums
+    instead of 60) measured ~10% faster on the signature stage in
+    isolation but SLOWER end-to-end: CollapseProject re-inlines the
+    pack projection into every downstream reference (7 LSH bands + the
+    verify), and the packed extraction is ~3× the per-reference cost of
+    the simple `vote > 0` form. Kept the simple form — see PERF.md #12."""
+    votes = [
         F.sum(
-            reduce(
-                add,
-                [
-                    F.shiftleft(
-                        F.shiftright("h", 4 * k + j)
-                        .bitwiseAND(F.lit(1))
-                        .cast("bigint"),
-                        16 * j,
-                    )
-                    for j in range(4)
-                ],
-            )
-        ).alias(f"c{k}")
-        for k in range(15)
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
     ]
-    agg = hashed.groupBy(*id_cols).agg(F.count(F.lit(1)).alias("n"), *ones_packed)
+    agg = hashed.groupBy(*id_cols).agg(*votes)
     packed = reduce(
         add,
         [
-            F.when(
-                F.shiftright(F.col(f"c{k}"), 16 * j).bitwiseAND(F.lit(0xFFFF)) * 2
-                > F.col("n"),
-                F.lit(1 << (4 * k + j)).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            for k in range(15)
-            for j in range(4)
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(60)
         ],
     )
-    return agg.select(*id_cols, packed.alias("simhash"))
+    return agg.select(*id_cols, packed.cast("bigint").alias("simhash"))
 
 
 def jaccard(a: Column | str, b: Column | str) -> Column:
