@@ -1,0 +1,134 @@
+"""Graph analytics over the near-dup pair graph (BASELINE extension —
+the cluster-level view a curation pipeline builds on top of pairwise
+similarity; connected components live in operators/graph.py, consumed by
+``dedup_clusters``).
+
+``graph_pagerank`` shows that even an ITERATIVE algorithm can be held to
+the full hash-exact oracle standard when the iteration count is fixed:
+three Lloyd-style PageRank rounds are unrolled into three relational
+stages on the Spark side and three chained CTEs on the DuckDB side, with
+every per-node contribution sum decimal-exact (plans/_util.py policy) so
+both engines walk bit-identical rank vectors. Only UNBOUNDED iteration
+(convergence loops) needs the weaker rows-only check.
+
+Scale shape: each round is one equi-join (edges ⋈ ranks on src) + one
+compact aggregation keyed by node — linear shuffles, no driver
+materialization; the node-count scalar is a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup_queries import ORACLES as _DEDUP_ORACLES
+from .dedup_queries import dedup_minhash_lsh
+
+PR_DAMPING = 0.85
+PR_BASE = 0.15  # literal, NOT computed as 1-0.85 (binary rounding differs)
+PR_ITERS = 3
+_DEC = "decimal(28,12)"
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank(d=0.85, 3 iterations) over the symmetrized MinHash-LSH
+    near-dup graph: rank concentrates on documents with many near
+    duplicates — the 'hub pages' a dedup pass should inspect first.
+    The graph is symmetric so every node has out-degree ≥ 1 (no
+    dangling-mass term needed)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # The pair list is tiny (near-dup pairs only) but expensive to derive
+    # (full MinHash pipeline); every unrolled iteration references it, so
+    # persist once — otherwise the lineage embeds the pipeline 2·ITERS
+    # times. Same rule as the Lloyd trainer's per-iteration working set.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_tot = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    ranks = (
+        deg.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            (F.lit(1.0) / F.col("n")).alias("rank"),
+        )
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges.join(
+            ranks.select(F.col("node").alias("src"), "deg", "rank"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast(_DEC)).cast("double").alias("s")
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"), "deg")
+            .join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(PR_BASE) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("deg").alias("degree"), "rank")
+
+
+QUERIES = {
+    "graph_pagerank": graph_pagerank,
+}
+
+# Three unrolled PageRank rounds; contribution sums decimal-exact, the
+# same casts as the Spark side, so rank vectors match bit-for-bit.
+_PR_STEP = """
+        pr{i} AS MATERIALIZED (
+          SELECT g.node, g.deg,
+                 CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+                   + CAST({damping} AS DOUBLE)
+                     * coalesce(s.s, CAST(0.0 AS DOUBLE)) AS rank
+          FROM deg g LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(p.rank / p.deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+            FROM edges e JOIN pr{prev} p ON p.node = e.src
+            GROUP BY 1
+          ) s USING (node)
+        )"""
+
+ORACLES = {
+    "graph_pagerank": (
+        f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+        edges AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg0 AS MATERIALIZED (
+          SELECT src AS node, count(1) AS deg FROM edges GROUP BY 1
+        ),
+        deg AS (SELECT node, deg FROM deg0),
+        nn AS (SELECT count(1) AS n FROM deg0),
+        pr0 AS MATERIALIZED (
+          SELECT node, deg, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+          FROM deg0
+        ),"""
+        + ",".join(
+            _PR_STEP.format(i=i, prev=i - 1, base=PR_BASE, damping=PR_DAMPING)
+            for i in range(1, PR_ITERS + 1)
+        )
+        + f"""
+        SELECT node, CAST(deg AS BIGINT) AS degree, rank FROM pr{PR_ITERS}
+    """
+    ),
+}

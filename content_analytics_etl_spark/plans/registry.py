@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     analytics_queries,
     dedup_queries,
+    graph_queries,
     multimodal_queries,
     events_queries,
     reference_queries,
@@ -49,6 +50,7 @@ _MODULES = [
     dedup_queries,
     similarity_queries,
     multimodal_queries,
+    graph_queries,
 ]
 
 # The first 50 names the driver will hash.  One line per family block.
@@ -93,7 +95,8 @@ DRIVER_WINDOW: list[str] = [
     "doc_quality",
     "lang_id",
     "doc_subword_counts",
-    "doc_rolling_hash",
+    # graph
+    "graph_pagerank",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard_prefix",
