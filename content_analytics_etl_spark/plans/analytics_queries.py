@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_forward
+from ..operators.merge import merge_upsert
 from ..operators.scd import scd2_apply
 from ._util import dec, dsum, t
 from .text_queries import _NORM_SQL, _TOKS_SQL  # oracle-side tokenizer
@@ -275,7 +276,38 @@ def events_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.select("event_type", "p50", "p95", ok.alias("approx_within_5pct"))
 
 
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (operators/merge.py): a deterministic change
+    batch — price updates for keys %7 (minus the %13 overlap), deletes
+    for keys %13, inserts with negated keys for %11 — applied to the
+    orders snapshot in one full-outer-join shuffle. The oracle replays
+    the same merge in SQL, so matched/unmatched/delete routing is
+    hash-verified row-for-row."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 7 == 0) & (k % 13 != 0)).select(
+        k.alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_orderstatus",
+        F.lit(False).alias("is_delete"),
+    )
+    dels = o.filter(k % 13 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", F.lit(True).alias("is_delete")
+    )
+    ins = o.filter(k % 11 == 0).select(
+        (-k).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+        F.lit(False).alias("is_delete"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return merge_upsert(o, changes, key="o_orderkey", delete_flag="is_delete")
+
+
 QUERIES = {
+    "orders_merge_upsert": orders_merge_upsert,
     "events_gapfill_locf": events_gapfill_locf,
     "dim_scd2_upsert": dim_scd2_upsert,
     "events_approx_percentile_bound": events_approx_percentile_bound,
@@ -290,6 +322,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_merge_upsert": """
+        WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        chg AS (
+          SELECT o_orderkey,
+                 o_totalprice + CAST(100.0 AS DOUBLE) AS o_totalprice,
+                 o_orderstatus, FALSE AS del
+          FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, o_orderstatus, TRUE
+          FROM o WHERE o_orderkey % 13 = 0
+          UNION ALL
+          SELECT -o_orderkey, o_totalprice, o_orderstatus, FALSE
+          FROM o WHERE o_orderkey % 11 = 0
+        )
+        SELECT coalesce(c.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice
+                    ELSE o.o_totalprice END AS o_totalprice,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus
+                    ELSE o.o_orderstatus END AS o_orderstatus
+        FROM o FULL JOIN chg c ON o.o_orderkey = c.o_orderkey
+        WHERE NOT coalesce(c.del, FALSE)
+    """,
     "dim_scd2_upsert": """
         WITH chg AS (
           SELECT o.o_custkey AS c_custkey, max(o.o_orderdate) AS change_ts

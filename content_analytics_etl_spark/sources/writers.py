@@ -8,9 +8,17 @@ writes partitioned parquet — never collapse 100 TB to one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
 
-__all__ = ["write_csv_single", "write_parquet_partitioned", "write_table"]
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "write_csv_single",
+    "write_parquet_partitioned",
+    "write_table",
+    "compact_parquet",
+]
 
 
 def write_csv_single(df: DataFrame, path: str, *, header: bool = True) -> None:
@@ -28,6 +36,36 @@ def write_parquet_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction — the maintenance job every streaming /
+    incremental sink eventually needs (each micro-batch writes a file;
+    a month of 5-minute batches is 8k tiny files whose open/footer cost
+    dominates scans). Sizes the output from the actual on-disk bytes:
+    ``ceil(total/target)`` files via ``coalesce`` (no shuffle — merging
+    partitions never needs one). Returns the output file count.
+
+    At 100 TB run this per partition directory (date=.../) so each
+    compaction is an independent, restartable unit."""
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src_dir).coalesce(n_files).write.mode("overwrite").parquet(
+        dst_dir
+    )
+    return n_files
 
 
 def write_table(

@@ -120,3 +120,23 @@ def test_orc_partitioned_pushdown(spark, sf_dir, tmp_path):
     want = src.filter(F.col("event_date") == F.lit("2024-01-02")).count()
     assert want > 0  # the chosen day exists in the synthetic data
     assert one_day.count() == want
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    """32 tiny files -> 1 compacted file, row/content parity."""
+    from content_analytics_etl_spark.sources.readers import load_table
+    from content_analytics_etl_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    e = load_table(spark, sf_dir, "events")
+    e.repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 32
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    before = e.count()
+    after = spark.read.parquet(dst).count()
+    assert before == after
