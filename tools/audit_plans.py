@@ -39,6 +39,7 @@ ALLOW_NESTED_LOOP = {
     "doc_source_mix": "1-row token-total frame broadcast onto per-source aggs",
     "events_funnel": "cross join of three 1-row step-count aggregates",
     "embedding_kmeans": "k-row centroid relation cross join (Lloyd assignment)",
+    "graph_pagerank": "1-row node-count aggregate broadcast (rank seeding/teleport)",
 }
 
 
