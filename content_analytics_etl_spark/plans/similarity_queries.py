@@ -277,6 +277,56 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(e, cent).select("vec_id", "cid", "d2")
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization — the storage/bandwidth
+    step a 100 TB embedding corpus needs before ANN serving (4× smaller
+    than float32, 8× smaller than the double working form). Per vector:
+    ``scale = max|v|/127``, ``code = clamp(floor(v/scale + .5), ±127)``;
+    reports the reconstruction quality (max abs error, MSE) and the
+    saturation count. Everything is per-row arithmetic over the array
+    column — no shuffle at all; the scan parallelism is the plan.
+
+    Rounding is ``floor(x + 0.5)`` — NOT round(): Spark HALF_UP on
+    decimals vs DuckDB's banker-ish double round differ on exact .5
+    ties, floor is bit-identical IEEE in both engines. Per-row left
+    folds (MSE) are deterministic (functions/vectors.py policy)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    scale = (F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)).alias(
+        "scale"
+    )
+    e = e.select("vec_id", "v", scale)
+    code = lambda x: F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(  # noqa: E731
+        F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5))
+        )
+    )
+    e = e.withColumn("codes", F.transform(F.col("v"), code))
+    err = F.zip_with(
+        F.col("v"), F.col("codes"), lambda x, c: F.abs(x - c * F.col("scale"))
+    )
+    e = e.withColumn("err", err)
+    mse = (
+        F.aggregate(
+            F.col("err"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        / F.lit(float(DIM))
+    ).alias("mse")
+    n_sat = (
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127.0))
+        .cast("bigint")
+        .alias("n_sat")
+    )
+    return e.select(
+        "vec_id",
+        "scale",
+        F.array_max(F.col("err")).alias("max_abs_err"),
+        mse,
+        n_sat,
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means(k=8, 3 Lloyd iterations) over the embedding corpus →
     per-cluster size and decimal-exact SSE (operators/kmeans.py). An
@@ -304,6 +354,7 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "kmeans_assign": kmeans_assign,
+    "embedding_quantize": embedding_quantize,
     "embedding_kmeans": embedding_kmeans,
 }
 
@@ -476,6 +527,36 @@ ORACLES = {
                       ORDER BY cosine DESC, cand_id) AS rank
           FROM scored)
         WHERE rank <= {ANN_TOPK}
+    """,
+    # Mirror of embedding_quantize: floor(x+.5) rounding, clamp via
+    # greatest/least, sequential list_sum fold for the MSE — each
+    # bit-identical across engines (see the Spark docstring).
+    "embedding_quantize": f"""
+        WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e
+        ),
+        c AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0.0
+                   ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5)))
+                   END) AS codes
+          FROM s
+        ),
+        r AS (
+          SELECT vec_id, scale, codes,
+                 list_transform(range(1, {DIM}+1),
+                                i -> abs(v[i] - codes[i] * scale)) AS err
+          FROM c
+        )
+        SELECT vec_id, scale,
+               list_max(err) AS max_abs_err,
+               list_sum(list_transform(err, x -> x * x)) / {DIM}.0 AS mse,
+               CAST(len(list_filter(codes, x -> abs(x) = 127.0)) AS BIGINT)
+                 AS n_sat
+        FROM r
     """,
     "sim_ann_lsh_topk": f"""
         WITH e AS ({_E_CTE}),
