@@ -58,6 +58,9 @@ EXACT_CAP = 1000  # sim_neardup_exact diagnostic: ≤ C(1000,2) pairs, ever
 IVF_CELLS = 8
 IVF_NPROBE = 2
 KMEANS_K = 8
+PQ_M = 4  # subspaces
+PQ_SUB_DIM = DIM // PQ_M
+PQ_KS = 8  # sub-centroids per subspace (1-byte codes have room for 256)
 
 # 4 bands × 8 bits for near-dup candidates (planes derived in-engine by
 # hyperplane_bucket_agg from the same md5 formula); 6 literal planes for
@@ -261,6 +264,79 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the FAISS IVF-PQ memory-side story: 64-d vectors encoded as
+    M_SUB=4 one-byte codes (16× smaller than float32), queries scored
+    against codes via a per-query lookup table, never against the raw
+    corpus vectors.
+
+    Deterministic codebooks: per subspace, the sub-vectors of the first
+    PQ_KS corpus vectors (same seed policy as IVF/k-means — production
+    would train them; the plan shape is the point). Physical shape: the
+    32-row codebook and the ≤ 20·4·8-row query LUT broadcast; the corpus
+    (a) slices into subvectors with zero shuffle, (b) shuffles once on
+    (vec_id, m) for the argmin window, and (c) aggregates ADC partials
+    keyed by (query_id, cand_id) — all linear in corpus size. The ADC
+    sum over the 4 subspace partials is decimal-exact (plans/_util.py
+    policy) so the ranking is partition-independent."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("v"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias(
+                            "subv"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.subv")
+    cb = sub.filter(F.col("vec_id").between(1, PQ_KS)).select(
+        "m", F.col("vec_id").cast("int").alias("k"), F.col("subv").alias("cv")
+    )
+    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d2", sq_l2(F.col("subv"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("k"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "k")
+    )
+    qlut = (
+        sub.filter(_query_side())
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("subv").alias("qsubv"))
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "k", sq_l2(F.col("qsubv"), F.col("cv")).alias("pd2"))
+    )
+    scored = (
+        codes.join(F.broadcast(qlut), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum(F.col("pd2").cast("decimal(28,12)")).cast("double").alias("adc_d2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ANN_TOPK
+    )
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible half of k-means: nearest-centroid assignment
     with FIXED centroids (the k lowest-vec_id vectors — Lloyd's
@@ -353,6 +429,7 @@ QUERIES = {
     "sim_neardup_exact": sim_neardup_exact,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
+    "sim_ann_pq_adc": sim_ann_pq_adc,
     "kmeans_assign": kmeans_assign,
     "embedding_quantize": embedding_quantize,
     "embedding_kmeans": embedding_kmeans,
@@ -525,6 +602,54 @@ ORACLES = {
         SELECT query_id, cand_id, cosine, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= {ANN_TOPK}
+    """,
+    # Mirror of sim_ann_pq_adc: identical subvector slicing, argmin code
+    # assignment (ties -> lowest k), per-query LUT, and the decimal-exact
+    # ADC partial sum, so rankings match bit-for-bit.
+    "sim_ann_pq_adc": f"""
+        WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+        sub AS MATERIALIZED (
+          SELECT vec_id, CAST(m AS INTEGER) AS m,
+                 list_transform(range(1, {PQ_SUB_DIM}+1),
+                                i -> v[m * {PQ_SUB_DIM} + i]) AS subv
+          FROM e, range(0, {PQ_M}) t(m)
+        ),
+        cb AS MATERIALIZED (
+          SELECT m, CAST(vec_id AS INTEGER) AS k, subv AS cv
+          FROM sub WHERE vec_id BETWEEN 1 AND {PQ_KS}
+        ),
+        ad AS (
+          SELECT s.vec_id, s.m, c.k,
+                 list_sum(list_transform(range(1, {PQ_SUB_DIM}+1),
+                   i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))) AS d2
+          FROM sub s JOIN cb c USING (m)
+        ),
+        codes AS (
+          SELECT vec_id, m, k FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY d2 ASC, k) AS rk
+            FROM ad)
+          WHERE rk = 1
+        ),
+        qlut AS (
+          SELECT s.vec_id AS query_id, s.m, c.k,
+                 list_sum(list_transform(range(1, {PQ_SUB_DIM}+1),
+                   i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))) AS pd2
+          FROM sub s JOIN cb c USING (m)
+          WHERE s.{_Q_SIDE}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+                 CAST(SUM(CAST(q.pd2 AS DECIMAL(28,12))) AS DOUBLE) AS adc_d2
+          FROM codes c JOIN qlut q ON q.m = c.m AND q.k = c.k
+          WHERE c.vec_id <> q.query_id
+          GROUP BY 1, 2
+        )
+        SELECT query_id, cand_id, adc_d2, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_d2 ASC, cand_id) AS rank
           FROM scored)
         WHERE rank <= {ANN_TOPK}
     """,
