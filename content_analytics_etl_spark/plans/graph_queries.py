@@ -85,8 +85,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("deg").alias("degree"), "rank")
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the near-dup graph — the local
+    clustering signal that separates tight duplicate cliques (every
+    pair agrees) from hub-and-spoke false-positive clusters (a template
+    page near-dups many unrelated pages but those pages don't near-dup
+    each other). Curation uses it to decide keep-one vs inspect.
+
+    Physical shape: the classic oriented-edge relational triangle
+    enumeration — edges are kept in canonical (u < v) orientation so
+    each triangle is generated exactly once as a < b < c: one self-join
+    builds wedges (a-b-c), one more equi-join closes them against the
+    edge set, then the three corners are exploded and counted. Two
+    equi-join shuffles + one aggregation, all keyed — linear in edge
+    count (the id orientation plays the role of the degree orientation
+    in the classic algorithm; near-dup graphs have no mega-hubs by
+    construction since verification prunes template collisions). The
+    edge set is derived once and persisted (three join references)."""
+    edges = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .persist()
+    )
+    wedge = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.v") == F.col("y.u"))
+        .select(
+            F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.v").alias("c")
+        )
+    )
+    tri = wedge.join(
+        edges.alias("z"),
+        (F.col("a") == F.col("z.u")) & (F.col("c") == F.col("z.v")),
+    ).select("a", "b", "c")
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
 }
 
 # Three unrolled PageRank rounds; contribution sums decimal-exact, the
@@ -131,4 +171,23 @@ ORACLES = {
         SELECT node, CAST(deg AS BIGINT) AS degree, rank FROM pr{PR_ITERS}
     """
     ),
+    # Same canonical a<b<c enumeration as the Spark plan: wedge join on
+    # the shared middle vertex, closure join against the edge set, corner
+    # explosion via UNION ALL.
+    "graph_triangles": f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+        edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs),
+        tri AS MATERIALIZED (
+          SELECT x.u AS a, x.v AS b, y.v AS c
+          FROM edges x
+          JOIN edges y ON x.v = y.u
+          JOIN edges z ON z.u = x.u AND z.v = y.v
+        ),
+        corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT node, count(1) AS n_triangles FROM corners GROUP BY node
+    """,
 }
