@@ -236,8 +236,48 @@ def events_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout audit — the multi-dimensional
+    clustering key behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: at
+    100 TB, files sorted by the interleaved key give min/max-based scan
+    pruning on BOTH dimensions at once, where a plain sort prunes only
+    its leading column. Each event maps to an 8-bit (user, value)
+    cell, the 16-bit Morton key interleaves the bits, and rows are
+    grouped into the 16 static top-4-bit key ranges — the per-range
+    min/max spans this returns are exactly the file-skipping statistics
+    a writer sorted by ``z`` would publish (each range covers a 64-wide
+    span of both dimensions, not the full domain).
+
+    Static key-prefix ranges, not ``ntile``: the bucket id is pure
+    per-row arithmetic, so the whole query is one scan + one hash
+    aggregation — no global sort, no single-partition exchange."""
+    e = t(spark, sf_dir, "events")
+    du = (F.col("user_id") % 256).cast("int")
+    dv = F.greatest(
+        F.lit(0), F.least(F.lit(255), F.floor(F.col("value") / 2).cast("int"))
+    )
+    d = e.select(du.alias("du"), dv.alias("dv"))
+    z = None
+    for i in range(8):
+        ubit = F.shiftleft(F.shiftright(F.col("du"), i).bitwiseAND(1), 2 * i + 1)
+        vbit = F.shiftleft(F.shiftright(F.col("dv"), i).bitwiseAND(1), 2 * i)
+        z = ubit + vbit if z is None else z + ubit + vbit
+    return (
+        d.withColumn("z", z)
+        .groupBy(F.shiftright(F.col("z"), 12).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("du").alias("min_u"),
+            F.max("du").alias("max_u"),
+            F.min("dv").alias("min_v"),
+            F.max("dv").alias("max_v"),
+        )
+    )
+
+
 QUERIES = {
     "events_partition_pruned": events_partition_pruned,
+    "events_zorder_layout": events_zorder_layout,
     "events_tumbling": events_tumbling,
     "events_trailing_window": events_trailing_window,
     "events_daily_from_hourly": events_daily_from_hourly,
@@ -249,7 +289,28 @@ QUERIES = {
     "events_value_percentiles": events_value_percentiles,
 }
 
+_Z_SQL = " + ".join(
+    f"(((du >> {i}) & 1) << {2 * i + 1}) + (((dv >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
 ORACLES = {
+    # Same bit interleave as the Spark plan (integer shifts are exact in
+    # both engines); floor-then-cast keeps DuckDB's rounding double→int
+    # cast out of the key derivation.
+    "events_zorder_layout": f"""
+        WITH d AS (
+          SELECT CAST(user_id % 256 AS INTEGER) AS du,
+                 greatest(0, least(255, CAST(floor(value / 2) AS INTEGER))) AS dv
+          FROM events
+        ),
+        z AS (SELECT du, dv, {_Z_SQL} AS z FROM d)
+        SELECT CAST(z >> 12 AS INTEGER) AS zbucket,
+               count(1) AS n_events,
+               min(du) AS min_u, max(du) AS max_u,
+               min(dv) AS min_v, max(dv) AS max_v
+        FROM z GROUP BY 1
+    """,
     "events_partition_pruned": f"""
         SELECT CAST(ts AS DATE) AS date, event_type,
                count(1) AS n_events,
