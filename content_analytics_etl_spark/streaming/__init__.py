@@ -4,8 +4,11 @@ from .stateful import running_user_totals
 from .ingest import ingest_viewing_logs
 from .joins import view_click_conversions
 from .dedup import dedup_stream_exact, dedup_stream_within_watermark
+from .cdc import apply_cdc_stream, latest_snapshot
 
 __all__ = [
+    "apply_cdc_stream",
+    "latest_snapshot",
     "dedup_stream_exact",
     "dedup_stream_within_watermark",
     "view_click_conversions",
