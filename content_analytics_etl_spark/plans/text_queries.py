@@ -11,7 +11,7 @@ per-row ops have no shuffle at all; the frequency aggs shuffle compact
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_fingerprint
@@ -341,7 +341,74 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CONTEXT = 512  # tokens per training-sequence bin
+SPLIT_TRAIN_LT = 96  # md5 bucket < 96 → train; 96-97 val; 98-99 test
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-shaping step between a curated
+    corpus and a trainer: documents are laid end-to-end into
+    ``PACK_CONTEXT``-token bins and the query reports each bin's doc
+    count, token total, and fill ratio (the padding-waste metric that
+    motivates packing in the first place). Contiguous greedy packing in
+    doc_id order: a doc belongs to the bin where its start offset
+    lands, so a bin can overflow by at most one doc's tail — the
+    standard simple packer, fully deterministic.
+
+    Scale shape: the running offset is a window cumsum partitioned by
+    ``source`` — training shards are built per-source anyway (data
+    recipes weight sources independently), so the window key is the
+    natural shard key and no global ordering exists anywhere in the
+    plan. One window shuffle + one hash aggregation."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")) / F.lit(float(PACK_CONTEXT))
+        ).cast("int"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.lit(float(PACK_CONTEXT))).alias("fill_ratio"),
+    )
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a salted md5 bucket in
+    [0, 100) per document — 96/2/2, stable under corpus growth (a doc's
+    split never depends on other rows, the property that keeps held-out
+    sets held out across recrawls). Pure per-row arithmetic, no
+    shuffle; the same md5→bigint derivation both engines already use
+    for the LSH plane seeds."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(F.col("split_bucket") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("split_bucket") < SPLIT_TRAIN_LT + 2, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "source", bucket.alias("split_bucket")).withColumn(
+        "split", split
+    )
+
+
 QUERIES = {
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_split_assign": doc_split_assign,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_quality_gates": doc_quality_gates,
     "doc_repetition": doc_repetition,
@@ -374,6 +441,42 @@ _TRIGRAMS_SQL = (
 )
 
 ORACLES = {
+    # Mirror of doc_pack_sequences: same per-source doc_id-ordered
+    # cumsum and floor-division bin derivation (integer token counts,
+    # so no float-determinism concern until the final ratio division).
+    "doc_pack_sequences": f"""
+        WITH base AS (
+          SELECT doc_id, source, len({_TOKS_SQL}) AS n_tokens
+          FROM documents
+        ),
+        packed AS (
+          SELECT source, n_tokens,
+                 CAST(floor(
+                   (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {PACK_CONTEXT}.0) AS INTEGER) AS bin_id
+          FROM base
+        )
+        SELECT source, bin_id,
+               count(1) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CONTEXT}.0 AS fill_ratio
+        FROM packed GROUP BY 1, 2
+    """,
+    # Same md5→bigint bucket both engines use for LSH plane seeds.
+    "doc_split_assign": f"""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 100 AS split_bucket
+          FROM documents
+        )
+        SELECT doc_id, source, split_bucket,
+               CASE WHEN split_bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN split_bucket < {SPLIT_TRAIN_LT + 2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
     "doc_pii_scrub": f"""
         WITH raw AS (SELECT doc_id, {_RAW_SQL} AS r FROM documents),
         s AS (
