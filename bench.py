@@ -55,6 +55,10 @@ HEADLINE = [
     "dedup_simhash",
     "sim_brute_topk",
     "sim_ann_lsh_topk",
+    "sim_ann_pq_adc",
+    "embedding_quantize",
+    "doc_pack_sequences",
+    "events_zorder_layout",
     "multimodal_features",
 ]
 
