@@ -289,23 +289,26 @@ def _fake_features(payload: bytes) -> list[float]:
 
 def extract_features(assets: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over payload bytes
-    (``mapInPandas``): (asset_id, kind, n_bytes, features[FEATURE_DIM]).
+    (``mapInPandas``): (asset_id, kind, n_bytes, f0..f{FEATURE_DIM-1}).
     Runs partition-parallel with no shuffle; the iterator shape is the
-    same one a GPU-batched decoder would use."""
+    same one a GPU-batched decoder would use. The feature vector is
+    emitted as FEATURE_DIM scalar double columns (not array<double>):
+    downstream sinks, the driver's hash canonicalization, and columnar
+    stats all want scalars, and the width is a compile-time constant."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": payloads.map(len),
-                    "features": payloads.map(_fake_features),
-                }
-            )
+            feats = payloads.map(_fake_features)
+            out = {
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payloads.map(len),
+            }
+            for k in range(FEATURE_DIM):
+                out[f"f{k}"] = feats.map(lambda v, k=k: v[k])
+            yield pd.DataFrame(out)
 
-    schema = (
-        "asset_id long, kind string, n_bytes long, features array<double>"
-    )
+    feat_cols = ", ".join(f"f{k} double" for k in range(FEATURE_DIM))
+    schema = f"asset_id long, kind string, n_bytes long, {feat_cols}"
     return assets.select("asset_id", "kind", "payload").mapInPandas(run, schema=schema)

@@ -347,9 +347,9 @@ ORACLES = {
         ),
         numbered AS (
           SELECT user_id, ts, value,
-                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_no
+                   AS BIGINT) AS session_no
           FROM flagged
         )
         SELECT user_id, session_no,
@@ -364,7 +364,8 @@ ORACLES = {
                count(1) AS n,
                min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                 AS sum_k
         FROM events GROUP BY 1
     """,
     "events_daily_from_hourly": """

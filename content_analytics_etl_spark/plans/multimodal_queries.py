@@ -39,7 +39,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over payload bytes (Arrow batch
-    path) — asset_id, kind, n_bytes, 8-dim features."""
+    path) — asset_id, kind, n_bytes, f0..f7 scalar feature columns
+    (flattened from the 8-dim vector so every output cell is hashable
+    by any downstream canonicalizer)."""
     assets = synthetic_assets(t(spark, sf_dir, "documents"))
     return extract_features(assets)
 
@@ -97,7 +99,7 @@ ORACLES = {
     "multimodal_metadata": f"""
         SELECT {_KIND} AS kind,
                count(1) AS n_assets,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                min(CAST(doc_id % 640 + 64 AS INT)) AS min_width,
                max(CAST(doc_id % 480 + 48 AS INT)) AS max_height,
                CAST(SUM(CAST(n_chars / 100.0 AS DECIMAL(18,6))) AS DOUBLE)
@@ -146,9 +148,11 @@ ORACLES = {
         )
         SELECT doc_id AS asset_id, kind,
                CAST(len(bs) AS BIGINT) AS n_bytes,
-               list_transform(range(0, 8),
-                 k -> CAST(len(list_filter(bs, b -> b % 8 = k)) AS DOUBLE)
-                      / CAST(len(bs) AS DOUBLE)) AS features
+               {", ".join(
+                   f"CAST(len(list_filter(bs, b -> b % 8 = {k})) AS DOUBLE)"
+                   f" / CAST(len(bs) AS DOUBLE) AS f{k}"
+                   for k in range(8)
+               )}
         FROM bytes
     """,
 }

@@ -544,8 +544,8 @@ ORACLES = {
     "doc_source_mix": f"""
         WITH per AS (
           SELECT source, count(1) AS n_docs,
-                 sum(len({_TOKS_SQL})) AS n_tokens,
-                 sum(n_chars) AS sum_chars
+                 CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
           FROM documents GROUP BY 1
         )
         SELECT source, n_docs, n_tokens, sum_chars,

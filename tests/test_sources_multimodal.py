@@ -55,10 +55,12 @@ def test_multimodal_assets_and_features(spark, sf_dir):
     assets = synthetic_assets(docs)
     assert dict(assets.dtypes)["payload"] == "binary"
     feats = extract_features(assets)
+    fcols = [f"f{k}" for k in range(FEATURE_DIM)]
+    assert all(c in feats.columns for c in fcols)  # scalar cols, no arrays
     rows = feats.limit(5).collect()
-    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
     for r in rows:
-        assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized histogram
+        vec = [r[c] for c in fcols]
+        assert abs(sum(vec) - 1.0) < 1e-9  # L1-normalized histogram
     assert feats.count() == docs.count()
 
 
