@@ -4,15 +4,17 @@
 
 The Spark-side plumbing is real and tested — schema, partition-parallel
 batch iteration, UDF signatures, feature output shape. The codec step is
-REAL for image and audio: payloads are genuine BMP (24-bit uncompressed)
-and WAV (16-bit PCM) files, and ``decode_payload`` parses the actual
-byte format with the stdlib (no external codec needed) — header fields,
-row padding, sample frames and all. ``multimodal_decode`` round-trips
-encode→Spark→decode and is oracle-checked against the generative
+REAL for all three kinds: payloads are genuine BMP (24-bit uncompressed)
+files, WAV (16-bit PCM) files, and AVI (RIFF container, uncompressed
+24-bit DIB 'vids' stream) videos, and ``decode_payload`` parses the
+actual byte formats with the stdlib (no external codec needed) — RIFF
+chunk walking, header fields, row padding, sample frames and all.
+``multimodal_decode`` / ``multimodal_video_decode`` round-trip
+encode→Spark→decode and are oracle-checked against the generative
 formulas recomputed in SQL, so a bug in either codec direction fails the
-gate. Video decode is the one declared integration point (no stdlib
-video codec exists): ``decode_payload(kind='video')`` raises
-``NotImplementedError`` with the PyAV wiring note.
+gate. (Compressed codecs — H.264, MP3, JPEG — would plug in at the same
+``decode_payload`` seam via PyAV/ffmpeg in a deployment that ships
+native codec libraries; the container parsing here is the real thing.)
 
 At 100 TB: payloads stay in parquet binary columns (never strings),
 feature extraction is ``mapInPandas`` over whatever partitioning the
@@ -39,6 +41,10 @@ __all__ = [
     "decode_bmp24",
     "encode_wav16",
     "decode_wav16",
+    "encode_avi24",
+    "decode_avi24",
+    "synthetic_video_assets",
+    "decode_video_properties",
     "decode_payload",
     "decode_properties",
     "extract_features",
@@ -185,18 +191,135 @@ def decode_wav16(data: bytes) -> tuple[int, int, float]:
     return sample_rate, n, total_abs / n if n else 0.0
 
 
+def _frame_dib24(width: int, height: int, base: int, t: int) -> bytes:
+    """One uncompressed DIB frame body (bottom-up BGR rows, 4-byte row
+    padding — the same layout a BMP stores after its headers): grayscale
+    pixel v(x, y, t) = (base + x + y + 7·t) % 256."""
+    row_size = (3 * width + 3) // 4 * 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            v = (base + x + y + 7 * t) % 256
+            row += bytes((v, v, v))
+        row += b"\x00" * (row_size - 3 * width)
+        rows.append(bytes(row))
+    return b"".join(rows)
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi24(
+    width: int, height: int, n_frames: int, fps: int, base: int
+) -> bytes:
+    """A real AVI file: RIFF 'AVI ' container with a proper hdrl
+    (MainAVIHeader + one 'vids'/'DIB ' stream with its
+    BITMAPINFOHEADER) and a movi list of uncompressed 24-bit '00db'
+    frames — the format every player/ffmpeg reads without a codec.
+    Frame t's grayscale pixel is (base + x + y + 7·t) % 256."""
+    row_size = (3 * width + 3) // 4 * 4
+    frame_size = row_size * height
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_size * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-free flags
+        n_frames,
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_size,  # dwSuggestedBufferSize
+        width,
+        height,
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n_frames,  # dwScale=1, dwRate=fps → fps frames/sec
+        frame_size, -1, 0,
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi",
+        b"".join(
+            _riff_chunk(b"00db", _frame_dib24(width, height, base, t))
+            for t in range(n_frames)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi24(data: bytes) -> tuple[int, int, int, int, float]:
+    """Parse an uncompressed 24-bit AVI: returns (width, height,
+    n_frames, fps, mean over every channel byte of every frame). Walks
+    the RIFF chunk tree properly (hdrl → avih/strl/strh, movi → 00db
+    frames); integer pixel sum → exact, reproducible mean."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = n_frames = fps = None
+    total = 0
+    n = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, n_frames, fps, total, n
+        while pos + 8 <= end:
+            cid, csize = struct.unpack_from("<4sI", data, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + csize)
+            elif cid == b"avih":
+                (width, height) = struct.unpack_from("<II", data, body_start + 32)
+            elif cid == b"strh":
+                fcc_type, _h, _f, _p, _l, _init, scale, rate = struct.unpack_from(
+                    "<4s4sIHHIII", data, body_start
+                )
+                if fcc_type == b"vids" and scale:
+                    fps = rate // scale
+            elif cid == b"00db":
+                if width is None:
+                    raise ValueError("frame chunk before avih header")
+                row_size = (3 * width + 3) // 4 * 4
+                for y in range(height):
+                    row_off = body_start + y * row_size
+                    for x in range(width):
+                        b, g, r = data[row_off + 3 * x : row_off + 3 * x + 3]
+                        total += b + g + r
+                        n += 3
+                n_frames = (n_frames or 0) + 1
+            pos = body_start + csize + (csize & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if width is None or n_frames is None or fps is None:
+        raise ValueError("missing avih/strh/movi content")
+    return width, height, n_frames, fps, total / n
+
+
 def decode_payload(payload: bytes, kind: str):
-    """Decode a payload by kind: BMP for image, WAV for audio — real
-    byte-format parsing, stdlib only. Video is the declared integration
-    point (wire PyAV/ffmpeg here in a deployment with codecs)."""
+    """Decode a payload by kind — real byte-format parsing, stdlib only:
+    BMP for image, WAV for audio, AVI (uncompressed DIB frames) for
+    video. Compressed codecs would plug in here via PyAV/ffmpeg."""
     if kind == "image":
         return decode_bmp24(payload)
     if kind == "audio":
         return decode_wav16(payload)
-    raise NotImplementedError(
-        "video decode requires an external codec (e.g. PyAV); "
-        "no stdlib video parser exists — integrate it here"
-    )
+    if kind == "video":
+        return decode_avi24(payload)
+    raise ValueError(f"unknown asset kind: {kind!r}")
 
 
 def synthetic_media_assets(documents: DataFrame) -> DataFrame:
@@ -229,6 +352,57 @@ def synthetic_media_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(
         build, schema="asset_id long, kind string, payload binary"
     )
+
+
+def synthetic_video_assets(documents: DataFrame) -> DataFrame:
+    """Genuine decodable AVI payloads derived deterministically from
+    ``doc_id``: width 8 + d%8, height 4 + d%4, 3 + d%5 frames at 10 fps,
+    frame t's grayscale pixel (d%251 + x + y + 7·t) % 256. Built in an
+    Arrow-batched ``mapInPandas``; the generative formulas are
+    SQL-expressible, which makes the decode round-trip oracle-checkable
+    (same contract as ``synthetic_media_assets``)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                encode_avi24(8 + d % 8, 4 + d % 4, 3 + d % 5, 10, d % 251)
+                for d in map(int, ids)
+            ]
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(
+        build, schema="asset_id long, payload binary"
+    )
+
+
+def decode_video_properties(assets: DataFrame) -> DataFrame:
+    """Decode real AVI payloads (RIFF walking, DIB frame parsing) per
+    Arrow batch: (asset_id, width, height, n_frames, fps, mean_pixel).
+    No shuffle — runs over the scan partitioning; at 100 TB this is the
+    exact stage shape a GPU/ffmpeg decode farm consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "width": [], "height": [],
+                "n_frames": [], "fps": [], "mean_pixel": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, nf, fps, mean = decode_avi24(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["fps"].append(fps)
+                out["mean_pixel"].append(mean)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "asset_id long, width int, height int, n_frames int, "
+        "fps int, mean_pixel double"
+    )
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=schema)
 
 
 def decode_properties(assets: DataFrame) -> DataFrame:

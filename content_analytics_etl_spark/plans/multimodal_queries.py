@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 
 from ..multimodal import (
     decode_properties,
+    decode_video_properties,
     extract_features,
     synthetic_assets,
     synthetic_media_assets,
+    synthetic_video_assets,
 )
 from ._util import t
 
@@ -50,9 +52,10 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan for video assets: one row per frame to decode
     (every 2 s over the clip duration). The *planning* half of
     frame-sampling is pure relational work — sequence + explode off
-    metadata only, payloads untouched; the decode half stays behind the
-    stubbed codec hook (multimodal.decode_payload). At scale this is
-    what feeds the GPU decode stage its work list."""
+    metadata only, payloads untouched; the decode half is the real AVI
+    parser behind multimodal.decode_payload (see
+    ``multimodal_video_decode``). At scale this is what feeds the GPU
+    decode stage its work list."""
     assets = synthetic_assets(t(spark, sf_dir, "documents")).filter(
         F.col("kind") == "video"
     )
@@ -83,11 +86,25 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_properties(assets)
 
 
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO codec round-trip: build genuine AVI files (RIFF
+    container, uncompressed 24-bit DIB frames) from doc_id, then parse
+    the bytes back (multimodal.decode_avi24 — chunk tree walk, avih/strh
+    headers, per-frame pixel rows) in an Arrow-batched ``mapInPandas``.
+    Two chained narrow stages, no shuffle. The oracle recomputes
+    width/height/n_frames/fps/mean_pixel from the generative formulas —
+    the hash match proves the encoder and the decoder agree byte-for-
+    byte on a real container format."""
+    assets = synthetic_video_assets(t(spark, sf_dir, "documents"))
+    return decode_video_properties(assets)
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_frame_plan": multimodal_frame_plan,
     "multimodal_decode": multimodal_decode,
+    "multimodal_video_decode": multimodal_video_decode,
 }
 
 _KIND = (
@@ -139,6 +156,19 @@ ORACLES = {
                  i -> CAST(abs((doc_id * 31 + i * 7) % 2048 - 1024) AS DOUBLE)))
                  AS mean_abs
         FROM documents WHERE doc_id % 2 = 1
+    """,
+    "multimodal_video_decode": """
+        SELECT doc_id AS asset_id,
+               CAST(8 + doc_id % 8 AS INT) AS width,
+               CAST(4 + doc_id % 4 AS INT) AS height,
+               CAST(3 + doc_id % 5 AS INT) AS n_frames,
+               CAST(10 AS INT) AS fps,
+               list_avg(flatten(flatten(list_transform(range(0, 3 + doc_id % 5),
+                 t -> list_transform(range(0, 8 + doc_id % 8),
+                   i -> list_transform(range(0, 4 + doc_id % 4),
+                     j -> CAST((doc_id % 251 + i + j + 7 * t) % 256 AS DOUBLE)))))))
+                 AS mean_pixel
+        FROM documents
     """,
     "multimodal_features": f"""
         WITH bytes AS (

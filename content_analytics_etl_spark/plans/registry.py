@@ -54,68 +54,79 @@ _MODULES = [
 ]
 
 # The first 50 names the driver will hash.  One line per family block.
+#
+# Round-3 rotation: 10 slots whose queries were already driver-green in
+# BOTH r01 and r02 (pivot_nulls, join_inner, window_running,
+# events_sliding, events_approx_distinct, events_asof_forward,
+# doc_subword_counts, dedup_exact, sim_brute_topk, kmeans_assign) were
+# swapped for 10 queries that had never received a hard driver verdict
+# (VERDICT r2 #6).  Every family keeps ≥1 representative; lifetime
+# driver-verified distinct queries after r03 ≥ 60.
 DRIVER_WINDOW: list[str] = [
-    # reference (§2 core) — all 8
+    # reference (§2 core) — 7 of 8 (pivot_nulls rotated out, double-green)
     "flagship_profile",
     "category_recode",
     "sentinel_filter_3vl",
     "device_count_rows",
     "device_count_distinct",
     "pivot_explicit",
-    "pivot_nulls",
     "union_strategy2",
-    # relational representatives (family fully driver-verified in round 1)
-    "join_inner",
+    # relational: salted-skew + the never-verified bucketed shuffle-free join
     "join_salted",
-    "window_running",
-    # TPC-H: q1 as the family representative + the three never-verified deep queries
+    "join_bucketed",
+    # TPC-H: q1 as the family representative + the three deep queries
     "tpch_q1_pricing_summary",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_sales_opportunity",
-    # events
+    # events (+ the z-order clustering layout audit, never verified)
     "events_partition_pruned",
     "events_session",
     "events_tumbling",
-    "events_sliding",
-    "events_approx_distinct",
     "events_json_props",
-    # analytics
+    "events_zorder_layout",
+    # analytics (+ the CDC MERGE upsert, never verified)
     "events_gapfill_locf",
     "dim_scd2_upsert",
     "events_funnel",
     "events_cohort_retention",
     "doc_tfidf_top_terms",
-    "events_asof_forward",
+    "orders_merge_upsert",
     # temporal — both
     "events_asof_join",
     "events_range_join",
-    # text
+    # text (+ source-mix after its HUGEINT fix, PII scrub, sequence
+    # packing, split assignment — none driver-verified before)
     "doc_token_stats",
     "doc_quality",
     "lang_id",
-    "doc_subword_counts",
-    # graph
+    "doc_source_mix",
+    "doc_pii_scrub",
+    "doc_pack_sequences",
+    "doc_split_assign",
+    # graph — both (triangles never verified)
     "graph_pagerank",
+    "graph_triangles",
     # dedup
-    "dedup_exact",
     "dedup_ngram_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_decontaminate",
-    # similarity
-    "sim_brute_topk",
+    # similarity (+ PQ-ADC ANN and int8 quantization, never verified)
     "sim_neardup_pairs",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
-    "kmeans_assign",
+    "sim_ann_pq_adc",
+    "embedding_quantize",
     "embedding_kmeans",
-    # multimodal — all 4 (incl. the real-codec round-trip)
+    # multimodal — metadata+features (re-verify after their r2 typing
+    # fixes), the BMP/WAV round-trip, and the new AVI video round-trip
+    # (frame_plan rotated out, driver-green r02)
     "multimodal_metadata",
     "multimodal_features",
-    "multimodal_frame_plan",
     "multimodal_decode",
+    "multimodal_video_decode",
 ]
 
 

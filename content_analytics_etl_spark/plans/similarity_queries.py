@@ -407,11 +407,14 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means(k=8, 3 Lloyd iterations) over the embedding corpus →
     per-cluster size and decimal-exact SSE (operators/kmeans.py). An
     iterative algorithm with per-iteration driver round-trips of the
-    O(k·dim) centroid table only — NOT SQL-expressible, so this entry
-    takes the driver's rows-only check; the bit-determinism, SSE
-    monotonicity, and partition-count invariance contracts are asserted
-    in tests/test_kmeans.py. The assignment step alone is oracle-exact
-    as ``kmeans_assign``."""
+    O(k·dim) centroid table only. Because the iteration count is FIXED
+    (3) and both the centroid means and the SSE use decimal-exact sums,
+    the whole trainer unrolls into chained CTEs (``_km_oracle`` below,
+    the same pattern as graph_pagerank's unroll) and is held
+    hash-exact. Bit-determinism, SSE monotonicity, and partition-count
+    invariance contracts are additionally asserted in
+    tests/test_kmeans.py; the assignment step alone is oracle-exact as
+    ``kmeans_assign``."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
@@ -505,6 +508,86 @@ _ND_BAND_SELECTS = "\n          UNION ALL ".join(
     for i in range(ND_BANDS)
 )
 
+# DOUBLE→DECIMAL cast that mirrors Spark bit-for-bit. Spark's Cast goes
+# through Double.toString (shortest round-trip repr) then BigDecimal
+# HALF_UP; DuckDB's native cast multiplies by 10^scale and rint()s the
+# DOUBLE product (ties-to-even on an already-rounded binary value). The
+# two disagree whenever the shortest repr ends in "…5" at scale+1 digits
+# but the exact binary value sits off the tie (observed: d2 =
+# 0.8895124514265 → Spark …427, DuckDB …426). Round-tripping through
+# VARCHAR reproduces Spark's semantics exactly: DuckDB's DOUBLE→VARCHAR
+# is the same shortest repr, and its VARCHAR→DECIMAL parse rounds
+# HALF_UP (verified for ties, negatives, e-notation).
+def _DEC12(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DECIMAL(28,12))"
+
+
+# Unrolled 3-iteration Lloyd trainer (embedding_kmeans oracle). Mirrors
+# operators/kmeans.py step by step: init = k lowest vec_ids (cid = vec_id,
+# dense 0-based ids — same contract kmeans_assign's oracle relies on);
+# per-iteration nearest-centroid assignment (rank-1 window on squared L2,
+# ties → lowest cid, identical left-fold dot-product order); per-(cid,dim)
+# centroid means with DECIMAL(28,12) sums cast to DOUBLE (bit-identical to
+# the Spark side's order-independent decimal aggregation); empty clusters
+# keep the previous centroid via LEFT JOIN + coalesce. Final pass assigns
+# against the iteration-3 centroids and aggregates decimal-exact SSE.
+def _km_oracle(iters: int = 3) -> str:
+    pos_rel = f"(SELECT unnest(generate_series(1, {DIM})) AS pos)"
+    d2_expr = (
+        f"{_DOT(d=DIM, a='e.v', b='e.v')}"
+        f" - 2.0 * {_DOT(d=DIM, a='e.v', b='c.cv')}"
+        f" + {_DOT(d=DIM, a='c.cv', b='c.cv')}"
+    )
+
+    def assign(i: int, prev: int) -> str:
+        return f"""
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, v, cid, d2 FROM (
+            SELECT vec_id, v, cid, d2,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2 ASC, cid) AS rk
+            FROM (
+              SELECT e.vec_id, e.v, c.cid, {d2_expr} AS d2
+              FROM e CROSS JOIN c{prev} c
+            )
+          ) WHERE rk = 1
+        )"""
+
+    def update(i: int) -> str:
+        return f"""
+        m{i} AS (
+          SELECT cid, p.pos,
+                 CAST(SUM({_DEC12("v[p.pos]")}) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM a{i} CROSS JOIN {pos_rel} p
+          GROUP BY cid, p.pos
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+          FROM c{i - 1} c LEFT JOIN (
+            SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid
+          ) n ON n.cid = c.cid
+        )"""
+
+    parts = [
+        f"""
+        WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+          FROM e WHERE vec_id < {IVF_CELLS}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(i, i - 1))
+        parts.append(update(i))
+    parts.append(assign(iters + 1, iters))
+    return ",".join(parts) + f"""
+        SELECT cid, COUNT(*) AS n_vectors,
+               CAST(SUM({_DEC12("d2")}) AS DOUBLE) AS sse
+        FROM a{iters + 1} GROUP BY cid
+    """
+
+
 ORACLES = {
     "sim_brute_topk": f"""
         WITH e AS ({_E_CTE}),
@@ -571,6 +654,7 @@ ORACLES = {
         )
         SELECT vec_id, cid, d2 FROM ranked WHERE rk = 1
     """,
+    "embedding_kmeans": _km_oracle(),
     "sim_ann_ivf_topk": f"""
         WITH e AS ({_E_CTE}),
         cent AS (

@@ -1,6 +1,7 @@
-"""Real-codec round-trip tests: the BMP/WAV encoders produce genuine
-byte formats and the decoders parse them back (headers, row padding,
-PCM frames) — plus the Spark decode query end-to-end."""
+"""Real-codec round-trip tests: the BMP/WAV/AVI encoders produce
+genuine byte formats and the decoders parse them back (headers, row
+padding, PCM frames, RIFF chunk trees) — plus the Spark decode queries
+end-to-end."""
 
 from __future__ import annotations
 
@@ -9,13 +10,18 @@ import struct
 import pytest
 
 from content_analytics_etl_spark.multimodal import (
+    decode_avi24,
     decode_bmp24,
     decode_payload,
     decode_wav16,
+    encode_avi24,
     encode_bmp24,
     encode_wav16,
 )
-from content_analytics_etl_spark.plans.multimodal_queries import multimodal_decode
+from content_analytics_etl_spark.plans.multimodal_queries import (
+    multimodal_decode,
+    multimodal_video_decode,
+)
 
 
 def test_bmp_round_trip_known_values():
@@ -61,9 +67,52 @@ def test_wav_chunk_walker_skips_extra_chunks():
     assert mean_abs == (1 + 2 + 3) / 3
 
 
-def test_video_decode_is_declared_integration_point():
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"\x00\x01", "video")
+def test_avi_round_trip_known_values():
+    # 2x2, 2 frames, base 10: frame 0 pixels 10,11/11,12; frame 1 adds 7
+    data = encode_avi24(2, 2, 2, 10, 10)
+    assert data[0:4] == b"RIFF" and data[8:12] == b"AVI "
+    w, h, nf, fps, mean = decode_avi24(data)
+    assert (w, h, nf, fps) == (2, 2, 2, 10)
+    assert mean == pytest.approx((11.0 + 18.0) / 2)
+
+
+def test_avi_row_padding_and_wraparound():
+    # width 3 -> 12-byte padded rows; base 254 wraps mod 256 inside frame 0
+    data = encode_avi24(3, 2, 1, 10, 254)
+    w, h, nf, fps, mean = decode_avi24(data)
+    assert (w, h, nf) == (3, 2, 1)
+    # pixels: y=0: 254,255,0 ; y=1: 255,0,1 -> mean 765/6
+    assert mean == pytest.approx(765 / 6)
+
+
+def test_avi_frame_count_from_movi_not_header():
+    # decoder counts 00db chunks it actually parsed
+    data = encode_avi24(4, 4, 5, 10, 0)
+    assert decode_avi24(data)[2] == 5
+
+
+def test_decode_payload_dispatches_by_kind():
+    assert decode_payload(encode_bmp24(2, 2, 0), "image")[0] == 2
+    assert decode_payload(encode_wav16(8000, [1]), "audio")[0] == 8000
+    assert decode_payload(encode_avi24(2, 2, 1, 10, 0), "video")[3] == 10
+    with pytest.raises(ValueError):
+        decode_payload(b"\x00\x01", "hologram")
+
+
+def test_video_decode_query_end_to_end(spark, sf_dir):
+    rows = multimodal_video_decode(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows[:10]:
+        d = r["asset_id"]
+        assert r["width"] == 8 + d % 8 and r["height"] == 4 + d % 4
+        assert r["n_frames"] == 3 + d % 5 and r["fps"] == 10
+        exp = sum(
+            (d % 251 + x + y + 7 * t) % 256
+            for t in range(3 + d % 5)
+            for x in range(8 + d % 8)
+            for y in range(4 + d % 4)
+        ) / ((8 + d % 8) * (4 + d % 4) * (3 + d % 5))
+        assert r["mean_pixel"] == pytest.approx(exp, abs=1e-12)
 
 
 def test_decode_query_end_to_end(spark, sf_dir):

@@ -65,16 +65,16 @@ def test_multimodal_assets_and_features(spark, sf_dir):
 
 
 def test_decode_payload_contract():
-    """Image/audio decode is REAL (stdlib BMP/WAV parsing): garbage
-    bytes raise ValueError, valid payloads decode; only video remains a
-    declared integration point."""
-    from content_analytics_etl_spark.multimodal import encode_bmp24
+    """All three decoders are REAL (stdlib BMP/WAV/AVI parsing): garbage
+    bytes raise ValueError, valid payloads decode by kind."""
+    from content_analytics_etl_spark.multimodal import encode_avi24, encode_bmp24
 
     with pytest.raises(ValueError):
         decode_payload(b"bytes", "image")
-    assert decode_payload(encode_bmp24(2, 2, 0), "image")[:2] == (2, 2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_payload(b"bytes", "video")
+    assert decode_payload(encode_bmp24(2, 2, 0), "image")[:2] == (2, 2)
+    assert decode_payload(encode_avi24(2, 2, 1, 10, 0), "video")[:2] == (2, 2)
 
 
 def test_format_roundtrip_orc_csv_json(spark, sf_dir, tmp_path):
