@@ -24,12 +24,23 @@ rounded and matches the JVM bit-for-bit.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 
-__all__ = ["t", "dsum", "davg", "dec"]
+__all__ = [
+    "t",
+    "dsum",
+    "davg",
+    "dec",
+    "source_fingerprint",
+    "warehouse_root",
+    "materialize_and_release",
+]
 
 DEC = "decimal(18,6)"
 
@@ -37,6 +48,56 @@ DEC = "decimal(18,6)"
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a star-schema table with its declared schema."""
     return load_table(spark, sf_dir, name)
+
+
+def source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Content fingerprint of the named source tables: md5 over each
+    file's (relative path, size, mtime_ns). Derived-layout caches
+    (partitioned rewrites, bucketed tables) key on this instead of the
+    path alone, so regenerating the data at the same sf_dir produces a
+    NEW cache entry rather than silently serving the stale one."""
+    h = hashlib.md5(sf_dir.encode())
+    for table in tables:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        files = (
+            sorted(
+                os.path.join(dp, fn)
+                for dp, _, fns in os.walk(path)
+                for fn in fns
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        for p in files:
+            st = os.stat(p)
+            rel = os.path.relpath(p, sf_dir)
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Blocking materialize-then-unpersist: force ``result`` into its own
+    (small) cache, then drop the large intermediate caches it was derived
+    from. Iterative plans persist a working set that every unrolled round
+    references; without this, each invocation leaks that cache for the
+    session lifetime (bench/correctness sweeps run all queries in one
+    session). After this call the only pinned storage is the final
+    result, which the ContextCleaner reclaims once the DataFrame is
+    garbage-collected."""
+    out = result.persist()
+    out.count()
+    for df in intermediates:
+        df.unpersist()
+    return out
+
+
+def warehouse_root(spark: SparkSession) -> str:
+    """Local filesystem path of the Spark SQL warehouse (from the
+    session conf, not a hard-coded absolute path)."""
+    uri = spark.conf.get("spark.sql.warehouse.dir")
+    if uri.startswith("file:"):
+        uri = "/" + uri[len("file:"):].lstrip("/")
+    return uri
 
 
 def dec(col: Column | str) -> Column:

@@ -14,14 +14,13 @@ no per-user driver loops.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.writers import write_parquet_partitioned
-from ._util import dec, dsum, t
+from ._util import dec, dsum, source_fingerprint, t, warehouse_root
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -203,17 +202,17 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PRUNE_START, PRUNE_END = "2024-01-10", "2024-01-12"
-_PARTITIONED_ROOT = "/root/repo/spark-warehouse"
 
 
 def _partitioned_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Date-partitioned materialization of ``events`` (written once per
-    sf_dir, reused after). This is the Phase-2 layout the engine
-    replaces the reference's filename arithmetic with — the partition
-    column is a real hive-style directory key, so Catalyst prunes
-    out-of-range days at planning time."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = os.path.join(_PARTITIONED_ROOT, f"events_by_date_{key}")
+    source-content fingerprint, reused after — regenerated source data
+    gets a fresh directory instead of a stale hit). This is the Phase-2
+    layout the engine replaces the reference's filename arithmetic with
+    — the partition column is a real hive-style directory key, so
+    Catalyst prunes out-of-range days at planning time."""
+    key = source_fingerprint(sf_dir, "events")
+    out = os.path.join(warehouse_root(spark), f"events_by_date_{key}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         e = t(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
         write_parquet_partitioned(e, out, "date")

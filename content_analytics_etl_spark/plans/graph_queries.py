@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import materialize_and_release
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
 from .dedup_queries import dedup_minhash_lsh
 
@@ -82,7 +83,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", F.col("deg").alias("degree"), "rank")
+    return materialize_and_release(
+        ranks.select("node", F.col("deg").alias("degree"), "rank"), edges
+    )
 
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +124,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corners = tri.select(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return materialize_and_release(
+        corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")), edges
+    )
 
 
 QUERIES = {

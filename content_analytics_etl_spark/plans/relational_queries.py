@@ -12,11 +12,13 @@ queries partition by a key (never a global window without partitioning).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_join
-from ._util import davg, dec, dsum, t
+from ._util import davg, dec, dsum, source_fingerprint, t, warehouse_root
 
 # ---------------------------------------------------------------------------
 # Join family
@@ -210,9 +212,10 @@ _BUCKETS = 8
 
 
 def _bucketed_name(sf_dir: str, table: str) -> str:
-    import hashlib
-
-    return f"{table}_b_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # Keyed by source CONTENT (file sizes/mtimes), not just the path:
+    # regenerated data at the same sf_dir gets a fresh bucketed table
+    # instead of a stale catalog hit.
+    return f"{table}_b_{source_fingerprint(sf_dir, table)}"
 
 
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +236,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .sortBy(key)
                 .mode("overwrite")
                 .format("parquet")
-                .option("path", f"/root/repo/spark-warehouse/{name}")
+                .option("path", os.path.join(warehouse_root(spark), name))
                 .saveAsTable(name)
             )
     li = spark.table(_bucketed_name(sf_dir, "lineitem"))

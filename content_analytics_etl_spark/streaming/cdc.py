@@ -88,6 +88,22 @@ def apply_cdc_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "seq")
         )
+        # Versions are coupled to streaming batch ids: a FRESH checkpoint
+        # restarts ids at 0, so an existing snapshot with versions BEYOND
+        # batch_id means checkpoint_dir and snapshot_dir lifecycles have
+        # diverged — merging from an empty base would silently discard
+        # the existing snapshot. Fail loudly instead: the two dirs must
+        # be created and retired together. (A version EQUAL to batch_id
+        # is the legitimate replay-after-failure case and is overwritten
+        # idempotently below.)
+        stale = [v for v, _ in _versions(snapshot_dir) if v > batch_id]
+        if stale:
+            raise RuntimeError(
+                f"snapshot_dir already has version(s) {stale} > batch "
+                f"{batch_id}: checkpoint_dir was reset independently of "
+                "snapshot_dir; use a fresh snapshot_dir (or the original "
+                "checkpoint) so versions stay monotonic"
+            )
         base_vs = [(v, p) for v, p in _versions(snapshot_dir) if v < batch_id]
         base = (
             spark.read.schema(target_schema).parquet(base_vs[-1][1])

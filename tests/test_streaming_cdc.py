@@ -82,3 +82,42 @@ def test_cdc_stream_upsert_delete_and_idempotent_rerun(spark, tmp_path):
         spark, str(changes), snap, ckpt, key="k", change_schema=CHANGE_SCHEMA
     )
     assert _state(spark, snap) == {"a": 11, "c": 3}
+
+
+def test_cdc_fresh_checkpoint_against_existing_snapshot_fails_loudly(
+    spark, tmp_path
+):
+    """A reset checkpoint restarts batch ids at 0; merging batch 0 from
+    an empty base would silently discard the existing snapshot, so the
+    apply loop must raise instead (streaming wraps it in its own error)."""
+    changes = tmp_path / "changes"
+    changes.mkdir()
+    snap = str(tmp_path / "snapshot")
+
+    _change_file(
+        changes, "b1.jsonl", [{"k": "a", "val": 1, "is_delete": False, "seq": 1}]
+    )
+    apply_cdc_stream(
+        spark, str(changes), snap, str(tmp_path / "ckpt1"),
+        key="k", change_schema=CHANGE_SCHEMA,
+    )
+    _change_file(
+        changes, "b2.jsonl", [{"k": "b", "val": 2, "is_delete": False, "seq": 2}]
+    )
+    apply_cdc_stream(
+        spark, str(changes), snap, str(tmp_path / "ckpt1"),
+        key="k", change_schema=CHANGE_SCHEMA,
+    )
+    assert _state(spark, snap) == {"a": 1, "b": 2}
+
+    # fresh checkpoint, same snapshot: versions 0 and 1 exist > batch 0
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="reset independently"):
+        apply_cdc_stream(
+            spark, str(changes), snap, str(tmp_path / "ckpt2"),
+            key="k", change_schema=CHANGE_SCHEMA,
+        )
+    # existing state untouched by the failed pass
+    assert _state(spark, snap) == {"a": 1, "b": 2}
