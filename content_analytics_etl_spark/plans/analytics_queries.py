@@ -12,13 +12,16 @@ results hash-match the DuckDB oracle regardless of partitioning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_forward
 from ..operators.merge import merge_upsert
 from ..operators.scd import scd2_apply
-from ._util import dec, dsum, t
+from ..sources.writers import compact_parquet
+from ._util import dec, dsum, source_fingerprint, t, warehouse_root
 from .text_queries import _NORM_SQL, _TOKS_SQL  # oracle-side tokenizer
 from ..functions.text_metrics import tokens
 
@@ -306,8 +309,48 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(o, changes, key="o_orderkey", delete_flag="is_delete")
 
 
+def warehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources/writers.py
+    compact_parquet — the maintenance job behind every streaming /
+    incremental sink): orders is first materialized as a deliberately
+    fragmented layout (64 small files, the shape a micro-batch sink
+    leaves behind), then compacted into size-targeted files with a
+    shuffle-free coalesce, and the COMPACTED table is aggregated. The
+    oracle computes the same aggregate from the source table directly,
+    so the hash match proves compaction is lossless row-for-row and
+    value-for-value; the file-count contract (ceil(bytes/target) output
+    files, far fewer than the fragments) is asserted in
+    tests/test_compaction.py. Layouts are cached per source-content
+    fingerprint, same staleness policy as the partitioned/bucketed
+    layouts."""
+    key = source_fingerprint(sf_dir, "orders")
+    root = warehouse_root(spark)
+    compacted = os.path.join(root, f"orders_compact_{key}")
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        frag = os.path.join(root, f"orders_frag_{key}")
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(64)  # simulate the micro-batch fragmentation
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+        compact_parquet(spark, frag, compacted, target_file_bytes=4 << 20)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     "orders_merge_upsert": orders_merge_upsert,
+    "warehouse_compact_roundtrip": warehouse_compact_roundtrip,
     "events_gapfill_locf": events_gapfill_locf,
     "dim_scd2_upsert": dim_scd2_upsert,
     "events_approx_percentile_bound": events_approx_percentile_bound,
@@ -322,6 +365,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "warehouse_compact_roundtrip": """
+        SELECT o_orderstatus,
+               count(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM orders GROUP BY 1
+    """,
     "orders_merge_upsert": """
         WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         chg AS (

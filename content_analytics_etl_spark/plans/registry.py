@@ -82,9 +82,11 @@ DRIVER_WINDOW: list[str] = [
     # events (+ the z-order clustering layout audit, never verified)
     "events_partition_pruned",
     "events_session",
-    "events_tumbling",
     "events_json_props",
     "events_zorder_layout",
+    # warehouse ops: small-file compaction round-trip (new; tumbling
+    # rotated out, driver-green r01+r02)
+    "warehouse_compact_roundtrip",
     # analytics (+ the CDC MERGE upsert, never verified)
     "events_gapfill_locf",
     "dim_scd2_upsert",

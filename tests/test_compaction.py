@@ -1,0 +1,63 @@
+"""compact_parquet contract (sources/writers.py): output file count is
+ceil(on-disk bytes / target), rows survive losslessly, and the
+registered warehouse_compact_roundtrip query reads the compacted layout."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+from content_analytics_etl_spark.plans.analytics_queries import (
+    warehouse_compact_roundtrip,
+)
+from content_analytics_etl_spark.sources.writers import compact_parquet
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "*.parquet"))
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(os.path.getsize(p) for p in _parquet_files(path))
+
+
+def test_compact_parquet_file_count_and_row_parity(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    src.repartition(32).write.parquet(frag)
+    assert len(_parquet_files(frag)) == 32
+
+    target = 1 << 20  # 1 MiB
+    n_files = compact_parquet(spark, frag, out, target_file_bytes=target)
+    assert n_files == max(1, math.ceil(_dir_bytes(frag) / target))
+    assert len(_parquet_files(out)) == n_files < 32
+
+    # lossless: same keys, same total
+    a = src.groupBy().sum("o_orderkey", "o_totalprice").collect()[0]
+    b = (
+        spark.read.parquet(out)
+        .groupBy()
+        .sum("o_orderkey", "o_totalprice")
+        .collect()[0]
+    )
+    assert a[0] == b[0]
+    assert abs(a[1] - b[1]) < 1e-6
+    assert src.count() == spark.read.parquet(out).count()
+
+
+def test_warehouse_compact_roundtrip_query(spark, sf_dir):
+    rows = {r["o_orderstatus"]: r for r in warehouse_compact_roundtrip(spark, sf_dir).collect()}
+    direct = {
+        r["o_orderstatus"]: r
+        for r in spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for status, r in rows.items():
+        assert r["n_orders"] == direct[status]["count"]
