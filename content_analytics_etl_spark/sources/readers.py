@@ -14,13 +14,51 @@ loop (S3: ``ETL_full.py:17-30``). Here:
 
 from __future__ import annotations
 
+import glob
+import os
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import STAR_SCHEMAS, TABLE_NAMES, VIEWING_LOG_SCHEMA
 
-__all__ = ["load_table", "load_tables", "read_viewing_log", "read_table"]
+__all__ = ["load_table", "load_tables", "read_viewing_log", "read_table", "parquet_ts_unit"]
+
+
+@lru_cache(maxsize=256)
+def _ts_unit_cached(part_file: str, mtime_ns: int) -> str | None:
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(part_file).field("ts")
+    return getattr(field.type, "unit", None)
+
+
+def parquet_ts_unit(path: str) -> str | None:
+    """Physical unit ('ns' | 'us' | 'ms' | 's') of a parquet ``ts``
+    timestamp column, sniffed from one file footer on the driver (a
+    single ~KB metadata read — never a data scan). Returns None when the
+    column is not a timestamp (e.g. plain int64).
+
+    The driver's synthetic testdata has shipped ``events.ts`` as BOTH
+    timestamp[ns] (rounds 1-2) and timestamp[us] (round 3) — the unit is
+    a property of the writer, not the data model, so the reader adapts
+    per file instead of baking in either assumption."""
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        ) or sorted(
+            p
+            for p in glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
+            if not p.endswith((".crc", "_SUCCESS"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        f = parts[0]
+    st = os.stat(f)
+    return _ts_unit_cached(f, st.st_mtime_ns)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,27 +67,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet + declared schema ⇒ column pruning and predicate pushdown
     reach the file scan (``.explain`` shows PushedFilters/ReadSchema).
 
-    ``events.ts`` is stored as parquet ``timestamp[ns]``, which Spark
-    cannot read natively: with ``spark.sql.legacy.parquet.nanosAsLong``
-    (set in session.py) it scans as epoch-nanos long, converted here to a
-    microsecond timestamp (``ts DIV 1000`` truncates exactly like
-    DuckDB's ns→µs cast, so both engines see identical instants).
+    ``events.ts`` arrives in whatever physical unit the data generator
+    used — parquet ``timestamp[ns]`` (which Spark cannot read natively;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` set in session.py it
+    scans as epoch-nanos long, converted here via ``ts DIV 1000`` which
+    truncates exactly like DuckDB's ns→µs cast) or ``timestamp[us]``
+    (read directly). The unit is sniffed from the file footer
+    (``parquet_ts_unit``), so regenerated testdata with a different
+    writer never silently corrupts timestamps.
     """
     if name not in STAR_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     schema = STAR_SCHEMAS[name]
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and parquet_ts_unit(path) == "ns":
         raw = T.StructType(
             [
                 T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
                 for f in schema.fields
             ]
         )
-        df = spark.read.schema(raw).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(raw).parquet(path)
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)")).select(
             *[f.name for f in schema.fields]
         )
-    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -16,23 +16,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import STAR_SCHEMAS
+from ..sources.readers import parquet_ts_unit
 
 __all__ = ["stream_events", "tumbling_counts", "sliding_counts"]
 
 
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream of the events table (directory of parquet
-    files; each new file is a micro-batch input). ts arrives as
-    parquet timestamp[ns] → long (nanosAsLong) → µs timestamp, exactly
-    as the batch reader (sources/readers.py)."""
-    schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
-            for f in STAR_SCHEMAS["events"].fields
-        ]
-    )
-    raw = spark.readStream.schema(schema).parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    files; each new file is a micro-batch input). ts unit handling
+    mirrors the batch reader (sources/readers.py): the physical unit is
+    sniffed from an existing file footer — timestamp[ns] sources scan as
+    epoch-nanos long (nanosAsLong) and convert to µs; timestamp[us]
+    sources read directly. Files arriving later must match the unit of
+    the files present at stream definition (one writer per directory)."""
+    if parquet_ts_unit(events_dir) == "ns":
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, T.LongType() if f.name == "ts" else f.dataType, True
+                )
+                for f in STAR_SCHEMAS["events"].fields
+            ]
+        )
+        raw = spark.readStream.schema(schema).parquet(events_dir)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.readStream.schema(STAR_SCHEMAS["events"]).parquet(events_dir)
 
 
 def tumbling_counts(
