@@ -406,7 +406,190 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCRUB_MIN_DF = 5  # a trigram in ≥ 5 distinct docs is boilerplate
+
+
+def doc_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate span removal (the C4/RefinedWeb
+    repeated-n-gram scrub): any word trigram occurring in ≥
+    ``SCRUB_MIN_DF`` distinct documents marks its 3-token span as
+    boilerplate; covered tokens are dropped and the document re-joined
+    from the survivors. Returns per-doc token counts before/after, the
+    md5 of the scrubbed text, and the masked fraction.
+
+    Plan shape (all equi-joins, no quadratic step): posexplode tokens
+    and trigram starts → trigram document frequency (compact
+    (tri, df) pairs after map-side partial agg) → inner join starts
+    against the hot-trigram set (output bounded by |starts|) → explode
+    each hot start to its ≤3 covered positions, distinct → left-anti
+    join token positions against covered → per-doc ordered
+    re-assembly via sort_array(collect_list(struct(pos, tok))) (bounded
+    by document length, order-deterministic because pos is unique).
+    At 100 TB every shuffle key is (doc_id[, pos]) or a compact trigram
+    string — linear end-to-end, same skew profile as the shingle
+    inverted index (a trigram present in every doc still joins 1:1
+    against each start occurrence)."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    tok_pos = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    tri_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    starts = base.filter(F.size("toks") >= 3).select(
+        "doc_id", F.posexplode(tri_col).alias("start", "tri")
+    )
+    hot = (
+        starts.groupBy("tri")
+        .agg(F.countDistinct("doc_id").alias("df_t"))
+        .filter(F.col("df_t") >= SCRUB_MIN_DF)
+    )
+    covered = (
+        starts.join(hot, "tri")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + 2)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+    n_tokens = F.col("n_tokens").cast("bigint")
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+    return (
+        d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_kept.alias("n_kept"),
+            (n_tokens - n_kept).alias("n_masked"),
+            F.md5(F.coalesce("scrubbed", F.lit(""))).alias("scrubbed_fp"),
+            ((n_tokens - n_kept).cast("double") / n_tokens.cast("double")).alias(
+                "mask_ratio"
+            ),
+        )
+    )
+
+
+def doc_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token novelty vs the corpus: mean document-frequency of
+    the doc's distinct tokens plus how many are corpus-common (df over
+    half the corpus) — the cheap membership-based boilerplate signal
+    next to doc_ngram_scrub's positional one. Integer sums only, so the
+    mean is exact at any parallelism; shuffles carry compact
+    (doc_id, token) / (token, df) pairs and the corpus doc count is a
+    1-row broadcast."""
+    d = t(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    dfs = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        pairs.join(dfs, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            (F.sum("df").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_token_df"
+            ),
+            F.sum(F.when(F.col("df") * 2 > F.col("_n_docs"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_common_tokens"),
+        )
+    )
+
+
+CMS_D = 4  # count-min sketch depth (independent hash rows)
+CMS_W = 256  # count-min sketch width (cells per row)
+CMS_TOPK = 20
+
+
+def token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: build a D×W CMS over token
+    counts, then report the exact top-``CMS_TOPK`` tokens with their
+    sketch estimate and overcount — the sketch-vs-truth audit you run
+    before trusting CMS at a cardinality where exact counting stops
+    being feasible.
+
+    The sketch is built from the aggregated (token, tf) relation, not
+    the raw token stream — CMS is linear, so adding tf once per token
+    equals adding 1 per occurrence, and the build shuffle carries
+    |vocab|·D compact rows instead of |corpus|·D. The sketch itself is
+    ≤ D·W cells regardless of data size; estimation is an equi-join of
+    the (small) candidate set against those cells on (row, cell). Hash
+    = the portable md5→bigint derivation used across the engine, so the
+    oracle reproduces every cell exactly."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    r_col = F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
+
+    def cell(token: Column, r: Column) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), r, F.lit("|"), token)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CMS_W),
+        )
+
+    sketch = (
+        tf.select("token", "tf", r_col)
+        .select("r", cell(F.col("token"), F.col("r")).alias("cell"), "tf")
+        .groupBy("r", "cell")
+        .agg(F.sum("tf").alias("cnt"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row merge on one task, never a global sort (the
+    # window row_number form would single-partition the whole vocab).
+    top = tf.orderBy(F.desc("tf"), F.asc("token")).limit(CMS_TOPK)
+    probes = top.select("token", "tf", r_col).select(
+        "token", "tf", "r", cell(F.col("token"), F.col("r")).alias("cell")
+    )
+    return (
+        probes.join(sketch, ["r", "cell"])
+        .groupBy("token", "tf")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "tf",
+            "cms_est",
+            (F.col("cms_est") - F.col("tf")).alias("overcount"),
+        )
+    )
+
+
 QUERIES = {
+    "doc_ngram_scrub": doc_ngram_scrub,
+    "doc_token_novelty": doc_token_novelty,
+    "token_cms_heavy_hitters": token_cms_heavy_hitters,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_split_assign": doc_split_assign,
     "doc_pii_scrub": doc_pii_scrub,
@@ -440,7 +623,94 @@ _TRIGRAMS_SQL = (
     f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]) END"
 )
 
+_CMS_CELL = (
+    "CAST(('0x' || substr(md5('cms' || CAST({r} AS VARCHAR) || '|' || {tok}),"
+    f" 1, 15)) AS BIGINT) % {CMS_W}"
+)
+
 ORACLES = {
+    "doc_ngram_scrub": f"""
+        WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        tok_pos AS (
+          SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS tok
+          FROM base
+        ),
+        tris AS (
+          SELECT doc_id, generate_subscripts(tr, 1) - 1 AS start,
+                 unnest(tr) AS tri
+          FROM (SELECT doc_id, {_TRIGRAMS_SQL} AS tr FROM documents
+                WHERE len({_TOKS_SQL}) >= 3)
+        ),
+        hot AS (
+          SELECT tri FROM tris GROUP BY tri
+          HAVING count(DISTINCT doc_id) >= {SCRUB_MIN_DF}
+        ),
+        covered AS (
+          SELECT DISTINCT doc_id, unnest([start, start + 1, start + 2]) AS pos
+          FROM tris JOIN hot USING (tri)
+        ),
+        kept AS (
+          SELECT doc_id, pos, tok
+          FROM tok_pos ANTI JOIN covered USING (doc_id, pos)
+        ),
+        rebuilt AS (
+          SELECT doc_id, count(1) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS scrubbed
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len({_TOKS_SQL}) - coalesce(r.n_kept, 0) AS BIGINT)
+                 AS n_masked,
+               md5(coalesce(r.scrubbed, '')) AS scrubbed_fp,
+               CAST(len({_TOKS_SQL}) - coalesce(r.n_kept, 0) AS DOUBLE)
+                 / CAST(len({_TOKS_SQL}) AS DOUBLE) AS mask_ratio
+        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    "doc_token_novelty": f"""
+        WITH pairs AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token
+          FROM documents
+        ),
+        dfs AS (SELECT token, count(1) AS df FROM pairs GROUP BY 1),
+        n AS (SELECT count(1) AS n_docs FROM documents)
+        SELECT doc_id,
+               count(1) AS n_distinct_tokens,
+               CAST(SUM(df) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+                 AS mean_token_df,
+               CAST(SUM(CASE WHEN df * 2 > n_docs THEN 1 ELSE 0 END) AS INT)
+                 AS n_common_tokens
+        FROM pairs JOIN dfs USING (token) CROSS JOIN n
+        GROUP BY doc_id
+    """,
+    "token_cms_heavy_hitters": f"""
+        WITH tf AS (
+          SELECT token, count(1) AS tf
+          FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+          GROUP BY token
+        ),
+        rows_r AS (
+          SELECT token, tf, unnest(range(0, {CMS_D})) AS r FROM tf
+        ),
+        sketch AS (
+          SELECT r, {_CMS_CELL.format(r="r", tok="token")} AS cell,
+                 CAST(SUM(tf) AS BIGINT) AS cnt
+          FROM rows_r GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT token, tf FROM tf ORDER BY tf DESC, token ASC LIMIT {CMS_TOPK}
+        ),
+        probes AS (
+          SELECT token, tf, r, {_CMS_CELL.format(r="r", tok="token")} AS cell
+          FROM (SELECT token, tf, unnest(range(0, {CMS_D})) AS r FROM top)
+        )
+        SELECT p.token, p.tf, min(s.cnt) AS cms_est,
+               min(s.cnt) - p.tf AS overcount
+        FROM probes p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+        GROUP BY p.token, p.tf
+    """,
     # Mirror of doc_pack_sequences: same per-source doc_id-ordered
     # cumsum and floor-division bin derivation (integer token counts,
     # so no float-determinism concern until the final ratio division).
