@@ -39,8 +39,13 @@ __all__ = [
     "synthetic_media_assets",
     "encode_bmp24",
     "decode_bmp24",
+    "decode_bmp24_gray",
+    "resize_bmp_nn",
+    "resize_images",
     "encode_wav16",
     "decode_wav16",
+    "decode_wav16_samples",
+    "audio_window_stats",
     "encode_avi24",
     "decode_avi24",
     "synthetic_video_assets",
@@ -150,6 +155,79 @@ def decode_bmp24(data: bytes) -> tuple[int, int, float]:
     return width, abs(height), total / n
 
 
+def decode_bmp24_gray(data: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse a 24-bit BMP into a logical pixel grid: returns (width,
+    height, rows) where ``rows[y][x]`` is the blue-channel value at
+    image coordinate (x, y) — the generator writes equal BGR channels,
+    and file rows are stored bottom-up so file row fr holds image row
+    height−1−fr."""
+    if len(data) < _BMP_HEADER:
+        raise ValueError("not a BMP payload (truncated header)")
+    magic, _file_size, _, _, off = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if hdr_size < 40 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp})")
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    rows: list[list[int]] = [[] for _ in range(height)]
+    for fr in range(height):
+        row_off = off + fr * row_size
+        rows[height - 1 - fr] = [
+            data[row_off + 3 * x] for x in range(width)
+        ]
+    return width, height, rows
+
+
+RESIZE_W, RESIZE_H = 4, 2  # fixed thumbnail geometry
+
+
+def resize_bmp_nn(data: bytes) -> tuple[int, int, list[int]]:
+    """Nearest-neighbor thumbnail of a real BMP: decode the byte format,
+    then sample src = (x·w // out_w, y·h // out_h) — the standard NN
+    resample. Returns (width, height, RESIZE_H·RESIZE_W pixel values in
+    row-major order). Integer in, integer out: exactly reproducible."""
+    w, h, rows = decode_bmp24_gray(data)
+    thumb = [
+        rows[(y * h) // RESIZE_H][(x * w) // RESIZE_W]
+        for y in range(RESIZE_H)
+        for x in range(RESIZE_W)
+    ]
+    return w, h, thumb
+
+
+def resize_images(assets: DataFrame) -> DataFrame:
+    """Arrow-batched NN image resize over real BMP payloads
+    (``mapInPandas``, no shuffle — the scan partitioning IS the decode
+    parallelism): (asset_id, width, height, p0..p7, mean_thumb). The
+    thumbnail is emitted as RESIZE_H·RESIZE_W scalar int columns — the
+    fixed-geometry contract a training-image loader wants, and scalar
+    cells keep every downstream canonicalizer happy (same policy as
+    extract_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = RESIZE_W * RESIZE_H
+        for pdf in batches:
+            out: dict[str, list] = {"asset_id": [], "width": [], "height": []}
+            for k in range(n_px):
+                out[f"p{k}"] = []
+            out["mean_thumb"] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, thumb = resize_bmp_nn(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                for k in range(n_px):
+                    out[f"p{k}"].append(thumb[k])
+                out["mean_thumb"].append(sum(thumb) / n_px)
+            yield pd.DataFrame(out)
+
+    px_cols = ", ".join(f"p{k} int" for k in range(RESIZE_W * RESIZE_H))
+    schema = f"asset_id long, width int, height int, {px_cols}, mean_thumb double"
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=schema)
+
+
 def encode_wav16(sample_rate: int, samples: list[int]) -> bytes:
     """A real RIFF/WAVE file: 16-bit PCM, mono."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -164,10 +242,9 @@ def encode_wav16(sample_rate: int, samples: list[int]) -> bytes:
     )
 
 
-def decode_wav16(data: bytes) -> tuple[int, int, float]:
-    """Parse 16-bit PCM mono WAV: returns (sample_rate, n_samples, mean
-    absolute amplitude). Walks RIFF chunks properly (fmt may not be the
-    first chunk in the wild)."""
+def decode_wav16_samples(data: bytes) -> tuple[int, tuple[int, ...]]:
+    """Parse 16-bit PCM mono WAV into (sample_rate, samples). Walks RIFF
+    chunks properly (fmt may not be the first chunk in the wild)."""
     if len(data) < 44 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, sample_rate, bits, channels, frames = 12, None, None, None, None
@@ -186,9 +263,58 @@ def decode_wav16(data: bytes) -> tuple[int, int, float]:
     if bits != 16 or channels != 1:
         raise ValueError(f"unsupported WAV variant (bits={bits}, ch={channels})")
     n = len(frames) // 2
-    samples = struct.unpack(f"<{n}h", frames[: 2 * n])
+    return sample_rate, struct.unpack(f"<{n}h", frames[: 2 * n])
+
+
+def decode_wav16(data: bytes) -> tuple[int, int, float]:
+    """Parse 16-bit PCM mono WAV: returns (sample_rate, n_samples, mean
+    absolute amplitude)."""
+    sample_rate, samples = decode_wav16_samples(data)
+    n = len(samples)
     total_abs = sum(abs(s) for s in samples)  # exact int sum
     return sample_rate, n, total_abs / n if n else 0.0
+
+
+AUDIO_WIN = 32  # samples per analysis window
+
+
+def audio_window_stats(assets: DataFrame) -> DataFrame:
+    """Windowed audio feature extraction over real WAV payloads: decode
+    the PCM frames, split into ``AUDIO_WIN``-sample windows (last one
+    partial), and emit per-window mean absolute amplitude and RMS — the
+    framing step under every spectrogram/VAD front-end. One payload row
+    fans out to ceil(n/AUDIO_WIN) feature rows inside the same Arrow
+    batch (``mapInPandas``), so the decode stays shuffle-free and the
+    fan-out never materializes on the driver. Integer sample sums are
+    exact, and IEEE sqrt/division are correctly rounded, so every output
+    double is bit-reproducible at any parallelism."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "window_idx": [], "n_samples": [],
+                "mean_abs": [], "rms": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _sr, samples = decode_wav16_samples(bytes(payload))
+                for w in range(0, len(samples), AUDIO_WIN):
+                    chunk = samples[w : w + AUDIO_WIN]
+                    n_w = len(chunk)
+                    sum_abs = sum(abs(s) for s in chunk)  # exact int
+                    sum_sq = sum(s * s for s in chunk)  # exact int
+                    out["asset_id"].append(aid)
+                    out["window_idx"].append(w // AUDIO_WIN)
+                    out["n_samples"].append(n_w)
+                    out["mean_abs"].append(sum_abs / n_w)
+                    out["rms"].append(math.sqrt(sum_sq / n_w))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "asset_id long, window_idx int, n_samples int, "
+        "mean_abs double, rms double"
+    )
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=schema)
 
 
 def _frame_dib24(width: int, height: int, base: int, t: int) -> bytes:

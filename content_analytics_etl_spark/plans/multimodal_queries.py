@@ -13,9 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import (
+    audio_window_stats,
     decode_properties,
     decode_video_properties,
     extract_features,
+    resize_images,
     synthetic_assets,
     synthetic_media_assets,
     synthetic_video_assets,
@@ -99,7 +101,36 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_properties(assets)
 
 
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image preprocessing: encode genuine BMPs, then decode AND
+    nearest-neighbor-resize the pixel grid to a fixed 4×2 thumbnail in
+    an Arrow-batched ``mapInPandas`` (multimodal.resize_bmp_nn). Two
+    chained narrow stages, no shuffle — the canonical decode→resize
+    front half of an image training pipeline. The oracle recomputes
+    every thumbnail pixel from the generative formula with the same
+    floor-division source mapping, so a one-pixel disagreement anywhere
+    in decode or resample fails the hash."""
+    assets = synthetic_media_assets(t(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "image"
+    )
+    return resize_images(assets)
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio framing: encode genuine WAVs, decode the PCM frames,
+    and emit per-32-sample-window mean-abs / RMS rows (the framing under
+    any spectrogram/VAD front-end). Row fan-out happens inside the Arrow
+    batch — no shuffle, no driver materialization; integer sample sums
+    keep every double bit-reproducible."""
+    assets = synthetic_media_assets(t(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "audio"
+    )
+    return audio_window_stats(assets)
+
+
 QUERIES = {
+    "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_frame_plan": multimodal_frame_plan,
@@ -112,7 +143,57 @@ _KIND = (
     "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
 )
 
+# Thumbnail pixel k (row-major y*4+x): NN source = (x·w//4, y·h//2),
+# value = (base + sx + sy) % 256 with base = doc_id % 251.
+_PX_EXPRS = [
+    f"((doc_id % 251) + ((({k % 4}) * (8 + doc_id % 8)) // 4)"
+    f" + ((({k // 4}) * (4 + doc_id % 4)) // 2)) % 256"
+    for k in range(8)
+]
+_PX_COLS = ", ".join(
+    f"CAST({e} AS INT) AS p{k}" for k, e in enumerate(_PX_EXPRS)
+)
+
+# Per-window sample expressions for the audio oracle: sample i of doc d
+# is (d·31 + i·7) % 2048 − 1024; window w covers [w·32, min((w+1)·32, n)).
+_AUD_S = "((doc_id * 31 + i * 7) % 2048 - 1024)"
+_AUD_HI = "least((w + 1) * 32, n)"
+_AUD_NW = f"({_AUD_HI} - w * 32)"
+
+
+def _aud_win(expr: str) -> str:
+    """Lift a per-window scalar expression into the zipped unnest form."""
+    return f"unnest(list_transform(range(0, n_win), w -> {expr}))"
+
+
 ORACLES = {
+    "multimodal_image_resize": f"""
+        SELECT doc_id AS asset_id,
+               CAST(8 + doc_id % 8 AS INT) AS width,
+               CAST(4 + doc_id % 4 AS INT) AS height,
+               {_PX_COLS},
+               CAST(({" + ".join(f"({e})" for e in _PX_EXPRS)}) AS DOUBLE) / 8.0
+                 AS mean_thumb
+        FROM documents WHERE doc_id % 2 = 0
+    """,
+    "multimodal_audio_windows": f"""
+        SELECT doc_id AS asset_id,
+               CAST(unnest(range(0, n_win)) AS INT) AS window_idx,
+               CAST({_aud_win(_AUD_NW)} AS INT) AS n_samples,
+               {_aud_win(
+                   f"CAST(list_sum(list_transform(range(w * 32, {_AUD_HI}),"
+                   f" i -> abs({_AUD_S}))) AS DOUBLE) / {_AUD_NW}"
+               )} AS mean_abs,
+               {_aud_win(
+                   f"sqrt(CAST(list_sum(list_transform(range(w * 32, {_AUD_HI}),"
+                   f" i -> {_AUD_S} * {_AUD_S})) AS DOUBLE) / {_AUD_NW})"
+               )} AS rms
+        FROM (
+          SELECT doc_id, 64 + doc_id % 64 AS n,
+                 (64 + doc_id % 64 + 31) // 32 AS n_win
+          FROM documents WHERE doc_id % 2 = 1
+        )
+    """,
     "multimodal_metadata": f"""
         SELECT {_KIND} AS kind,
                count(1) AS n_assets,

@@ -129,3 +129,73 @@ def test_decode_query_end_to_end(spark, sf_dir):
         d = r["asset_id"]
         assert r["n_samples"] == 64 + d % 64 and r["sample_rate"] == 16000
         assert r["width"] is None
+
+
+def test_resize_bmp_nn_known_values():
+    from content_analytics_etl_spark.multimodal import encode_bmp24, resize_bmp_nn
+
+    # 8x4, base 0: pixel (x, y) = x + y; NN thumbnail samples
+    # src = (x_out * 8 // 4, y_out * 4 // 2) = (2*x_out, 2*y_out)
+    w, h, thumb = resize_bmp_nn(encode_bmp24(8, 4, 0))
+    assert (w, h) == (8, 4)
+    assert thumb == [2 * x + 2 * y for y in range(2) for x in range(4)]
+
+
+def test_audio_window_stats_known_values():
+    import math
+
+    from content_analytics_etl_spark.multimodal import (
+        decode_wav16_samples,
+        encode_wav16,
+    )
+
+    samples = [100, -200, 300, -400]
+    sr, got = decode_wav16_samples(encode_wav16(16000, samples))
+    assert sr == 16000 and list(got) == samples
+    # window math the mapInPandas stage applies
+    assert sum(abs(s) for s in samples) / 4 == 250.0
+    assert math.sqrt(sum(s * s for s in samples) / 4) == pytest.approx(
+        math.sqrt(75000.0)
+    )
+
+
+def test_image_resize_query_end_to_end(spark, sf_dir):
+    from content_analytics_etl_spark.plans.multimodal_queries import (
+        multimodal_image_resize,
+    )
+
+    rows = multimodal_image_resize(spark, sf_dir).collect()
+    assert len(rows) == 250  # even doc_ids only
+    for r in rows[:10]:
+        d = r["asset_id"]
+        w, h, base = 8 + d % 8, 4 + d % 4, d % 251
+        for k in range(8):
+            x, y = k % 4, k // 4
+            assert r[f"p{k}"] == (base + (x * w) // 4 + (y * h) // 2) % 256
+        assert r["mean_thumb"] == sum(r[f"p{k}"] for k in range(8)) / 8.0
+
+
+def test_audio_windows_query_end_to_end(spark, sf_dir):
+    import math
+
+    from content_analytics_etl_spark.plans.multimodal_queries import (
+        multimodal_audio_windows,
+    )
+
+    rows = multimodal_audio_windows(spark, sf_dir).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(by_asset) == 250  # odd doc_ids only
+    for d, wins in list(sorted(by_asset.items()))[:5]:
+        n = 64 + d % 64
+        assert len(wins) == (n + 31) // 32
+        wins.sort(key=lambda r: r["window_idx"])
+        full = [(d * 31 + i * 7) % 2048 - 1024 for i in range(n)]
+        for r in wins:
+            chunk = full[r["window_idx"] * 32 : r["window_idx"] * 32 + 32]
+            assert r["n_samples"] == len(chunk)
+            assert r["mean_abs"] == sum(abs(s) for s in chunk) / len(chunk)
+            assert r["rms"] == pytest.approx(
+                math.sqrt(sum(s * s for s in chunk) / len(chunk)), abs=0
+            )
