@@ -65,6 +65,11 @@ HEADLINE = [
     "events_zorder_layout",
     "multimodal_features",
     "multimodal_video_decode",
+    "doc_ngram_scrub",
+    "doc_token_novelty",
+    "token_cms_heavy_hitters",
+    "multimodal_image_resize",
+    "multimodal_audio_windows",
 ]
 
 

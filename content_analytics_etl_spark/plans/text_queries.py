@@ -629,18 +629,26 @@ _CMS_CELL = (
 )
 
 ORACLES = {
+    # base/tris are referenced more than once — DuckDB inlines CTEs by
+    # default and would re-evaluate the tokenization/trigram build per
+    # reference (PERF.md finding 9), hence AS MATERIALIZED.
     "doc_ngram_scrub": f"""
-        WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
         tok_pos AS (
           SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
                  unnest(toks) AS tok
           FROM base
         ),
-        tris AS (
+        tris AS MATERIALIZED (
           SELECT doc_id, generate_subscripts(tr, 1) - 1 AS start,
                  unnest(tr) AS tri
-          FROM (SELECT doc_id, {_TRIGRAMS_SQL} AS tr FROM documents
-                WHERE len({_TOKS_SQL}) >= 3)
+          FROM (SELECT doc_id,
+                       list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         AS tr
+                FROM base WHERE len(toks) >= 3)
         ),
         hot AS (
           SELECT tri FROM tris GROUP BY tri
@@ -660,14 +668,14 @@ ORACLES = {
           FROM kept GROUP BY doc_id
         )
         SELECT d.doc_id,
-               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(len(d.toks) AS BIGINT) AS n_tokens,
                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-               CAST(len({_TOKS_SQL}) - coalesce(r.n_kept, 0) AS BIGINT)
+               CAST(len(d.toks) - coalesce(r.n_kept, 0) AS BIGINT)
                  AS n_masked,
                md5(coalesce(r.scrubbed, '')) AS scrubbed_fp,
-               CAST(len({_TOKS_SQL}) - coalesce(r.n_kept, 0) AS DOUBLE)
-                 / CAST(len({_TOKS_SQL}) AS DOUBLE) AS mask_ratio
-        FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+               CAST(len(d.toks) - coalesce(r.n_kept, 0) AS DOUBLE)
+                 / CAST(len(d.toks) AS DOUBLE) AS mask_ratio
+        FROM base d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
     "doc_token_novelty": f"""
         WITH pairs AS (

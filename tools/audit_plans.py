@@ -40,6 +40,7 @@ ALLOW_NESTED_LOOP = {
     "events_funnel": "cross join of three 1-row step-count aggregates",
     "embedding_kmeans": "k-row centroid relation cross join (Lloyd assignment)",
     "graph_pagerank": "1-row node-count aggregate broadcast (rank seeding/teleport)",
+    "doc_token_novelty": "1-row corpus-doc-count aggregate broadcast onto per-doc aggs",
 }
 
 
