@@ -66,6 +66,9 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_video_decode",
     "doc_ngram_scrub",
+    "doc_chunk",
+    "doc_winnow",
+    "sim_semantic_decontaminate",
     "doc_token_novelty",
     "token_cms_heavy_hitters",
     "multimodal_image_resize",

@@ -52,6 +52,7 @@ TOPK = 5
 ANN_TOPK = 3
 N_PLANES = 6
 NEARDUP_COSINE = 0.45
+SEMDECON_COSINE = 0.25  # looser than near-dup: eval leakage flags need recall
 QUERY_MOD = 50
 QUERY_CAP = 1000  # query set ≤ QUERY_CAP/QUERY_MOD = 20 rows at any scale
 EXACT_CAP = 1000  # sim_neardup_exact diagnostic: ≤ C(1000,2) pairs, ever
@@ -144,6 +145,76 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
+
+
+def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination — the semantic twin of
+    ``dedup_decontaminate``'s shingle-overlap scan: flag every training
+    vector whose cosine to ANY held-out eval vector (the bounded
+    ``_query_side`` subset, ≤ 20 rows at any corpus size) reaches the
+    ``SEMDECON_COSINE`` threshold (looser than the near-dup 0.45:
+    leakage screening optimizes recall, borderline hits get human or
+    exact-pipeline review). Candidates come from the same 4×8-bit banded
+    hyperplane LSH as ``sim_neardup_pairs``; because the eval band
+    relation is constant-size, the candidate join broadcasts it and the
+    train side NEVER shuffles after its signature aggregation — at
+    100 TB this is a map-side probe of a benchmark fingerprint table,
+    the exact shape eval-set decontamination runs in production. Exact
+    cosine verification after the LSH candidates; per-train-vector
+    rollup (hit count, max cosine) keeps the output compact."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    bucketed = hyperplane_bucket_agg(emb, ND_BANDS * ND_BAND_BITS, DIM)
+    mask = (1 << ND_BAND_BITS) - 1
+    bands = bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"(bucket >> {ND_BAND_BITS * i}) & {mask}").alias(
+                            "band_key"
+                        ),
+                    )
+                    for i in range(ND_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_key")
+    eval_bands = bands.filter(_query_side()).select(
+        F.col("vec_id").alias("eval_id"), "band_idx", "band_key"
+    )
+    train_bands = bands.filter(~_query_side())
+    cand = (
+        train_bands.join(F.broadcast(eval_bands), ["band_idx", "band_key"])
+        .select(F.col("vec_id").alias("train_id"), "eval_id")
+        .distinct()
+    )
+    et = e.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("tn"),
+    )
+    ee = e.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("nrm").alias("en"),
+    )
+    cos = dot_product(F.col("tv"), F.col("ev")) / (F.col("tn") * F.col("en"))
+    hits = (
+        cand.join(et, "train_id")
+        .join(F.broadcast(ee), "eval_id")
+        .select("train_id", "eval_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDECON_COSINE)
+    )
+    return hits.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.max("cosine").alias("max_cosine"),
     )
 
 
@@ -429,6 +500,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
+    "sim_semantic_decontaminate": sim_semantic_decontaminate,
     "sim_neardup_exact": sim_neardup_exact,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -622,6 +694,31 @@ ORACLES = {
         JOIN e eb ON eb.vec_id = c.vec_b
         WHERE {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm)
               >= {NEARDUP_COSINE}
+    """,
+    "sim_semantic_decontaminate": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        {_ND_BUCKET_CTES},
+        bands AS MATERIALIZED (
+          {_ND_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT tr.vec_id AS train_id, ev.vec_id AS eval_id
+          FROM bands tr JOIN bands ev
+            ON tr.band_idx = ev.band_idx AND tr.band_key = ev.band_key
+          WHERE ev.vec_id % {QUERY_MOD} = 0 AND ev.vec_id < {QUERY_CAP}
+            AND NOT (tr.vec_id % {QUERY_MOD} = 0 AND tr.vec_id < {QUERY_CAP})
+        ),
+        hits AS (
+          SELECT c.train_id, c.eval_id,
+                 {_DOT(d=DIM, a="et.v", b="ee.v")} / (et.nrm * ee.nrm) AS cosine
+          FROM cand c
+          JOIN e et ON et.vec_id = c.train_id
+          JOIN e ee ON ee.vec_id = c.eval_id
+          WHERE {_DOT(d=DIM, a="et.v", b="ee.v")} / (et.nrm * ee.nrm)
+                >= {SEMDECON_COSINE}
+        )
+        SELECT train_id, count(1) AS n_eval_hits, max(cosine) AS max_cosine
+        FROM hits GROUP BY train_id
     """,
     "sim_neardup_exact": f"""
         WITH e AS (

@@ -586,8 +586,112 @@ def token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — the window step between a curated corpus and
+    a context-bounded consumer (pretraining sequences, RAG passages):
+    overlapping ``CHUNK_SIZE``-token windows every ``CHUNK_STRIDE``
+    tokens (``ceil(n/stride)`` chunks per doc; the tail chunk is
+    short). Emits one row per chunk with its token span and content
+    fingerprint. Pure per-row explode — no shuffle anywhere, chunk
+    count scales with the doc, never the corpus."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    n_chunks = F.ceil(F.col("n") / F.lit(CHUNK_STRIDE)).cast("int")
+    chunks = base.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("start_tok", F.col("chunk_idx") * CHUNK_STRIDE)
+    chunk_toks = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start_tok"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk_toks, " ")).alias("chunk_fp"),
+    )
+
+
+WINNOW_W = 4  # winnowing window (anchors pick 1 fingerprint per window)
+WINNOW_M = 1 << 31
+_POS_BITS = 21  # pos < 2^21; key = h·2^21 + (2^21−1−pos) < 2^52 exact
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local document-fingerprint
+    algorithm): hash every word trigram, then from each window of
+    ``WINNOW_W`` consecutive trigram hashes keep the minimal hash,
+    rightmost on ties; the distinct kept (hash, pos) pairs are the
+    doc's fingerprint set. Winnowing guarantees ≥1 shared fingerprint
+    for any shared run of WINNOW_W+2 tokens — the position-robust
+    overlap detector next to whole-doc fingerprints.
+
+    The rightmost-min-per-window selection is ONE window aggregation:
+    encode (h, pos) as ``h·2^21 + (2^21−1−pos)`` (exact in int64 —
+    h < 2^31, pos < 2^21), take ``min`` over the trailing-W frame, and
+    decode — lexicographic (min h, max pos) without min_by/struct
+    ordering, identical in any engine. Shuffle = one window partition
+    by doc_id + the distinct; both carry compact rows."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    tri_col = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    tris = base.filter(F.size("toks") >= 3).select(
+        "doc_id", F.posexplode(tri_col).alias("pos", "tri")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("tri")), 1, 15), 16, 10).cast("bigint")
+        % WINNOW_M
+    )
+    pos_cap = (1 << _POS_BITS) - 1
+    keyed = tris.select(
+        "doc_id",
+        "pos",
+        (h * (1 << _POS_BITS) + (pos_cap - F.col("pos"))).alias("key"),
+    )
+    win = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), W.currentRow)
+    )
+    anchored = keyed.select(
+        "doc_id",
+        F.min("key").over(win).alias("sel_key"),
+        F.row_number().over(W.partitionBy("doc_id").orderBy("pos")).alias("rn"),
+    ).filter(F.col("rn") >= WINNOW_W)
+    return (
+        anchored.select("doc_id", "sel_key")
+        .distinct()
+        .select(
+            "doc_id",
+            (pos_cap - F.col("sel_key") % (1 << _POS_BITS))
+            .cast("int")
+            .alias("fp_pos"),
+            F.shiftright("sel_key", _POS_BITS).alias("fp_hash"),
+        )
+    )
+
+
 QUERIES = {
     "doc_ngram_scrub": doc_ngram_scrub,
+    "doc_chunk": doc_chunk,
+    "doc_winnow": doc_winnow,
     "doc_token_novelty": doc_token_novelty,
     "token_cms_heavy_hitters": token_cms_heavy_hitters,
     "doc_pack_sequences": doc_pack_sequences,
@@ -676,6 +780,60 @@ ORACLES = {
                CAST(len(d.toks) - coalesce(r.n_kept, 0) AS DOUBLE)
                  / CAST(len(d.toks) AS DOUBLE) AS mask_ratio
         FROM base d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    "doc_chunk": f"""
+        SELECT doc_id,
+               CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx,
+               CAST(unnest(range(0, n_chunks)) * {CHUNK_STRIDE} AS INT)
+                 AS start_tok,
+               CAST(unnest(list_transform(range(0, n_chunks),
+                 c -> least({CHUNK_SIZE}, n - c * {CHUNK_STRIDE}))) AS INT)
+                 AS n_chunk_tokens,
+               unnest(list_transform(range(0, n_chunks),
+                 c -> md5(array_to_string(
+                        list_slice(toks, c * {CHUNK_STRIDE} + 1,
+                                   c * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))))
+                 AS chunk_fp
+        FROM (
+          SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n,
+                 CAST(ceil(len({_TOKS_SQL}) / {CHUNK_STRIDE}.0) AS INT)
+                   AS n_chunks
+          FROM documents
+        )
+    """,
+    "doc_winnow": f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        tris AS (
+          SELECT doc_id, generate_subscripts(tr, 1) - 1 AS pos,
+                 unnest(tr) AS tri
+          FROM (SELECT doc_id,
+                       list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                         AS tr
+                FROM base WHERE len(toks) >= 3)
+        ),
+        keyed AS (
+          SELECT doc_id, pos,
+                 (CAST(('0x' || substr(md5(tri), 1, 15)) AS BIGINT)
+                    % {WINNOW_M}) * {1 << _POS_BITS}
+                   + ({(1 << _POS_BITS) - 1} - pos) AS key
+          FROM tris
+        ),
+        anchored AS (
+          SELECT doc_id,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                   AS sel_key,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM keyed
+        )
+        SELECT DISTINCT doc_id,
+               CAST({(1 << _POS_BITS) - 1} - (sel_key % {1 << _POS_BITS}) AS INT)
+                 AS fp_pos,
+               sel_key // {1 << _POS_BITS} AS fp_hash
+        FROM anchored WHERE rn >= {WINNOW_W}
     """,
     "doc_token_novelty": f"""
         WITH pairs AS (
