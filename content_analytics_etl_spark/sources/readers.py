@@ -24,7 +24,14 @@ from pyspark.sql import types as T
 
 from ..schemas import STAR_SCHEMAS, TABLE_NAMES, VIEWING_LOG_SCHEMA
 
-__all__ = ["load_table", "load_tables", "read_viewing_log", "read_table", "parquet_ts_unit"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_viewing_log",
+    "read_viewing_log_quarantine",
+    "read_table",
+    "parquet_ts_unit",
+]
 
 
 @lru_cache(maxsize=256)
@@ -136,6 +143,45 @@ def read_viewing_log(
         cols = ["_source.*"] + (["log_date"] if date_from_filename else [])
         df = df.select(*cols)
     return df
+
+
+def read_viewing_log_quarantine(
+    spark: SparkSession, path: str | list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Corrupt-record quarantine channel for the viewing-log ingest.
+
+    The reference leaves malformed JSON lines as silent all-NULL rows
+    (SURVEY.md §1.1); a production ingest must keep them — dropped rows
+    are unauditable, and a malformed-rate spike is the first signal of
+    an upstream format break. PERMISSIVE mode routes each unparseable
+    line's RAW TEXT into ``_corrupt_record``; this returns
+    ``(good, quarantine)``: good rows flattened as usual, quarantine
+    rows as (source_file, raw_line) ready for a dead-letter sink.
+
+    The parsed frame is cached before splitting — Spark refuses a
+    filter that references only the corrupt column on an un-materialized
+    scan (the parser prunes it away otherwise), and the cache also means
+    the two channels cost one parse, not two. At scale this is one
+    narrow scan feeding two filtered writes."""
+    schema = T.StructType(
+        VIEWING_LOG_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # input_file_name() must be captured before the cache boundary — a
+    # cached InMemoryRelation no longer knows its source files.
+    df = raw.withColumn("source_file", F.input_file_name()).cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).select("_source.*")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "source_file",
+        F.col("_corrupt_record").alias("raw_line"),
+    )
+    return good, quarantine
 
 
 def read_table(

@@ -95,3 +95,26 @@ def test_date_from_filename(spark, log_path):
     flat = read_viewing_log(spark, log_path, date_from_filename=True)
     dates = {str(r["log_date"]) for r in flat.select("log_date").distinct().collect()}
     assert dates == {"2022-04-01"}
+
+
+def test_quarantine_channel_splits_good_and_corrupt(spark, tmp_path):
+    from content_analytics_etl_spark.sources.readers import (
+        read_viewing_log_quarantine,
+    )
+
+    lines = [
+        '{"_index":"history","_type":"kplus","_id":"a","_score":0,'
+        '"_source":{"Contract":"C1","Mac":"M1","TotalDuration":10,"AppName":"KPLUS"}}',
+        "this is not json",
+        '{"_index":"history","_type":"vod","_id":"b","_score":0,'
+        '"_source":{"Contract":"C2","Mac":"M2","TotalDuration":20,"AppName":"VOD"}}',
+        '{"broken": ',
+    ]
+    f = tmp_path / "20220401.jsonl"
+    f.write_text("\n".join(lines) + "\n")
+    good, quarantine = read_viewing_log_quarantine(spark, str(f))
+    g = {(r["Contract"], r["TotalDuration"]) for r in good.collect()}
+    assert g == {("C1", 10), ("C2", 20)}
+    q = quarantine.collect()
+    assert {r["raw_line"] for r in q} == {"this is not json", '{"broken": '}
+    assert all(r["source_file"].endswith("20220401.jsonl") for r in q)
