@@ -55,6 +55,11 @@ _MODULES = [
 
 # The first 50 names the driver will hash.  One line per family block.
 #
+# Round-4 rotation candidates (added in round 3, no driver verdict yet):
+# doc_ngram_scrub, doc_token_novelty, token_cms_heavy_hitters, doc_chunk,
+# doc_winnow, sim_semantic_decontaminate, multimodal_image_resize,
+# multimodal_audio_windows — swap in for double-green slots next round.
+#
 # Round-3 rotation: 10 slots whose queries were already driver-green in
 # BOTH r01 and r02 (pivot_nulls, join_inner, window_running,
 # events_sliding, events_approx_distinct, events_asof_forward,

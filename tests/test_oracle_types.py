@@ -39,9 +39,14 @@ from content_analytics_etl_spark.plans.registry import (
 )
 from content_analytics_etl_spark.schemas import TABLE_NAMES
 
-# DuckDB types pandas either widens to float64 (HUGEINT) or turns into
-# unhashable Python objects (nested / JSON).
-_FORBIDDEN_DUCK = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP", "JSON", "[]")
+# DuckDB types pandas either widens to float64 (HUGEINT), converts with
+# engine-specific rounding (DECIMAL), or turns into unhashable Python
+# objects (nested / JSON). Spark DecimalType is symmetric: pandas gets
+# decimal.Decimal objects whose repr/hash never matches the oracle's
+# float64, so both sides must cast to DOUBLE/BIGINT before returning.
+_FORBIDDEN_DUCK = (
+    "HUGEINT", "UHUGEINT", "DECIMAL", "STRUCT", "MAP", "JSON", "[]",
+)
 
 
 @pytest.fixture(scope="module")
@@ -80,7 +85,10 @@ def test_no_nested_types_in_query_schemas(spark, sf_dir):
         hits = [
             (f.name, f.dataType.simpleString())
             for f in df.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.MapType, T.StructType, T.DecimalType),
+            )
         ]
         if hits:
             bad[qname] = hits

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels the
+Spark stages call per Arrow batch: codec round-trips over the full
+parameter space (not just the generator's sizes), the NN-resize source
+mapping, and the packed-int64 winnowing selection identity.
+
+These run driver-side with no SparkSession — the point is that the
+byte-format parsing and the arithmetic identities hold for ALL valid
+inputs, so the mapInPandas stages are correct for any corpus, not just
+the synthetic one the oracles cover.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from content_analytics_etl_spark.multimodal import (
+    RESIZE_H,
+    RESIZE_W,
+    decode_avi24,
+    decode_bmp24,
+    decode_bmp24_gray,
+    decode_wav16,
+    decode_wav16_samples,
+    encode_avi24,
+    encode_bmp24,
+    encode_wav16,
+    resize_bmp_nn,
+)
+
+dims = st.integers(min_value=1, max_value=24)
+base = st.integers(min_value=0, max_value=255)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, b=base)
+def test_bmp_round_trip_property(w, h, b):
+    data = encode_bmp24(w, h, b)
+    dw, dh, mean = decode_bmp24(data)
+    assert (dw, dh) == (w, h)
+    exp = [(b + x + y) % 256 for y in range(h) for x in range(w)]
+    assert mean == sum(exp) / len(exp)
+    gw, gh, rows = decode_bmp24_gray(data)
+    assert (gw, gh) == (w, h)
+    assert all(rows[y][x] == (b + x + y) % 256 for y in range(h) for x in range(w))
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=dims, h=dims, b=base)
+def test_resize_nn_source_mapping_property(w, h, b):
+    _, _, thumb = resize_bmp_nn(encode_bmp24(w, h, b))
+    for k, v in enumerate(thumb):
+        x, y = k % RESIZE_W, k // RESIZE_W
+        sx, sy = (x * w) // RESIZE_W, (y * h) // RESIZE_H
+        assert v == (b + sx + sy) % 256
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=256
+    ),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip_property(samples, sr):
+    data = encode_wav16(sr, samples)
+    got_sr, got = decode_wav16_samples(data)
+    assert got_sr == sr and list(got) == samples
+    _, n, mean_abs = decode_wav16(data)
+    assert n == len(samples)
+    assert mean_abs == sum(abs(s) for s in samples) / len(samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=8),
+    nf=st.integers(min_value=1, max_value=5),
+    fps=st.integers(min_value=1, max_value=60),
+    b=base,
+)
+def test_avi_round_trip_property(w, h, nf, fps, b):
+    dw, dh, dnf, dfps, mean = decode_avi24(encode_avi24(w, h, nf, fps, b))
+    assert (dw, dh, dnf, dfps) == (w, h, nf, fps)
+    exp = [
+        (b + x + y + 7 * t) % 256
+        for t in range(nf)
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert mean == sum(exp) / len(exp)
+
+
+POS_BITS = 21
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    hs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 31) - 1), min_size=1, max_size=12
+    )
+)
+def test_winnow_key_packing_is_lexicographic_min(hs):
+    """min(h·2²¹ + (2²¹−1−pos)) must select (min h, rightmost pos) —
+    the identity doc_winnow's single window-MIN relies on."""
+    pos_cap = (1 << POS_BITS) - 1
+    keys = [h * (1 << POS_BITS) + (pos_cap - p) for p, h in enumerate(hs)]
+    sel = min(keys)
+    sel_h, sel_pos = sel >> POS_BITS, pos_cap - (sel % (1 << POS_BITS))
+    min_h = min(hs)
+    rightmost = max(p for p, h in enumerate(hs) if h == min_h)
+    assert (sel_h, sel_pos) == (min_h, rightmost)
+    assert all(k < (1 << 53) for k in keys)  # exact in doubles AND int64
