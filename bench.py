@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_brute_topk",
+    "sim_neardup_pairs",
     "sim_ann_lsh_topk",
     "sim_ann_pq_adc",
     "embedding_quantize",

