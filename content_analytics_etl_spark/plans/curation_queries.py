@@ -1,0 +1,111 @@
+"""End-to-end corpus curation manifest (BASELINE extension, integration
+showcase): the full pre-training curation pipeline — quality gates →
+exact dedup → near-dup clustering with representative selection →
+benchmark decontamination → train/val/test split — composed into ONE
+query producing the per-document manifest a data recipe ships.
+
+Every stage is an already-oracle-verified registered query; this module
+proves they COMPOSE (the joins line up, the flags interact correctly,
+and the whole thing still hash-matches an independently composed DuckDB
+oracle). Plan shape: five branch pipelines joined on doc_id — each
+branch is the linear-shuffle design verified per-query, and the final
+joins are doc_id equi-joins AQE sizes at runtime. At 100 TB each branch
+would be materialized incrementally; the manifest join shape is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+from .dedup_queries import (
+    ORACLES as D_ORACLES,
+    dedup_decontaminate,
+    dedup_exact_flags,
+    dedup_keep_best,
+)
+from .text_queries import (
+    ORACLES as T_ORACLES,
+    doc_quality_gates,
+    doc_split_assign,
+)
+
+
+def corpus_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict: gate pass, exact-dup flag, near-dup
+    cluster + representative flag, contamination flag, split assignment,
+    and the final keep decision (pass gates AND canonical AND cluster
+    representative AND not contaminated). Documents in no near-dup
+    cluster are their own singleton cluster and kept by default."""
+    gates = doc_quality_gates(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_gates")
+    )
+    exact = dedup_exact_flags(spark, sf_dir).select(
+        "doc_id", F.col("is_duplicate").alias("is_exact_dup")
+    )
+    kb = dedup_keep_best(spark, sf_dir).select(
+        "doc_id", "cluster_id", F.col("keep").alias("neardup_keep")
+    )
+    dc = dedup_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    sp = doc_split_assign(spark, sf_dir).select("doc_id", "split")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = (
+        d.join(gates, "doc_id")
+        .join(exact, "doc_id")
+        .join(kb, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+        .join(sp, "doc_id")
+    )
+    neardup_keep = F.coalesce(F.col("neardup_keep"), F.lit(True))
+    contaminated = F.coalesce(F.col("contaminated"), F.lit(False))
+    final = (
+        F.col("pass_gates")
+        & ~F.col("is_exact_dup")
+        & neardup_keep
+        & ~contaminated
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "pass_gates",
+        "is_exact_dup",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        neardup_keep.alias("neardup_keep"),
+        contaminated.alias("contaminated"),
+        "split",
+        final.alias("final_keep"),
+    )
+
+
+QUERIES = {"corpus_curation_manifest": corpus_curation_manifest}
+
+ORACLES = {
+    # Composed from the SAME per-stage oracles the individual queries
+    # are verified against (nested WITHs are scoped per sub-select).
+    "corpus_curation_manifest": f"""
+        WITH g AS MATERIALIZED ({T_ORACLES["doc_quality_gates"]}),
+        ex AS ({D_ORACLES["dedup_exact_flags"]}),
+        kb AS MATERIALIZED ({D_ORACLES["dedup_keep_best"]}),
+        dc AS ({D_ORACLES["dedup_decontaminate"]}),
+        sp AS ({T_ORACLES["doc_split_assign"]})
+        SELECT d.doc_id, d.source,
+               g.keep AS pass_gates,
+               ex.is_duplicate AS is_exact_dup,
+               coalesce(kb.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(kb.keep, TRUE) AS neardup_keep,
+               (dc.doc_id IS NOT NULL) AS contaminated,
+               sp.split,
+               (g.keep AND NOT ex.is_duplicate AND coalesce(kb.keep, TRUE)
+                AND dc.doc_id IS NULL) AS final_keep
+        FROM documents d
+        JOIN g ON g.doc_id = d.doc_id
+        JOIN ex ON ex.doc_id = d.doc_id
+        LEFT JOIN kb ON kb.doc_id = d.doc_id
+        LEFT JOIN dc ON dc.doc_id = d.doc_id
+        JOIN sp ON sp.doc_id = d.doc_id
+    """,
+}

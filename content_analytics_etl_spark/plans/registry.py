@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analytics_queries,
+    curation_queries,
     dedup_queries,
     graph_queries,
     multimodal_queries,
@@ -48,6 +49,7 @@ _MODULES = [
     temporal_queries,
     text_queries,
     dedup_queries,
+    curation_queries,
     similarity_queries,
     multimodal_queries,
     graph_queries,
