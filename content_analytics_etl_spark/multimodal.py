@@ -435,6 +435,83 @@ def decode_avi24(data: bytes) -> tuple[int, int, int, int, float]:
     return width, height, n_frames, fps, total / n
 
 
+def decode_avi24_frame(data: bytes, frame_idx: int) -> tuple[int, int, float]:
+    """Decode ONE frame of an uncompressed 24-bit AVI: walks the RIFF
+    tree to the ``frame_idx``-th '00db' chunk and sums only that frame's
+    pixel rows — the selective-decode primitive a frame-sampling plan
+    executes (never touching the other frames' bytes). Returns
+    (width, height, mean over the frame's channel bytes)."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = None
+    seen = -1
+    total = 0
+    n = 0
+
+    def walk(pos: int, end: int) -> bool:
+        nonlocal width, height, seen, total, n
+        while pos + 8 <= end:
+            cid, csize = struct.unpack_from("<4sI", data, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                if walk(body_start + 4, body_start + csize):
+                    return True
+            elif cid == b"avih":
+                (width, height) = struct.unpack_from("<II", data, body_start + 32)
+            elif cid == b"00db":
+                seen += 1
+                if seen == frame_idx:
+                    if width is None:
+                        raise ValueError("frame chunk before avih header")
+                    row_size = (3 * width + 3) // 4 * 4
+                    for y in range(height):
+                        row_off = body_start + y * row_size
+                        for x in range(width):
+                            b, g, r = data[row_off + 3 * x : row_off + 3 * x + 3]
+                            total += b + g + r
+                            n += 3
+                    return True
+            pos = body_start + csize + (csize & 1)
+        return False
+
+    if not walk(12, len(data)):
+        raise ValueError(f"frame {frame_idx} not present")
+    return width, height, total / n
+
+
+def decode_planned_frames(assets: DataFrame, plan: DataFrame) -> DataFrame:
+    """Execute a frame-sampling plan: join the (asset_id, frame_idx)
+    work list onto the payloads, then selectively decode exactly the
+    planned frames per Arrow batch. One equi-join on asset_id (the plan
+    is metadata-derived and tiny relative to payload bytes, so AQE
+    broadcasts it — payloads never reshuffle), then a narrow
+    ``mapInPandas``; at 100 TB this is the decode-farm stage fed by
+    ``multimodal_frame_plan``'s work list."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [], "frame_idx": [],
+                "width": [], "height": [], "mean_pixel": [],
+            }
+            for aid, fidx, payload in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["payload"]
+            ):
+                w, h, mean = decode_avi24_frame(bytes(payload), int(fidx))
+                out["asset_id"].append(aid)
+                out["frame_idx"].append(fidx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_pixel"].append(mean)
+            yield pd.DataFrame(out)
+
+    joined = assets.select("asset_id", "payload").join(plan, "asset_id")
+    schema = "asset_id long, frame_idx int, width int, height int, mean_pixel double"
+    return joined.select("asset_id", "frame_idx", "payload").mapInPandas(
+        run, schema=schema
+    )
+
+
 def decode_payload(payload: bytes, kind: str):
     """Decode a payload by kind — real byte-format parsing, stdlib only:
     BMP for image, WAV for audio, AVI (uncompressed DIB frames) for

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..multimodal import (
     audio_window_stats,
+    decode_planned_frames,
     decode_properties,
     decode_video_properties,
     extract_features,
@@ -128,8 +129,29 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_stats(assets)
 
 
+def multimodal_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective frame decode — the execution half of the frame-sampling
+    story: a metadata-derived work list (every 2nd frame of each real
+    AVI) joins onto the payloads and ``decode_avi24_frame`` walks the
+    RIFF tree to decode ONLY the planned frames, never touching the
+    other frames' bytes. Plan-side join is an asset_id equi-join with
+    the tiny plan broadcast at runtime; the decode is a narrow
+    ``mapInPandas``. The oracle recomputes each sampled frame's mean
+    from the generative formula, so decoding the wrong frame — or the
+    right frame at the wrong byte offset — fails the hash."""
+    docs = t(spark, sf_dir, "documents")
+    assets = synthetic_video_assets(docs)
+    n_frames = (F.col("doc_id") % 5 + 3).cast("int")
+    plan = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(2))).alias("fi"),
+    ).select("asset_id", F.col("fi").cast("int").alias("frame_idx"))
+    return decode_planned_frames(assets, plan)
+
+
 QUERIES = {
     "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_frame_decode": multimodal_frame_decode,
     "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
@@ -193,6 +215,19 @@ ORACLES = {
                  (64 + doc_id % 64 + 31) // 32 AS n_win
           FROM documents WHERE doc_id % 2 = 1
         )
+    """,
+    "multimodal_frame_decode": """
+        SELECT doc_id AS asset_id,
+               CAST(unnest(range(0, 3 + doc_id % 5, 2)) AS INT) AS frame_idx,
+               CAST(8 + doc_id % 8 AS INT) AS width,
+               CAST(4 + doc_id % 4 AS INT) AS height,
+               unnest(list_transform(range(0, 3 + doc_id % 5, 2),
+                 t -> list_avg(flatten(list_transform(range(0, 8 + doc_id % 8),
+                   i -> list_transform(range(0, 4 + doc_id % 4),
+                     j -> CAST((doc_id % 251 + i + j + 7 * t) % 256
+                          AS DOUBLE)))))))
+                 AS mean_pixel
+        FROM documents
     """,
     "multimodal_metadata": f"""
         SELECT {_KIND} AS kind,

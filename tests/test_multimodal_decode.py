@@ -199,3 +199,33 @@ def test_audio_windows_query_end_to_end(spark, sf_dir):
             assert r["rms"] == pytest.approx(
                 math.sqrt(sum(s * s for s in chunk) / len(chunk)), abs=0
             )
+
+
+def test_decode_single_frame_matches_formula():
+    from content_analytics_etl_spark.multimodal import (
+        decode_avi24_frame,
+        encode_avi24,
+    )
+
+    data = encode_avi24(5, 3, 4, 10, 100)
+    for t in range(4):
+        w, h, mean = decode_avi24_frame(data, t)
+        assert (w, h) == (5, 3)
+        exp = [(100 + x + y + 7 * t) % 256 for y in range(3) for x in range(5)]
+        assert mean == sum(exp) / len(exp)
+    with pytest.raises(ValueError):
+        decode_avi24_frame(data, 4)
+
+
+def test_frame_decode_query_end_to_end(spark, sf_dir):
+    from content_analytics_etl_spark.plans.multimodal_queries import (
+        multimodal_frame_decode,
+    )
+
+    rows = multimodal_frame_decode(spark, sf_dir).collect()
+    by_asset: dict[int, set] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], set()).add(r["frame_idx"])
+    assert len(by_asset) == 500
+    for d, frames in list(sorted(by_asset.items()))[:10]:
+        assert frames == set(range(0, 3 + d % 5, 2))
