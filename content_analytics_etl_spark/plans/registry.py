@@ -60,7 +60,8 @@ _MODULES = [
 # Round-4 rotation candidates (added in round 3, no driver verdict yet):
 # doc_ngram_scrub, doc_token_novelty, token_cms_heavy_hitters, doc_chunk,
 # doc_winnow, sim_semantic_decontaminate, multimodal_image_resize,
-# multimodal_audio_windows — swap in for double-green slots next round.
+# multimodal_audio_windows, multimodal_frame_decode,
+# corpus_curation_manifest — swap in for double-green slots next round.
 #
 # Round-3 rotation: 10 slots whose queries were already driver-green in
 # BOTH r01 and r02 (pivot_nulls, join_inner, window_running,
