@@ -72,3 +72,43 @@ def per_group_trend(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_ols_slope, schema=_TREND_SCHEMA)
     )
+
+
+class SplitTokenRuns:
+    """Python UDTF (Spark 4 ``udtf``): explode a text value into its
+    maximal same-character-class token runs — one output row per run
+    with its position and class. The UDTF surface is the table-valued
+    escape hatch next to the scalar/grouped ones above; its expression
+    twin is ``posexplode(regexp_extract_all(...))`` + a CASE class
+    label, and the test asserts row-level equality against that twin.
+
+    Scale shape: evaluated per input row inside the executor (LATERAL
+    join), no driver involvement, no shuffle of its own.
+    """
+
+    def eval(self, doc_id: int, text: str):  # noqa: A003 - UDTF contract
+        if text is None:
+            return
+        import re
+
+        for pos, m in enumerate(
+            re.finditer(r"[a-z]+|[0-9]+|[^a-z0-9 ]", text.lower())
+        ):
+            piece = m.group(0)
+            cls = (
+                "alpha"
+                if piece[0].isalpha()
+                else ("digit" if piece[0].isdigit() else "punct")
+            )
+            yield doc_id, pos, piece, cls
+
+
+def split_token_runs_udtf():
+    """Register-ready UDTF object (``udtf`` decorator applied lazily so
+    importing this module never needs an active SparkSession)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(
+        SplitTokenRuns,
+        returnType="doc_id bigint, pos int, piece string, cls string",
+    )

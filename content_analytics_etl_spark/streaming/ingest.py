@@ -16,10 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import VIEWING_LOG_SCHEMA
 
-__all__ = ["ingest_viewing_logs"]
+__all__ = ["ingest_viewing_logs", "ingest_viewing_logs_with_dlq"]
 
 
 def ingest_viewing_logs(
@@ -46,6 +47,76 @@ def ingest_viewing_logs(
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("log_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def ingest_viewing_logs_with_dlq(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    *,
+    timeout_s: int = 120,
+) -> None:
+    """Incremental ingest with a dead-letter channel: the streaming twin
+    of ``sources.readers.read_viewing_log_quarantine``. One PERMISSIVE
+    parse per micro-batch; good rows append to the partitioned table,
+    unparseable lines' RAW TEXT lands under ``dlq_dir`` with their
+    source file — nothing is silently dropped, and the corrupt-rate is
+    observable per batch. ``foreachBatch`` splits the cached batch so
+    both sinks cost one parse; the file-source checkpoint processes each
+    input file once. Caveat (vs the single-sink variant's transactional
+    file sink): a batch that fails BETWEEN the two appends replays both
+    on restart, so a crash can duplicate rows — for stricter guarantees
+    route through the versioned-snapshot pattern in ``streaming/cdc.py``
+    or stamp batch_id columns and dedup downstream."""
+    schema = T.StructType(
+        VIEWING_LOG_SCHEMA.fields
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(input_dir)
+    )
+    stamped = raw.select(
+        "*",
+        F.input_file_name().alias("_src_file"),
+        F.to_date(
+            F.regexp_extract(F.input_file_name(), r"(\d{8})\.jsonl?$", 1), "yyyyMMdd"
+        ).alias("log_date"),
+    )
+
+    def split_batch(batch, batch_id: int) -> None:
+        batch = batch.cache()
+        try:
+            (
+                batch.filter(F.col("_corrupt_record").isNull())
+                .select("_source.*", "log_date")
+                .write.mode("append")
+                .partitionBy("log_date")
+                .parquet(output_dir)
+            )
+            (
+                batch.filter(F.col("_corrupt_record").isNotNull())
+                .select(
+                    F.col("_src_file").alias("source_file"),
+                    F.col("_corrupt_record").alias("raw_line"),
+                )
+                .write.mode("append")
+                .parquet(dlq_dir)
+            )
+        finally:
+            batch.unpersist()
+
+    q = (
+        stamped.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -64,3 +64,35 @@ def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
         date_from_filename=True,
     )
     assert {tuple(r) for r in both.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_dlq_ingest_splits_and_is_incremental(spark, tmp_path):
+    from content_analytics_etl_spark.streaming.ingest import (
+        ingest_viewing_logs_with_dlq,
+    )
+
+    inp, out, dlq, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "dlq", "ckpt")
+    )
+    import os
+
+    os.makedirs(inp)
+    good = (
+        '{"_index":"history","_type":"kplus","_id":"%s","_score":0,'
+        '"_source":{"Contract":"%s","Mac":"M1","TotalDuration":5,"AppName":"KPLUS"}}'
+    )
+    with open(f"{inp}/20220401.jsonl", "w") as f:
+        f.write(good % ("a", "C1") + "\nnot json at all\n")
+    ingest_viewing_logs_with_dlq(spark, inp, out, dlq, ckpt)
+    assert spark.read.parquet(out).count() == 1
+    bad = spark.read.parquet(dlq).collect()
+    assert len(bad) == 1 and bad[0]["raw_line"] == "not json at all"
+    assert bad[0]["source_file"].endswith("20220401.jsonl")
+
+    # second drop: only the NEW file is processed (checkpoint)
+    with open(f"{inp}/20220402.jsonl", "w") as f:
+        f.write(good % ("b", "C2") + "\n" + good % ("c", "C3") + "\n{bad\n")
+    ingest_viewing_logs_with_dlq(spark, inp, out, dlq, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert {r["Contract"] for r in rows} == {"C1", "C2", "C3"}
+    assert spark.read.parquet(dlq).count() == 2

@@ -59,3 +59,42 @@ def test_apply_in_pandas_trend_matches_covariance(spark, sf_dir):
     assert set(udf_side) == set(expr_side)
     for u, s in expr_side.items():
         assert abs(udf_side[u] - s) < 1e-6, u
+
+
+def test_udtf_matches_expression_twin(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from content_analytics_etl_spark.functions.pandas_udfs import (
+        split_token_runs_udtf,
+    )
+    from content_analytics_etl_spark.functions.text_metrics import norm_text
+    from content_analytics_etl_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    fn = split_token_runs_udtf()
+    spark.udtf.register("split_token_runs", fn)
+    d.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT t.doc_id, t.pos, t.piece, t.cls "
+            "FROM udtf_docs, LATERAL split_token_runs(doc_id, text) t"
+        ).collect()
+    }
+    pieces = F.regexp_extract_all(
+        norm_text("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+    twin = {
+        tuple(r)
+        for r in d.select(
+            "doc_id", F.posexplode(pieces).alias("pos", "piece")
+        )
+        .withColumn(
+            "cls",
+            F.when(F.col("piece").rlike("^[a-z]"), "alpha")
+            .when(F.col("piece").rlike("^[0-9]"), "digit")
+            .otherwise("punct"),
+        )
+        .collect()
+    }
+    assert got == twin and got
