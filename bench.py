@@ -74,6 +74,7 @@ HEADLINE = [
     "token_cms_heavy_hitters",
     "multimodal_image_resize",
     "multimodal_audio_windows",
+    "multimodal_frame_decode",
 ]
 
 
