@@ -1,0 +1,59 @@
+"""Plan-shape regression guard: the number of shuffle Exchanges in each
+key query's physical plan, pinned at sf0.001. Every extra shuffle at
+100 TB is a full pass of the fact data over the network, so a refactor
+that silently adds one is a scale regression even when results stay
+correct — exactly the class the correctness gate cannot see.
+
+The assertion is one-sided (``<=``): FEWER shuffles than recorded is an
+improvement (update the baseline); more fails. Broadcast-exchange counts
+are not asserted — AQE converting a shuffle join to broadcast is a
+runtime win, not a regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from content_analytics_etl_spark.plans.registry import all_queries
+
+# query -> max shuffle-Exchange count (recorded from the current plans)
+MAX_SHUFFLES = {
+    "flagship_profile": 3,
+    "tpch_q1_pricing_summary": 1,
+    "tpch_q21_waiting_suppliers": 3,
+    "events_session": 1,
+    "events_asof_join": 1,
+    "events_range_join": 0,
+    "doc_tfidf_top_terms": 4,
+    "dedup_minhash_lsh": 7,
+    "dedup_simhash": 5,
+    "dedup_ngram_jaccard_prefix": 13,
+    "sim_neardup_pairs": 9,
+    "sim_semantic_decontaminate": 6,
+    "sim_ann_pq_adc": 3,
+    "doc_ngram_scrub": 4,
+    "doc_winnow": 1,
+    "doc_chunk": 0,
+    "token_cms_heavy_hitters": 4,
+    "multimodal_decode": 0,
+    "multimodal_frame_decode": 0,
+    "doc_pack_sequences": 1,
+}
+
+_EXCHANGE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|RoundRobin)"
+)
+
+
+@pytest.mark.parametrize("name", sorted(MAX_SHUFFLES))
+def test_shuffle_count_does_not_regress(spark, sf_dir, name):
+    df = all_queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(_EXCHANGE.findall(plan))
+    assert n <= MAX_SHUFFLES[name], (
+        f"{name}: {n} shuffle exchanges (recorded max {MAX_SHUFFLES[name]}) — "
+        "a new shuffle is a scale regression; if intentional, update the "
+        "baseline with a PERF.md note"
+    )

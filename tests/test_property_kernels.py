@@ -111,3 +111,64 @@ def test_winnow_key_packing_is_lexicographic_min(hs):
     rightmost = max(p for p, h in enumerate(hs) if h == min_h)
     assert (sel_h, sel_pos) == (min_h, rightmost)
     assert all(k < (1 << 53) for k in keys)  # exact in doubles AND int64
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    tokens=st.lists(
+        st.sampled_from([f"t{i}" for i in range(40)]), min_size=1, max_size=300
+    )
+)
+def test_cms_overestimates_and_is_exact_without_collisions(tokens):
+    """Pure-Python mirror of token_cms_heavy_hitters' sketch: the CMS
+    estimate must be >= the true count for EVERY token (structural CMS
+    property), with equality whenever no other token shares all D cells."""
+    import hashlib
+    from collections import Counter
+
+    from content_analytics_etl_spark.plans.text_queries import CMS_D, CMS_W
+
+    def cell(r: int, tok: str) -> int:
+        h = hashlib.md5(f"cms{r}|{tok}".encode()).hexdigest()
+        return int(h[:15], 16) % CMS_W
+
+    tf = Counter(tokens)
+    sketch: dict = {}
+    for tok, n in tf.items():
+        for r in range(CMS_D):
+            k = (r, cell(r, tok))
+            sketch[k] = sketch.get(k, 0) + n
+    for tok, n in tf.items():
+        est = min(sketch[(r, cell(r, tok))] for r in range(CMS_D))
+        assert est >= n
+        solo = all(
+            not any(
+                other != tok and cell(r, other) == cell(r, tok)
+                for other in tf
+            )
+            for r in range(CMS_D)
+        )
+        if solo:
+            assert est == n
+
+
+@settings(max_examples=60, deadline=None)
+@given(n_tokens=st.integers(min_value=1, max_value=500))
+def test_chunk_plan_covers_every_token_once_per_stride(n_tokens):
+    """doc_chunk's plan arithmetic: ceil(n/stride) chunks starting at
+    k*stride with length min(size, n-start) cover every token index, and
+    the overlap between consecutive chunks is exactly size-stride except
+    at the tail."""
+    from content_analytics_etl_spark.plans.text_queries import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    n_chunks = -(-n_tokens // CHUNK_STRIDE)
+    covered = set()
+    for c in range(n_chunks):
+        start = c * CHUNK_STRIDE
+        length = min(CHUNK_SIZE, n_tokens - start)
+        assert length >= 1  # every planned chunk is non-empty
+        covered.update(range(start, start + length))
+    assert covered == set(range(n_tokens))
