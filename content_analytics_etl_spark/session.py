@@ -46,8 +46,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        # events.parquet stores ts as parquet timestamp[ns]; Spark has no
-        # nanosecond timestamp, so read it as long and convert (readers.py)
+        # some testdata generations store events.ts as parquet
+        # timestamp[ns], which Spark cannot read natively; with this flag
+        # the reader scans ns columns as long and converts — readers.py
+        # sniffs the actual unit per file and only applies the ns path
+        # when the file needs it (µs files read directly)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
