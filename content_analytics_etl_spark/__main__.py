@@ -53,11 +53,20 @@ def _cmd_etl(args: argparse.Namespace) -> int:
 
 def _cmd_ingest(args: argparse.Namespace) -> int:
     from .session import get_spark
-    from .streaming.ingest import ingest_viewing_logs
+    from .streaming.ingest import ingest_viewing_logs, ingest_viewing_logs_with_dlq
 
     spark = get_spark("ingest")
-    ingest_viewing_logs(spark, args.input, args.output, args.checkpoint)
-    print(f"ingested new files from {args.input} into {args.output}")
+    if args.dlq:
+        ingest_viewing_logs_with_dlq(
+            spark, args.input, args.output, args.dlq, args.checkpoint
+        )
+        print(
+            f"ingested new files from {args.input} into {args.output} "
+            f"(corrupt lines -> {args.dlq})"
+        )
+    else:
+        ingest_viewing_logs(spark, args.input, args.output, args.checkpoint)
+        print(f"ingested new files from {args.input} into {args.output}")
     return 0
 
 
@@ -96,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
     ing.add_argument("--input", required=True)
     ing.add_argument("--output", required=True)
     ing.add_argument("--checkpoint", required=True)
+    ing.add_argument(
+        "--dlq",
+        help="dead-letter directory: corrupt lines land here instead of "
+        "becoming silent all-NULL rows",
+    )
     ing.set_defaults(fn=_cmd_ingest)
 
     q = sub.add_parser("query", help="run a registered analytics query")

@@ -81,7 +81,36 @@ def corpus_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"corpus_curation_manifest": corpus_curation_manifest}
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report — per (source, split): how many docs
+    entered, how many failed each stage, and what survives. This is the
+    rollup a data-recipe review actually reads; one hash aggregation
+    over the manifest (the expensive branches are shared with it)."""
+    m = corpus_curation_manifest(spark, sf_dir)
+    return m.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("pass_gates"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_failed_gates"),
+        F.sum(F.when(F.col("is_exact_dup"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_exact_dups"),
+        F.sum(F.when(~F.col("neardup_keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_neardup_dropped"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("final_keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+    )
+
+
+QUERIES = {
+    "corpus_curation_manifest": corpus_curation_manifest,
+    "corpus_curation_funnel": corpus_curation_funnel,
+}
 
 ORACLES = {
     # Composed from the SAME per-stage oracles the individual queries
@@ -109,3 +138,19 @@ ORACLES = {
         JOIN sp ON sp.doc_id = d.doc_id
     """,
 }
+
+ORACLES["corpus_curation_funnel"] = f"""
+    WITH manifest AS MATERIALIZED ({ORACLES["corpus_curation_manifest"]})
+    SELECT source, split,
+           count(1) AS n_docs,
+           CAST(SUM(CASE WHEN NOT pass_gates THEN 1 ELSE 0 END) AS INT)
+             AS n_failed_gates,
+           CAST(SUM(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) AS INT)
+             AS n_exact_dups,
+           CAST(SUM(CASE WHEN NOT neardup_keep THEN 1 ELSE 0 END) AS INT)
+             AS n_neardup_dropped,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS INT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS INT) AS n_kept
+    FROM manifest GROUP BY source, split
+"""
