@@ -161,3 +161,55 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, dup_events_dir):
     # horizon), so the bounded-state variant also emits each event once
     want = {tuple(r) for r in load_table(spark, sf_dir, "events").collect()}
     assert got == want
+
+
+def test_append_mode_emits_exactly_finalized_windows(spark, sf_dir, events_dir, tmp_path):
+    """Watermark semantics at the sink: in append mode a window row may
+    emit ONLY once the watermark (max event time − delay) passes its
+    end — late-arriving data can no longer change it. The finalized set
+    is deterministic for a fixed corpus: every batch tumbling window
+    whose end ≤ max(ts) − 2 h, and nothing else (open windows stay in
+    state and never reach the parquet sink)."""
+    from pyspark.sql import functions as F
+
+    from content_analytics_etl_spark.sources.readers import load_table
+
+    out, ckpt = str(tmp_path / "win_out"), str(tmp_path / "ckpt")
+    q = (
+        tumbling_counts(stream_events(spark, events_dir))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    finalized = {
+        tuple(r)
+        for r in batch.collect()
+        if (max_ts - r["window_end"]).total_seconds() >= 2 * 3600
+    }
+    open_windows = {tuple(r) for r in batch.collect()} - finalized
+    assert emitted == finalized and finalized
+    assert not (emitted & open_windows)
