@@ -122,15 +122,12 @@ def encode_bmp24(width: int, height: int, base: int) -> bytes:
     info_hdr = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for x in range(width):
-            v = (base + x + y) % 256
-            row += bytes((v, v, v))
-        row += b"\x00" * (row_size - 3 * width)
-        rows.append(bytes(row))
-    return file_hdr + info_hdr + b"".join(rows)
+    ys = np.arange(height - 1, -1, -1, dtype=np.int64)[:, None]  # bottom-up
+    xs = np.arange(width, dtype=np.int64)[None, :]
+    v = ((base + xs + ys) % 256).astype(np.uint8)
+    body = np.zeros((height, row_size), dtype=np.uint8)
+    body[:, : 3 * width] = np.repeat(v, 3, axis=1)
+    return file_hdr + info_hdr + body.tobytes()
 
 
 def decode_bmp24(data: bytes) -> tuple[int, int, float]:
@@ -322,15 +319,12 @@ def _frame_dib24(width: int, height: int, base: int, t: int) -> bytes:
     padding — the same layout a BMP stores after its headers): grayscale
     pixel v(x, y, t) = (base + x + y + 7·t) % 256."""
     row_size = (3 * width + 3) // 4 * 4
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for x in range(width):
-            v = (base + x + y + 7 * t) % 256
-            row += bytes((v, v, v))
-        row += b"\x00" * (row_size - 3 * width)
-        rows.append(bytes(row))
-    return b"".join(rows)
+    ys = np.arange(height - 1, -1, -1, dtype=np.int64)[:, None]  # bottom-up
+    xs = np.arange(width, dtype=np.int64)[None, :]
+    v = ((base + xs + ys + 7 * t) % 256).astype(np.uint8)
+    body = np.zeros((height, row_size), dtype=np.uint8)
+    body[:, : 3 * width] = np.repeat(v, 3, axis=1)
+    return body.tobytes()
 
 
 def _riff_chunk(cid: bytes, body: bytes) -> bytes:
