@@ -166,11 +166,16 @@ def decode_bmp24_gray(data: bytes) -> tuple[int, int, list[list[int]]]:
     hdr_size, width, height, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
     if hdr_size < 40 or bpp != 24:
         raise ValueError(f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp})")
+    # BMP stores rows bottom-up when height > 0; a negative stored
+    # height means the file is already top-down and must NOT be flipped.
+    top_down = height < 0
     height = abs(height)
     row_size = (3 * width + 3) // 4 * 4
     arr = np.frombuffer(data, dtype=np.uint8, count=row_size * height, offset=off)
-    # blue channel of each pixel, file rows flipped to logical top-down
-    grid = arr.reshape(height, row_size)[::-1, : 3 * width : 3]
+    # blue channel of each pixel, normalized to logical top-down order
+    grid = arr.reshape(height, row_size)[:, : 3 * width : 3]
+    if not top_down:
+        grid = grid[::-1]
     rows: list[list[int]] = grid.astype(int).tolist()
     return width, height, rows
 

@@ -199,7 +199,10 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("tv"),
         F.col("nrm").alias("tn"),
     )
-    ee = e.select(
+    # Only the ≤20-row eval subset may be broadcast — hinting the full
+    # corpus-derived frame would materialize every vector on the driver
+    # at scale even though the join keys would prune it afterwards.
+    ee = e.filter(_query_side()).select(
         F.col("vec_id").alias("eval_id"),
         F.col("v").alias("ev"),
         F.col("nrm").alias("en"),

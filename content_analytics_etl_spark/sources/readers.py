@@ -147,7 +147,7 @@ def read_viewing_log(
 
 def read_viewing_log_quarantine(
     spark: SparkSession, path: str | list[str]
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Corrupt-record quarantine channel for the viewing-log ingest.
 
     The reference leaves malformed JSON lines as silent all-NULL rows
@@ -162,7 +162,10 @@ def read_viewing_log_quarantine(
     filter that references only the corrupt column on an un-materialized
     scan (the parser prunes it away otherwise), and the cache also means
     the two channels cost one parse, not two. At scale this is one
-    narrow scan feeding two filtered writes."""
+    narrow scan feeding two filtered writes. The cached parent frame is
+    returned third so callers can ``.unpersist()`` it once both
+    channels are written — otherwise the InMemoryRelation stays pinned
+    for the session lifetime."""
     schema = T.StructType(
         VIEWING_LOG_SCHEMA.fields
         + [T.StructField("_corrupt_record", T.StringType(), True)]
@@ -181,7 +184,7 @@ def read_viewing_log_quarantine(
         "source_file",
         F.col("_corrupt_record").alias("raw_line"),
     )
-    return good, quarantine
+    return good, quarantine, df
 
 
 def read_table(

@@ -38,8 +38,15 @@ def ingest_viewing_logs(
     raw = spark.readStream.schema(VIEWING_LOG_SCHEMA).json(input_dir)
     flat = raw.select(
         "_source.*",
+        # nullif: a non-matching filename extracts '' which ANSI
+        # to_date refuses to parse — NULL instead, so the row is
+        # routable (DLQ) rather than a batch-failing exception
         F.to_date(
-            F.regexp_extract(F.input_file_name(), r"(\d{8})\.jsonl?$", 1), "yyyyMMdd"
+            F.nullif(
+                F.regexp_extract(F.input_file_name(), r"(\d{8})\.jsonl?$", 1),
+                F.lit(""),
+            ),
+            "yyyyMMdd",
         ).alias("log_date"),
     )
     q = (
@@ -87,26 +94,41 @@ def ingest_viewing_logs_with_dlq(
     stamped = raw.select(
         "*",
         F.input_file_name().alias("_src_file"),
+        # nullif: a non-matching filename extracts '' which ANSI
+        # to_date refuses to parse — NULL instead, so the row is
+        # routable (DLQ) rather than a batch-failing exception
         F.to_date(
-            F.regexp_extract(F.input_file_name(), r"(\d{8})\.jsonl?$", 1), "yyyyMMdd"
+            F.nullif(
+                F.regexp_extract(F.input_file_name(), r"(\d{8})\.jsonl?$", 1),
+                F.lit(""),
+            ),
+            "yyyyMMdd",
         ).alias("log_date"),
     )
 
     def split_batch(batch, batch_id: int) -> None:
+        # Rows from files whose names don't yield a log_date are routed
+        # to the DLQ (their parsed payload re-serialized as the raw
+        # line) rather than silently landing in
+        # __HIVE_DEFAULT_PARTITION__ — an unroutable row is a contract
+        # violation just like an unparseable one.
+        bad = F.col("_corrupt_record").isNotNull() | F.col("log_date").isNull()
         batch = batch.cache()
         try:
             (
-                batch.filter(F.col("_corrupt_record").isNull())
+                batch.filter(~bad)
                 .select("_source.*", "log_date")
                 .write.mode("append")
                 .partitionBy("log_date")
                 .parquet(output_dir)
             )
             (
-                batch.filter(F.col("_corrupt_record").isNotNull())
+                batch.filter(bad)
                 .select(
                     F.col("_src_file").alias("source_file"),
-                    F.col("_corrupt_record").alias("raw_line"),
+                    F.coalesce(
+                        F.col("_corrupt_record"), F.to_json(F.col("_source"))
+                    ).alias("raw_line"),
                 )
                 .write.mode("append")
                 .parquet(dlq_dir)

@@ -28,8 +28,16 @@ def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     sniffed from an existing file footer — timestamp[ns] sources scan as
     epoch-nanos long (nanosAsLong) and convert to µs; timestamp[us]
     sources read directly. Files arriving later must match the unit of
-    the files present at stream definition (one writer per directory)."""
-    if parquet_ts_unit(events_dir) == "ns":
+    the files present at stream definition (one writer per directory).
+    An empty/not-yet-populated directory (the normal streaming startup
+    case: the stream is defined before the first producer file lands)
+    defaults to timestamp[us] — Spark's native parquet unit — instead
+    of failing the stream definition."""
+    try:
+        unit = parquet_ts_unit(events_dir)
+    except (FileNotFoundError, OSError):
+        unit = "us"
+    if unit == "ns":
         schema = T.StructType(
             [
                 T.StructField(

@@ -96,3 +96,17 @@ def test_dlq_ingest_splits_and_is_incremental(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["Contract"] for r in rows} == {"C1", "C2", "C3"}
     assert spark.read.parquet(dlq).count() == 2
+
+    # third drop: a file whose name yields no log_date — its rows must
+    # land in the DLQ (payload re-serialized), never in
+    # __HIVE_DEFAULT_PARTITION__
+    with open(f"{inp}/export-final.jsonl", "w") as f:
+        f.write(good % ("d", "C4") + "\n")
+    ingest_viewing_logs_with_dlq(spark, inp, out, dlq, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert {r["Contract"] for r in rows} == {"C1", "C2", "C3"}
+    assert all(r["log_date"] is not None for r in rows)
+    dlq_rows = spark.read.parquet(dlq).collect()
+    assert len(dlq_rows) == 3
+    misrouted = [r for r in dlq_rows if r["source_file"].endswith("export-final.jsonl")]
+    assert len(misrouted) == 1 and '"Contract":"C4"' in misrouted[0]["raw_line"]

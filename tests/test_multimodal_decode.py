@@ -229,3 +229,36 @@ def test_frame_decode_query_end_to_end(spark, sf_dir):
     assert len(by_asset) == 500
     for d, frames in list(sorted(by_asset.items()))[:10]:
         assert frames == set(range(0, 3 + d % 5, 2))
+
+
+def test_bmp_top_down_negative_height_not_mirrored():
+    """A negative stored height means rows are already top-down; the
+    decoder must not apply the bottom-up flip (would mirror the image)."""
+    import struct
+
+    import numpy as np
+
+    from content_analytics_etl_spark.multimodal import (
+        decode_bmp24_gray,
+        resize_bmp_nn,
+    )
+
+    w, h, base = 8, 4, 0
+    bottom_up = encode_bmp24(w, h, base)
+    _, _, want = decode_bmp24_gray(bottom_up)
+
+    # rebuild the same logical image as a top-down file: flip the stored
+    # row order and negate the height field in BITMAPINFOHEADER
+    row_size = (3 * w + 3) // 4 * 4
+    off = 14 + 40
+    body = np.frombuffer(bottom_up, dtype=np.uint8, offset=off).reshape(h, row_size)
+    top_down = (
+        bottom_up[:14]
+        + struct.pack("<Iii", 40, w, -h)
+        + bottom_up[14 + 12 : off]
+        + body[::-1].tobytes()
+    )
+    gw, gh, got = decode_bmp24_gray(top_down)
+    assert (gw, gh) == (w, h)
+    assert got == want
+    assert resize_bmp_nn(top_down) == resize_bmp_nn(bottom_up)

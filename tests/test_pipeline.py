@@ -112,9 +112,13 @@ def test_quarantine_channel_splits_good_and_corrupt(spark, tmp_path):
     ]
     f = tmp_path / "20220401.jsonl"
     f.write_text("\n".join(lines) + "\n")
-    good, quarantine = read_viewing_log_quarantine(spark, str(f))
+    good, quarantine, cached = read_viewing_log_quarantine(spark, str(f))
     g = {(r["Contract"], r["TotalDuration"]) for r in good.collect()}
     assert g == {("C1", 10), ("C2", 20)}
     q = quarantine.collect()
     assert {r["raw_line"] for r in q} == {"this is not json", '{"broken": '}
     assert all(r["source_file"].endswith("20220401.jsonl") for r in q)
+    # the cached parent is exposed so callers can release the pin
+    assert cached.is_cached
+    cached.unpersist()
+    assert not cached.is_cached

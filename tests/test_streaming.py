@@ -213,3 +213,14 @@ def test_append_mode_emits_exactly_finalized_windows(spark, sf_dir, events_dir, 
     open_windows = {tuple(r) for r in batch.collect()} - finalized
     assert emitted == finalized and finalized
     assert not (emitted & open_windows)
+
+
+def test_stream_defined_over_empty_directory(spark, tmp_path):
+    """A stream must be definable before the first producer file lands
+    (normal startup order); the ts-unit sniff falls back to µs instead
+    of raising on an empty directory."""
+    empty = tmp_path / "events_empty"
+    empty.mkdir()
+    stream = stream_events(spark, str(empty))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"].startswith("timestamp")
