@@ -57,3 +57,47 @@ def test_shuffle_count_does_not_regress(spark, sf_dir, name):
         "a new shuffle is a scale regression; if intentional, update the "
         "baseline with a PERF.md note"
     )
+
+
+class TestSinglePartitionAudit:
+    """The audit tool's single-partition check must actually fire
+    (round-3 verdict: both branches of the old check fell through to
+    ``pass``, so a repartition(1) plan went unflagged)."""
+
+    @staticmethod
+    def _formatted(df):
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+
+    def test_flags_seeded_repartition_1(self, spark):
+        from tools.audit_plans import single_partition_violations
+
+        bad = spark.range(1000).repartition(1).selectExpr("id * 2 AS x")
+        probs = single_partition_violations(self._formatted(bad))
+        assert probs and "repartition(1)" in probs[0]
+
+    def test_flags_non_aggregated_single_partition_funnel(self, spark):
+        from tools.audit_plans import single_partition_violations
+
+        # coalesce-free global sort-merge into one partition via a
+        # window over an empty partitionBy is the classic accidental
+        # funnel: every row through one task
+        from pyspark.sql import Window, functions as F
+
+        bad = spark.range(1000).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        probs = single_partition_violations(self._formatted(bad))
+        assert probs, "empty-partitionBy window funnel must be flagged"
+
+    def test_allows_global_aggregate_and_limit(self, spark):
+        from pyspark.sql import functions as F
+
+        from tools.audit_plans import single_partition_violations
+
+        agg = spark.range(1000).agg(F.sum("id").alias("s"))
+        assert single_partition_violations(self._formatted(agg)) == []
+        lim = spark.range(1000).orderBy("id").limit(5)
+        assert single_partition_violations(self._formatted(lim)) == []

@@ -44,6 +44,57 @@ ALLOW_NESTED_LOOP = {
 }
 
 
+def single_partition_violations(plan: str) -> list[str]:
+    """Non-aggregating single-partition exchanges in a FORMATTED plan.
+
+    In formatted explain mode the partitioning is not on the tree line
+    (the old ``Exchange SinglePartition`` regex never matched anything);
+    it lives in the node's detail block::
+
+        (2) Exchange
+        Input [1]: [id#0L]
+        Arguments: SinglePartition, REPARTITION_BY_NUM, [plan_id=9]
+
+    Legitimate single-partition exchanges are the final step of a global
+    aggregate (child = partial HashAggregate/SortAggregate/
+    ObjectHashAggregate, output is one row per agg) or a global limit
+    (child = LocalLimit, output capped at the limit). An explicit
+    ``repartition(1)`` (REPARTITION_BY_NUM) or any other shape funnels
+    the full relation through one task — the anti-pattern this audit
+    promises to flag."""
+    # detail blocks: node id -> (node name, block text)
+    blocks = {
+        m.group(1): (m.group(2), m.group(0))
+        for m in re.finditer(
+            r"^\((\d+)\) (\w+).*?(?=^\(\d+\) |\Z)", plan, re.MULTILINE | re.DOTALL
+        )
+    }
+    # tree section: node name + indent per line, e.g. "   +- Exchange (2)"
+    tree = plan.split("\n\n", 1)[0]
+    tree_lines = tree.splitlines()
+    probs: list[str] = []
+    for node_id, (name, block) in blocks.items():
+        if not name.startswith("Exchange") or "SinglePartition" not in block:
+            continue
+        if "REPARTITION_BY_NUM" in block:
+            probs.append(f"explicit repartition(1) (Exchange ({node_id}))")
+            continue
+        # locate the exchange in the tree and inspect its first child
+        # (the next line is always the child in a linear chain; Exchange
+        # is unary so no sibling ambiguity)
+        child = None
+        for i, line in enumerate(tree_lines):
+            if f"Exchange ({node_id})" in line and i + 1 < len(tree_lines):
+                child = tree_lines[i + 1]
+                break
+        ok_children = ("HashAggregate", "SortAggregate", "ObjectHashAggregate", "LocalLimit")
+        if child is None or not any(k in child for k in ok_children):
+            probs.append(
+                f"single-partition exchange over non-aggregated rows (Exchange ({node_id}))"
+            )
+    return probs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
@@ -58,11 +109,7 @@ def main() -> int:
             probs.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             probs.append("row-at-a-time PythonUDF")
-        if re.search(r"Exchange SinglePartition", plan) and "noop" not in plan:
-            # global aggregates legitimately reduce to one partition; flag
-            # only when a single-partition exchange carries non-aggregated rows
-            if not re.search(r"Exchange SinglePartition[^\n]*\n\s*\+- \*?\(?\d*\)?\s*HashAggregate", plan):
-                pass  # sort/limit collects are fine at result size
+        probs.extend(single_partition_violations(plan))
         print(f"{'FLAG' if probs else 'ok  '} {name}" + (f": {', '.join(probs)}" if probs else ""))
         if probs:
             failures.append(name)
