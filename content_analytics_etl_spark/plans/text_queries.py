@@ -417,23 +417,24 @@ def doc_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the survivors. Returns per-doc token counts before/after, the
     md5 of the scrubbed text, and the masked fraction.
 
-    Plan shape (all equi-joins, no quadratic step): posexplode tokens
-    and trigram starts → trigram document frequency (compact
-    (tri, df) pairs after map-side partial agg) → inner join starts
-    against the hot-trigram set (output bounded by |starts|) → explode
-    each hot start to its ≤3 covered positions, distinct → left-anti
-    join token positions against covered → per-doc ordered
-    re-assembly via sort_array(collect_list(struct(pos, tok))) (bounded
-    by document length, order-deterministic because pos is unique).
-    At 100 TB every shuffle key is (doc_id[, pos]) or a compact trigram
-    string — linear end-to-end, same skew profile as the shingle
-    inverted index (a trigram present in every doc still joins 1:1
-    against each start occurrence)."""
+    Plan shape (all equi-joins, no quadratic step): posexplode trigram
+    starts → trigram document frequency (compact (tri, df) pairs after
+    map-side partial agg) → inner join starts against the hot-trigram
+    set (output bounded by |starts|) → ``collect_list(start)`` per doc
+    (the shuffle carries ONE row per hot start, not the 3× exploded
+    covered positions the round-3 version distinct-ed — that distinct
+    was the suite's single biggest stage) → span expansion and token
+    filtering entirely array-side: kept positions =
+    ``array_except(sequence(0, n−1), covered)``, a hash-set difference
+    that is O(n + |covered|) per doc and preserves the ascending
+    position order, so the document re-joins without the old
+    (doc_id, pos, tok) anti-join + collect_list re-assembly shuffles.
+    At 100 TB every shuffle key is doc_id or a compact trigram string —
+    linear end-to-end, same skew profile as the shingle inverted index
+    (a trigram present in every doc still joins 1:1 against each start
+    occurrence), and per-doc work is bounded by document length."""
     d = t(spark, sf_dir, "documents")
     base = d.select("doc_id", tokens("text").alias("toks"))
-    tok_pos = base.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    )
     tri_col = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.concat_ws(
@@ -453,40 +454,43 @@ def doc_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     covered = (
         starts.join(hot, "tri")
+        .groupBy("doc_id")
+        .agg(F.collect_list("start").alias("hot_starts"))
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + 2)
-            ).alias("pos"),
+            F.array_distinct(
+                F.flatten(
+                    F.transform("hot_starts", lambda s: F.sequence(s, s + 2))
+                )
+            ).alias("covered"),
         )
-        .distinct()
     )
-    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("scrubbed"),
+    empty_int = F.array().cast("array<int>")
+    kept_pos = F.when(
+        F.size("toks") > 0,
+        F.array_except(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            F.coalesce(F.col("covered"), empty_int),
+        ),
+    ).otherwise(empty_int)
+    joined = base.join(covered, "doc_id", "left").select(
+        "doc_id", "toks", kept_pos.alias("kept_pos")
     )
-    n_tokens = F.col("n_tokens").cast("bigint")
-    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
-    return (
-        d.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_tokens.alias("n_tokens"),
-            n_kept.alias("n_kept"),
-            (n_tokens - n_kept).alias("n_masked"),
-            F.md5(F.coalesce("scrubbed", F.lit(""))).alias("scrubbed_fp"),
-            ((n_tokens - n_kept).cast("double") / n_tokens.cast("double")).alias(
-                "mask_ratio"
-            ),
-        )
+    n_tokens = F.size("toks").cast("bigint")
+    n_kept = F.size("kept_pos").cast("bigint")
+    scrubbed = F.array_join(
+        F.transform("kept_pos", lambda i: F.element_at(F.col("toks"), i + 1)),
+        " ",
+    )
+    return joined.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_kept.alias("n_kept"),
+        (n_tokens - n_kept).alias("n_masked"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        ((n_tokens - n_kept).cast("double") / n_tokens.cast("double")).alias(
+            "mask_ratio"
+        ),
     )
 
 

@@ -33,7 +33,7 @@ MAX_SHUFFLES = {
     "sim_neardup_pairs": 9,
     "sim_semantic_decontaminate": 6,
     "sim_ann_pq_adc": 3,
-    "doc_ngram_scrub": 4,
+    "doc_ngram_scrub": 3,  # r4: per-doc covered-array agg replaced the 3×-exploded distinct
     "doc_winnow": 1,
     "doc_chunk": 0,
     "token_cms_heavy_hitters": 4,
