@@ -75,6 +75,9 @@ HEADLINE = [
     "multimodal_image_resize",
     "multimodal_audio_windows",
     "multimodal_frame_decode",
+    # r4: the end-to-end curation integration showcase (VERDICT r3 #6)
+    "corpus_curation_manifest",
+    "corpus_curation_funnel",
 ]
 
 
