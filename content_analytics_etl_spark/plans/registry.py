@@ -57,86 +57,78 @@ _MODULES = [
 
 # The first 50 names the driver will hash.  One line per family block.
 #
-# Round-4 rotation candidates (added in round 3, no driver verdict yet):
-# doc_ngram_scrub, doc_token_novelty, token_cms_heavy_hitters, doc_chunk,
-# doc_winnow, sim_semantic_decontaminate, multimodal_image_resize,
-# multimodal_audio_windows, multimodal_frame_decode,
-# corpus_curation_manifest — swap in for double-green slots next round.
+# Round-4 rotation (VERDICT r3 #1): after r03's all-green window, 101 of
+# 134 registered queries had a lifetime driver verdict and 33 had NEVER
+# been inside the window.  This round pins 17 family representatives
+# (every family keeps ≥1 slot; all 17 are lifetime-green, several
+# — doc_ngram_scrub's siblings, multimodal_features, flagship — carry
+# round-4 code changes worth re-verifying) and fills the remaining 33
+# slots with EVERY never-verified query, so lifetime driver coverage
+# closes at 134/134 when CORRECTNESS_r04 lands green.
 #
-# Round-3 rotation: 10 slots whose queries were already driver-green in
-# BOTH r01 and r02 (pivot_nulls, join_inner, window_running,
-# events_sliding, events_approx_distinct, events_asof_forward,
-# doc_subword_counts, dedup_exact, sim_brute_topk, kmeans_assign) were
-# swapped for 10 queries that had never received a hard driver verdict
-# (VERDICT r2 #6).  Every family keeps ≥1 representative; lifetime
-# driver-verified distinct queries after r03 ≥ 60.
+# Round-3 rotation note kept for the audit trail: 10 double-green slots
+# were swapped for 10 never-verified queries (VERDICT r2 #6); no query
+# has ever failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    # reference (§2 core) — 7 of 8 (pivot_nulls rotated out, double-green)
-    "flagship_profile",
-    "category_recode",
-    "sentinel_filter_3vl",
-    "device_count_rows",
-    "device_count_distinct",
-    "pivot_explicit",
-    "union_strategy2",
-    # relational: salted-skew + the never-verified bucketed shuffle-free join
-    "join_salted",
-    "join_bucketed",
-    # TPC-H: q1 as the family representative + the three deep queries
-    "tpch_q1_pricing_summary",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # events (+ the z-order clustering layout audit, never verified)
-    "events_partition_pruned",
-    "events_session",
-    "events_json_props",
-    "events_zorder_layout",
-    # warehouse ops: small-file compaction round-trip (new; tumbling
-    # rotated out, driver-green r01+r02)
-    "warehouse_compact_roundtrip",
-    # analytics (+ the CDC MERGE upsert, never verified)
-    "events_gapfill_locf",
-    "dim_scd2_upsert",
-    "events_funnel",
-    "events_cohort_retention",
-    "doc_tfidf_top_terms",
-    "orders_merge_upsert",
-    # temporal — both
-    "events_asof_join",
-    "events_range_join",
-    # text (+ source-mix after its HUGEINT fix, PII scrub, sequence
-    # packing, split assignment — none driver-verified before)
-    "doc_token_stats",
-    "doc_quality",
-    "lang_id",
-    "doc_source_mix",
-    "doc_pii_scrub",
-    "doc_pack_sequences",
-    "doc_split_assign",
-    # graph — both (triangles never verified)
-    "graph_pagerank",
-    "graph_triangles",
-    # dedup
-    "dedup_ngram_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_decontaminate",
-    # similarity (+ PQ-ADC ANN and int8 quantization, never verified)
-    "sim_neardup_pairs",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-    "sim_ann_pq_adc",
-    "embedding_quantize",
-    "embedding_kmeans",
-    # multimodal — metadata+features (re-verify after their r2 typing
-    # fixes), the BMP/WAV round-trip, and the new AVI video round-trip
-    # (frame_plan rotated out, driver-green r02)
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_decode",
-    "multimodal_video_decode",
+    # family representatives (17) — all lifetime driver-green
+    "flagship_profile",            # reference §2 core (r01-r03 green)
+    "join_salted",                 # relational, skew-salted join (r03)
+    "tpch_q1_pricing_summary",     # TPC-H family (r01-r03)
+    "events_partition_pruned",     # events + partition pruning (r03)
+    "events_session",              # sessionization, streaming batch twin (r03)
+    "warehouse_compact_roundtrip", # warehouse ops / compaction (r03)
+    "orders_merge_upsert",         # CDC MERGE (r03)
+    "dim_scd2_upsert",             # SCD2 (r03)
+    "events_asof_join",            # temporal (r03)
+    "doc_token_stats",             # text battery (r03)
+    "doc_tfidf_top_terms",         # text analytics (r03)
+    "graph_pagerank",              # graph (r03)
+    "dedup_minhash_lsh",           # dedup LSH (r03)
+    "sim_ann_ivf_topk",            # ANN (r03)
+    "embedding_kmeans",            # iterative k-means (r03)
+    "multimodal_decode",           # codec round-trip (r03)
+    "multimodal_features",         # pandas-UDF surface; r4 numpy rewrite
+    # never-driver-verified queries (33) — every remaining lifetime gap
+    # relational / window extensions
+    "window_extras",
+    "agg_stats",
+    "lineitem_unpivot",
+    # events: value-distribution battery + derived rollups
+    "events_zscore_outliers",
+    "events_trailing_window",
+    "events_value_percentiles",
+    "events_value_distribution",
+    "events_value_histogram",
+    "events_approx_percentile_bound",
+    "events_daily_from_hourly",
+    "events_type_hourly_pivot",
+    # text: round-3 additions + never-windowed battery members
+    "doc_ngram_scrub",
+    "doc_chunk",
+    "doc_winnow",
+    "doc_token_novelty",
+    "token_cms_heavy_hitters",
+    "doc_quality_gates",
+    "doc_repetition",
+    "doc_sample_stratified",
+    "doc_rolling_hash",
+    "doc_fingerprint",
+    "token_frequency",
+    "bigram_frequency",
+    # dedup extensions
+    "dedup_exact_flags",
+    "dedup_ngram_jaccard",
+    "dedup_keep_best",
+    # curation integration showcase
+    "corpus_curation_manifest",
+    "corpus_curation_funnel",
+    # similarity extensions
+    "sim_semantic_decontaminate",
+    "sim_neardup_exact",
+    # multimodal round-3 additions
+    "multimodal_image_resize",
+    "multimodal_frame_decode",
+    "multimodal_audio_windows",
 ]
 
 
