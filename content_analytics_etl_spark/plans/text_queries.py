@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
-from ._util import t
+from ._util import DEC, t
 
 # Marker vocabularies for the language-ID heuristic. The synthetic corpus
 # draws from one shared vocabulary, so these partition that vocabulary
@@ -692,7 +692,62 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet/Gopher-style LM filter): fit
+    an add-one-smoothed unigram model on the corpus itself, then score
+    every document by cross-entropy H = -(1/n)·Σ log2 p(tok) and
+    perplexity 2^H — high-perplexity docs are the unusual-token-mix
+    outliers a curation pipeline reviews or drops.
+
+    Scale shape: the model IS the (token, tf) relation (|vocab| rows),
+    so "fit" is one map-side-combined agg and "score" is a broadcast
+    join of that tiny model onto per-(doc, token) counts — no per-doc
+    state, no driver round-trip, linear in corpus size at any sf.
+
+    Float determinism (PERF 8/13 policy): the only transcendentals are
+    log2 over shared integers — snapped to a 9 dp grid like tf-idf's
+    ln — and the final 2^H, rounded to 6 dp. The per-doc reduction
+    Σ cnt·log2(tf+1) runs as an exact DECIMAL(18,6) sum, so H is
+    bit-identical under any partitioning and across engines."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    doc_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = (
+        F.col("cnt").cast("double")
+        * F.round(F.log2(F.col("tf").cast("double") + 1.0), 9)
+    ).cast(DEC)
+    per_doc = (
+        doc_tok.join(F.broadcast(tf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_tokens"), F.sum(bits).alias("_sb"))
+    )
+    ce = F.round(
+        F.log2((F.col("n_total") + F.col("vocab")).cast("double")), 9
+    ) - F.col("_sb").cast("double") / F.col("n_tokens").cast("double")
+    # ce is NOT re-rounded: it is a grid-snapped log2 minus one exactly
+    # rounded IEEE division, already bit-identical cross-engine, and a
+    # final round(·, 9) would REINTRODUCE divergence at half-boundary
+    # values (Spark rounds the exact binary value via BigDecimal;
+    # DuckDB rounds via a 1e9 scaled multiply — observed differing on
+    # one sf0.1 doc). The only remaining transcendental, 2^ce, is
+    # snapped to 6 dp.
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            ce.alias("cross_entropy_bits"),
+            F.round(F.pow(F.lit(2.0), ce), 6).alias("perplexity"),
+        )
+    )
+
+
 QUERIES = {
+    "doc_lm_perplexity": doc_lm_perplexity,
     "doc_ngram_scrub": doc_ngram_scrub,
     "doc_chunk": doc_chunk,
     "doc_winnow": doc_winnow,
@@ -740,6 +795,34 @@ ORACLES = {
     # base/tris are referenced more than once — DuckDB inlines CTEs by
     # default and would re-evaluate the tokenization/trigram build per
     # reference (PERF.md finding 9), hence AS MATERIALIZED.
+    "doc_lm_perplexity": f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+        ),
+        tf AS MATERIALIZED (
+          SELECT token, count(1) AS tf FROM tok GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(tf) AS BIGINT) AS n_total, count(1) AS vocab FROM tf
+        ),
+        doc_tok AS (
+          SELECT doc_id, token, count(1) AS cnt FROM tok GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CAST(CAST(cnt AS DOUBLE)
+                               * round(log2(CAST(tf AS DOUBLE) + 1.0), 9)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS sb
+          FROM doc_tok JOIN tf USING (token) GROUP BY 1
+        )
+        SELECT doc_id, n_tokens,
+               round(log2(CAST(n_total + vocab AS DOUBLE)), 9)
+                     - sb / CAST(n_tokens AS DOUBLE) AS cross_entropy_bits,
+               round(pow(2.0, round(log2(CAST(n_total + vocab AS DOUBLE)), 9)
+                     - sb / CAST(n_tokens AS DOUBLE)), 6) AS perplexity
+        FROM per_doc CROSS JOIN tot
+    """,
     "doc_ngram_scrub": f"""
         WITH base AS MATERIALIZED (
           SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
