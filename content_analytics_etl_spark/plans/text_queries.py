@@ -692,6 +692,47 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_MAX_DF = 64  # stop-fingerprint cap: drop hashes in > this many docs
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-span detection (the MOSS pairing step):
+    join documents on shared winnowing fingerprints and report pairs
+    with ≥ ``WINNOW_MIN_SHARED`` distinct shared hashes — the
+    position-robust near-dup signal that catches a copied PARAGRAPH
+    inside otherwise-different documents, which whole-doc MinHash and
+    SimHash both dilute away.
+
+    Scale shape: the fingerprint self-join is an equi-join on fp_hash,
+    and its posting lists are explicitly bounded — fingerprints present
+    in more than ``WINNOW_MAX_DF`` docs are boilerplate (license
+    headers, templates) and are dropped BEFORE the join, the same
+    stop-token discipline as the Jaccard prefix filter's hot-shingle
+    cap. Worst-case join fan-out is therefore |fps|·MAX_DF, linear in
+    the corpus, never the C(df,2) blow-up of an uncapped posting list."""
+    fps = (
+        doc_winnow(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    )
+    dfreq = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
+    kept = fps.join(
+        dfreq.filter(F.col("df") <= WINNOW_MAX_DF).select("fp_hash"), "fp_hash"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score (the CCNet/Gopher-style LM filter): fit
     an add-one-smoothed unigram model on the corpus itself, then score
@@ -747,6 +788,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_ngram_scrub": doc_ngram_scrub,
     "doc_chunk": doc_chunk,
@@ -790,6 +832,39 @@ _CMS_CELL = (
     "CAST(('0x' || substr(md5('cms' || CAST({r} AS VARCHAR) || '|' || {tok}),"
     f" 1, 15)) AS BIGINT) % {CMS_W}"
 )
+
+# Winnowing fingerprint relation, shared by the doc_winnow oracle and the
+# doc_winnow_overlap oracle (which treats it as a subquery). CTE-free on
+# purpose so it composes inside another WITH block.
+_WINNOW_SQL = f"""
+        SELECT DISTINCT doc_id,
+               CAST({(1 << _POS_BITS) - 1} - (sel_key % {1 << _POS_BITS}) AS INT)
+                 AS fp_pos,
+               sel_key // {1 << _POS_BITS} AS fp_hash
+        FROM (
+          SELECT doc_id,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                   AS sel_key,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM (
+            SELECT doc_id, pos,
+                   (CAST(('0x' || substr(md5(tri), 1, 15)) AS BIGINT)
+                      % {WINNOW_M}) * {1 << _POS_BITS}
+                     + ({(1 << _POS_BITS) - 1} - pos) AS key
+            FROM (
+              SELECT doc_id, generate_subscripts(tr, 1) - 1 AS pos,
+                     unnest(tr) AS tri
+              FROM (SELECT doc_id,
+                           list_transform(range(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                             AS tr
+                    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+                    WHERE len(toks) >= 3)
+            )
+          )
+        ) WHERE rn >= {WINNOW_W}
+"""
 
 ORACLES = {
     # base/tris are referenced more than once — DuckDB inlines CTEs by
@@ -888,39 +963,21 @@ ORACLES = {
           FROM documents
         )
     """,
-    "doc_winnow": f"""
-        WITH base AS MATERIALIZED (
-          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    "doc_winnow": _WINNOW_SQL,
+    "doc_winnow_overlap": f"""
+        WITH fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id, fp_hash FROM ({_WINNOW_SQL})
         ),
-        tris AS (
-          SELECT doc_id, generate_subscripts(tr, 1) - 1 AS pos,
-                 unnest(tr) AS tri
-          FROM (SELECT doc_id,
-                       list_transform(range(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                         AS tr
-                FROM base WHERE len(toks) >= 3)
-        ),
-        keyed AS (
-          SELECT doc_id, pos,
-                 (CAST(('0x' || substr(md5(tri), 1, 15)) AS BIGINT)
-                    % {WINNOW_M}) * {1 << _POS_BITS}
-                   + ({(1 << _POS_BITS) - 1} - pos) AS key
-          FROM tris
-        ),
-        anchored AS (
-          SELECT doc_id,
-                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
-                   AS sel_key,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-          FROM keyed
+        kept AS (
+          SELECT fp_hash FROM fps GROUP BY fp_hash
+          HAVING count(1) <= {WINNOW_MAX_DF}
         )
-        SELECT DISTINCT doc_id,
-               CAST({(1 << _POS_BITS) - 1} - (sel_key % {1 << _POS_BITS}) AS INT)
-                 AS fp_pos,
-               sel_key // {1 << _POS_BITS} AS fp_hash
-        FROM anchored WHERE rn >= {WINNOW_W}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(1) AS n_shared_fps
+        FROM fps a
+        JOIN kept k ON a.fp_hash = k.fp_hash
+        JOIN fps b ON b.fp_hash = a.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(1) >= {WINNOW_MIN_SHARED}
     """,
     "doc_token_novelty": f"""
         WITH pairs AS (
