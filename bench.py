@@ -78,6 +78,10 @@ HEADLINE = [
     # r4: the end-to-end curation integration showcase (VERDICT r3 #6)
     "corpus_curation_manifest",
     "corpus_curation_funnel",
+    # r4 additions: LM-quality filter, shared-span pairing, ANN recall audit
+    "doc_lm_perplexity",
+    "doc_winnow_overlap",
+    "sim_ann_recall_audit",
 ]
 
 

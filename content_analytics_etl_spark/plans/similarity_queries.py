@@ -499,7 +499,45 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against exact brute-force
+    ground truth — the measure-don't-guess number you publish before
+    trusting an ANN index: per query, |ANN top-k ∩ exact top-k| / k.
+
+    Both sides are the registry's own queries (sim_brute_topk truncated
+    to ANN_TOPK; sim_ann_lsh_topk), so the audit can never drift from
+    what the engine actually serves. Scale shape: both inputs keep the
+    bounded ≤20-row query relation broadcast against a linear corpus
+    pass; the audit join itself is over ≤ 20·k rows — driver-free and
+    constant-size regardless of corpus scale."""
+    truth = (
+        sim_brute_topk(spark, sf_dir)
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "cand_id")
+    )
+    ann = sim_ann_lsh_topk(spark, sf_dir).select("query_id", "cand_id")
+    hits = (
+        truth.join(ann, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 QUERIES = {
+    "sim_ann_recall_audit": sim_ann_recall_audit,
     "sim_brute_topk": sim_brute_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_semantic_decontaminate": sim_semantic_decontaminate,
@@ -663,6 +701,50 @@ def _km_oracle(iters: int = 3) -> str:
 
 
 ORACLES = {
+    "sim_ann_recall_audit": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        q AS MATERIALIZED (SELECT * FROM e WHERE {_Q_SIDE}),
+        truth AS (
+          SELECT query_id, cand_id FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, cand_id) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                     {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm) AS cosine
+              FROM e c JOIN q ON c.vec_id <> q.vec_id
+            ) s)
+          WHERE rank <= {ANN_TOPK}
+        ),
+        bucketed AS MATERIALIZED (
+          SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM e
+        ),
+        qb AS (SELECT * FROM bucketed WHERE {_Q_SIDE}),
+        ann AS (
+          SELECT query_id, cand_id FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, cand_id) AS rank
+            FROM (
+              SELECT qb.vec_id AS query_id, c.vec_id AS cand_id,
+                     {_DOT(d=DIM, a="qb.v", b="c.v")} / (qb.nrm * c.nrm) AS cosine
+              FROM bucketed c
+              JOIN qb ON c.bucket = qb.bucket AND c.vec_id <> qb.vec_id
+            ) s)
+          WHERE rank <= {ANN_TOPK}
+        ),
+        hits AS (
+          SELECT t.query_id, count(1) AS n_hit
+          FROM truth t JOIN ann a
+            ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+          GROUP BY 1
+        )
+        SELECT b.query_id,
+               CAST(b.n_true AS BIGINT) AS n_true,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                 / CAST(b.n_true AS DOUBLE) AS recall
+        FROM (SELECT query_id, count(1) AS n_true FROM truth GROUP BY 1) b
+        LEFT JOIN hits h ON h.query_id = b.query_id
+    """,
     "sim_brute_topk": f"""
         WITH e AS ({_E_CTE}),
         q AS (SELECT * FROM e WHERE {_Q_SIDE}),
