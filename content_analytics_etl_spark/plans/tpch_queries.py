@@ -147,17 +147,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Sums round-trip through VARCHAR (the _util.py wide-decimal caveat):
+    # at sf1 these cross ~16 significant digits, where DuckDB's two-step
+    # decimal→double cast (int128→double, then /10^scale) drifts 1 ULP
+    # from Spark's correctly-rounded BigDecimal cast. strtod parses
+    # correctly rounded, so the VARCHAR hop matches the JVM at any SF.
     "tpch_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM({_DISC_PRICE}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM({_CHARGE}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / count(CAST(l_quantity AS DECIMAL(18,6))) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / count(CAST(l_extendedprice AS DECIMAL(18,6))) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / count(CAST(l_discount AS DECIMAL(18,6))) AS avg_disc,
                count(1) AS count_order
         FROM lineitem
