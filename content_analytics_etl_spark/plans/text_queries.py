@@ -752,11 +752,15 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical under any partitioning and across engines."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # model counts derive from the per-doc relation, not the raw token
+    # stream — the explode is scanned ONCE and the tf aggregation's
+    # input shrinks from |corpus tokens| to |distinct (doc, token)|
+    # rows (the PERF-18 build-from-the-aggregate discipline).
+    tf = doc_tok.groupBy("token").agg(F.sum("cnt").alias("tf"))
     tot = tf.agg(
         F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("vocab")
     )
-    doc_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     bits = (
         F.col("cnt").cast("double")
         * F.round(F.log2(F.col("tf").cast("double") + 1.0), 9)
