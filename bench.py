@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_lm_perplexity",
     "doc_winnow_overlap",
     "sim_ann_recall_audit",
+    "join_bloom_prefilter",
 ]
 
 

@@ -41,6 +41,9 @@ ALLOW_NESTED_LOOP = {
     "embedding_kmeans": "k-row centroid relation cross join (Lloyd assignment)",
     "graph_pagerank": "1-row node-count aggregate broadcast (rank seeding/teleport)",
     "doc_token_novelty": "1-row corpus-doc-count aggregate broadcast onto per-doc aggs",
+    "doc_lm_perplexity": "1-row (n_total, vocab) model-size aggregate broadcast",
+    "join_bloom_prefilter": "1-row 8-KiB bloom word-array broadcast onto the probe scan",
+    "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
 }
 
 
