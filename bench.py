@@ -83,6 +83,7 @@ HEADLINE = [
     "doc_winnow_overlap",
     "sim_ann_recall_audit",
     "join_bloom_prefilter",
+    "dedup_minhash_estimate_audit",
 ]
 
 

@@ -230,6 +230,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for MinHash (completing the audit trio
+    next to token_cms_heavy_hitters and sim_ann_recall_audit): for
+    every LSH candidate pair, the k=16 signature-agreement fraction
+    (the MinHash Jaccard ESTIMATE) against the exact shingle Jaccard,
+    with the signed error — the number you check before trusting the
+    estimate as a dedup threshold at a scale where exact verification
+    stops being affordable.
+
+    Same linear shapes as dedup_minhash_lsh (band equi-join candidates,
+    signature rows carry 16 bigints); the estimate is per-row integer
+    arithmetic over the two joined signatures, division done once as
+    doubles (IEEE-exact both engines)."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id"], distinct=False)
+    sig = minhash_signature_agg(shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16)
+    bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
+    ba, bb = bands.alias("ba"), bands.alias("bb").hint("merge")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(16)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(16)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(16)
+    )
+    arrs = shingled(d, ["doc_id"])
+    sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_agree.cast("double") / F.lit(16.0)).alias("mh_estimate"),
+            jaccard("sh_a", "sh_b").alias("jaccard"),
+            (
+                n_agree.cast("double") / F.lit(16.0)
+                - jaccard("sh_a", "sh_b")
+            ).alias("est_error"),
+        )
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 over trigram shingles + near-dup pairs within
     hamming ≤ 6, same-lang. Shingle features (not raw tokens): this
@@ -360,6 +418,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_prefix": dedup_ngram_jaccard_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_estimate_audit": dedup_minhash_estimate_audit,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
@@ -435,6 +494,47 @@ ORACLES = {
         WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                 / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
               >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_estimate_audit": f"""
+        WITH sh AS MATERIALIZED ({_SHINGLES_CTE}),
+        shnz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        hb AS (
+          SELECT doc_id, {_TOK_HASH} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS x FROM shnz)
+        ),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+                 {_MH_COLS}
+          FROM hb GROUP BY doc_id
+        ),
+        bands AS (
+          {_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT ba.doc_id AS doc_a, bb.doc_id AS doc_b
+          FROM bands ba JOIN bands bb
+            ON ba.band_idx = bb.band_idx AND ba.band_key = bb.band_key
+           AND ba.doc_id < bb.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(({" + ".join(f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(16))})
+                      AS DOUBLE) / 16.0 AS mh_estimate
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.mh_estimate,
+               CAST(len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(xa.shingles, xb.shingles))) AS DOUBLE)
+                 AS jaccard,
+               e.mh_estimate
+                 - CAST(len(list_intersect(xa.shingles, xb.shingles)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(xa.shingles, xb.shingles))) AS DOUBLE)
+                 AS est_error
+        FROM est e
+        JOIN shnz xa ON xa.doc_id = e.doc_a
+        JOIN shnz xb ON xb.doc_id = e.doc_b
     """,
     "dedup_simhash": f"""
         WITH sh AS ({_SHINGLES_CTE}),
