@@ -30,6 +30,7 @@ __all__ = [
     "read_viewing_log",
     "read_viewing_log_quarantine",
     "read_table",
+    "read_evolved",
     "parquet_ts_unit",
 ]
 
@@ -204,3 +205,29 @@ def read_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    target: T.StructType,
+    *,
+    discover: bool = False,
+) -> DataFrame:
+    """Schema-evolution-tolerant scan of a parquet directory whose files
+    were written across schema versions (columns added over time — the
+    normal life of a 100 TB table).
+
+    Policy (``discover=False``, the production path): read with the
+    DECLARED target schema. Parquet columns match by name, so files
+    missing a newer column yield nulls for it and files carrying extra
+    columns have them pruned at the scan — no ``mergeSchema``, which
+    costs a footer read of EVERY file at planning time and widens the
+    scan schema to the union of history.
+
+    ``discover=True`` is the exploration path: one ``mergeSchema`` scan
+    to learn what the union schema actually is before declaring it.
+    Use it interactively, never in a pipeline."""
+    if discover:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    return spark.read.schema(target).parquet(path)
