@@ -152,6 +152,37 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers by median absolute deviation — the
+    non-parametric twin of events_zscore_outliers (mean/stddev moments
+    are themselves dragged by the outliers they hunt; median/MAD are
+    50%-breakdown robust). Flags events with
+    |value − med| / (1.4826·MAD) > 3.5 per event type.
+
+    Two exact percentile aggregations (the same Spark `percentile` ↔
+    DuckDB `quantile_cont` pairing events_value_percentiles verified
+    hash-exact), each producing a 5-row relation broadcast back onto
+    the stream; scoring is per-row IEEE arithmetic. At scale the exact
+    percentiles swap for approx_percentile sketches (same call shape —
+    see events_approx_percentile_bound for the accuracy audit)."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    z = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(z > 3.5)
+        .select("event_id", "event_type", "value", "med", "mad", z.alias("robust_z"))
+    )
+
+
 def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing 1-hour stats per user — a RANGE frame over
     event time (vs the ROWS frames elsewhere): every event sees the
@@ -286,6 +317,7 @@ QUERIES = {
     "events_type_hourly_pivot": events_type_hourly_pivot,
     "events_approx_distinct": events_approx_distinct,
     "events_value_percentiles": events_value_percentiles,
+    "events_mad_outliers": events_mad_outliers,
 }
 
 _Z_SQL = " + ".join(
@@ -396,6 +428,25 @@ ORACLES = {
                quantile_cont(value, 0.5) AS p50,
                quantile_cont(value, 0.95) AS p95
         FROM events GROUP BY 1
+    """,
+    "events_mad_outliers": """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+               d.adev / (1.4826 * m.mad) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE d.adev / (1.4826 * m.mad) > 3.5
     """,
     "events_type_hourly_pivot": """
         SELECT hour(ts) AS hour_of_day,
