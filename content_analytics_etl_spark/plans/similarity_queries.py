@@ -500,31 +500,43 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k audit of the LSH ANN path against exact brute-force
-    ground truth — the measure-don't-guess number you publish before
-    trusting an ANN index: per query, |ANN top-k ∩ exact top-k| / k.
+    """Recall@k audit of ALL THREE ANN paths (hyperplane-LSH, IVF
+    nprobe, PQ-ADC) against exact brute-force ground truth — the
+    measure-don't-guess table you publish before trusting an ANN index:
+    per (method, query), |ANN top-k ∩ exact top-k| / k.
 
-    Both sides are the registry's own queries (sim_brute_topk truncated
-    to ANN_TOPK; sim_ann_lsh_topk), so the audit can never drift from
-    what the engine actually serves. Scale shape: both inputs keep the
-    bounded ≤20-row query relation broadcast against a linear corpus
-    pass; the audit join itself is over ≤ 20·k rows — driver-free and
-    constant-size regardless of corpus scale."""
+    Every side is the registry's own query (sim_brute_topk truncated to
+    ANN_TOPK; sim_ann_{lsh,ivf}_topk, sim_ann_pq_adc), so the audit can
+    never drift from what the engine actually serves. Scale shape: each
+    input keeps the bounded ≤20-row query relation broadcast against a
+    linear corpus pass; the audit joins run over ≤ 20·k rows —
+    driver-free and constant-size regardless of corpus scale.
+
+    On THIS synthetic corpus the measured recalls are low (sf0.1:
+    ivf ≈ 0.42, lsh ≈ 0.05, pq ≈ 0.02) — the 10 generator clusters
+    nearly overlap, so exact top-3 neighbors are fine-grained while the
+    index parameters (6 planes / 8 cells / 4×8 codebooks) are coarse.
+    That is the audit doing its job: it is the number that tells you to
+    re-tune before trusting the index, measured, not guessed."""
     truth = (
         sim_brute_topk(spark, sf_dir)
         .filter(F.col("rank") <= ANN_TOPK)
         .select("query_id", "cand_id")
     )
-    ann = sim_ann_lsh_topk(spark, sf_dir).select("query_id", "cand_id")
-    hits = (
-        truth.join(ann, ["query_id", "cand_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
     base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return (
-        base.join(hits, "query_id", "left")
-        .select(
+
+    def per_method(method: str, ann: DataFrame) -> DataFrame:
+        hits = (
+            truth.join(
+                ann.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        return base.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
             "query_id",
             "n_true",
             F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
@@ -533,6 +545,11 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_true").cast("double")
             ).alias("recall"),
         )
+
+    return (
+        per_method("lsh", sim_ann_lsh_topk(spark, sf_dir))
+        .unionByName(per_method("ivf", sim_ann_ivf_topk(spark, sf_dir)))
+        .unionByName(per_method("pq", sim_ann_pq_adc(spark, sf_dir)))
     )
 
 
@@ -701,50 +718,6 @@ def _km_oracle(iters: int = 3) -> str:
 
 
 ORACLES = {
-    "sim_ann_recall_audit": f"""
-        WITH e AS MATERIALIZED ({_E_CTE}),
-        q AS MATERIALIZED (SELECT * FROM e WHERE {_Q_SIDE}),
-        truth AS (
-          SELECT query_id, cand_id FROM (
-            SELECT s.*, row_number() OVER (PARTITION BY query_id
-                        ORDER BY cosine DESC, cand_id) AS rank
-            FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                     {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm) AS cosine
-              FROM e c JOIN q ON c.vec_id <> q.vec_id
-            ) s)
-          WHERE rank <= {ANN_TOPK}
-        ),
-        bucketed AS MATERIALIZED (
-          SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM e
-        ),
-        qb AS (SELECT * FROM bucketed WHERE {_Q_SIDE}),
-        ann AS (
-          SELECT query_id, cand_id FROM (
-            SELECT s.*, row_number() OVER (PARTITION BY query_id
-                        ORDER BY cosine DESC, cand_id) AS rank
-            FROM (
-              SELECT qb.vec_id AS query_id, c.vec_id AS cand_id,
-                     {_DOT(d=DIM, a="qb.v", b="c.v")} / (qb.nrm * c.nrm) AS cosine
-              FROM bucketed c
-              JOIN qb ON c.bucket = qb.bucket AND c.vec_id <> qb.vec_id
-            ) s)
-          WHERE rank <= {ANN_TOPK}
-        ),
-        hits AS (
-          SELECT t.query_id, count(1) AS n_hit
-          FROM truth t JOIN ann a
-            ON a.query_id = t.query_id AND a.cand_id = t.cand_id
-          GROUP BY 1
-        )
-        SELECT b.query_id,
-               CAST(b.n_true AS BIGINT) AS n_true,
-               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-               CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
-                 / CAST(b.n_true AS DOUBLE) AS recall
-        FROM (SELECT query_id, count(1) AS n_true FROM truth GROUP BY 1) b
-        LEFT JOIN hits h ON h.query_id = b.query_id
-    """,
     "sim_brute_topk": f"""
         WITH e AS ({_E_CTE}),
         q AS (SELECT * FROM e WHERE {_Q_SIDE}),
@@ -967,3 +940,41 @@ ORACLES = {
         WHERE rank <= {ANN_TOPK}
     """,
 }
+
+
+# Composed AFTER the dict so it can reuse the per-method oracles verbatim
+# (nested WITH inside a CTE body is fine in DuckDB — same pattern as the
+# curation manifest oracle).
+_PER_METHOD_AUDIT = """
+  SELECT '{m}' AS method, b.query_id,
+         b.n_true,
+         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+           / CAST(b.n_true AS DOUBLE) AS recall
+  FROM base b
+  LEFT JOIN (
+    SELECT t.query_id, count(1) AS n_hit
+    FROM truth t JOIN {m} a
+      ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+    GROUP BY 1
+  ) h ON h.query_id = b.query_id
+""".format
+
+ORACLES["sim_ann_recall_audit"] = f"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, cand_id
+      FROM ({ORACLES["sim_brute_topk"]}) WHERE rank <= {ANN_TOPK}
+    ),
+    base AS MATERIALIZED (
+      SELECT query_id, CAST(count(1) AS BIGINT) AS n_true
+      FROM truth GROUP BY 1
+    ),
+    lsh AS ({ORACLES["sim_ann_lsh_topk"]}),
+    ivf AS ({ORACLES["sim_ann_ivf_topk"]}),
+    pq AS ({ORACLES["sim_ann_pq_adc"]})
+    {_PER_METHOD_AUDIT(m="lsh")}
+    UNION ALL
+    {_PER_METHOD_AUDIT(m="ivf")}
+    UNION ALL
+    {_PER_METHOD_AUDIT(m="pq")}
+"""
