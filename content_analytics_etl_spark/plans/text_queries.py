@@ -95,6 +95,31 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-accuracy audit for the lang_id heuristic: the
+    confusion matrix of predicted vs labeled language, with per-cell
+    share of the labeled class — the table that tells you whether the
+    marker sets are good enough BEFORE the prediction drives a
+    filtering decision (same measure-don't-guess discipline as the
+    sketch audits). One aggregation over lang_id's own output, so the
+    audit can never drift from the classifier it grades."""
+    preds = lang_id(spark, sf_dir).select("lang", "lang_pred")
+    per_label = preds.groupBy("lang").agg(F.count(F.lit(1)).alias("n_label"))
+    return (
+        preds.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(per_label, "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            (F.col("n").cast("double") / F.col("n_label").cast("double")).alias(
+                "label_share"
+            ),
+        )
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint of normalized text (md5) + portable 64-bit
     form — the key for exact dedup."""
@@ -811,6 +836,7 @@ QUERIES = {
     "doc_subword_counts": doc_subword_counts,
     "doc_rolling_hash": doc_rolling_hash,
     "lang_id": lang_id,
+    "lang_id_confusion": lang_id_confusion,
     "doc_fingerprint": doc_fingerprint,
     "token_frequency": token_frequency,
     "bigram_frequency": bigram_frequency,
@@ -1221,3 +1247,16 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+# Composed after the dict to reuse the lang_id oracle verbatim (nested
+# WITH inside a CTE body — same pattern as the curation manifest).
+ORACLES["lang_id_confusion"] = f"""
+    WITH preds AS MATERIALIZED ({ORACLES["lang_id"]}),
+    cm AS (SELECT lang, lang_pred, count(1) AS n FROM preds GROUP BY 1, 2),
+    per_label AS (
+      SELECT lang, CAST(count(1) AS BIGINT) AS n_label FROM preds GROUP BY 1
+    )
+    SELECT c.lang, c.lang_pred, c.n,
+           CAST(c.n AS DOUBLE) / CAST(l.n_label AS DOUBLE) AS label_share
+    FROM cm c JOIN per_label l USING (lang)
+"""
