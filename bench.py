@@ -84,6 +84,8 @@ HEADLINE = [
     "sim_ann_recall_audit",
     "join_bloom_prefilter",
     "dedup_minhash_estimate_audit",
+    "events_mad_outliers",
+    "lang_id_confusion",
 ]
 
 

@@ -36,7 +36,12 @@ tail -1 /tmp/round_gate_mimic.log
 echo "== 4/4 bench (sf0.1 headline) =="
 python bench.py > /tmp/round_gate_bench.log 2>&1 \
   || { tail -5 /tmp/round_gate_bench.log; exit 1; }
-grep '"metric"' /tmp/round_gate_bench.log | python -c \
-  'import json,sys; b=json.loads(sys.stdin.read()); print(f"bench: {b[\"value\"]}s over {len(b[\"queries\"])} queries at sf{b[\"sf\"]}")'
+python - <<'PY' || { tail -3 /tmp/round_gate_bench.log; exit 1; }
+import json
+lines = [l.strip() for l in open("/tmp/round_gate_bench.log")
+         if l.strip().startswith('{"metric"')]
+b = json.loads(lines[-1])
+print("bench:", b["value"], "s over", len(b["queries"]), "queries at sf", b["sf"])
+PY
 
 echo "ROUND GATE: all green"
