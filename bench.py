@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_minhash_estimate_audit",
     "events_mad_outliers",
     "lang_id_confusion",
+    "multimodal_png_decode",
 ]
 
 

@@ -519,6 +519,192 @@ def decode_planned_frames(assets: DataFrame, plan: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, base: int) -> bytes:
+    """A real PNG: 8-bit grayscale (color type 0), zlib-compressed IDAT,
+    CRC-checked chunks; pixel v(x, y) = (base + 3x + 5y) % 256. Row y
+    uses filter type y % 5, so every PNG filter (None/Sub/Up/Average/
+    Paeth) appears in every image taller than 4 rows — the decoder has
+    to implement the whole filter spec, not just the easy path.
+    Filtering at ENCODE time is fully vectorized: the encoder knows the
+    reconstructed grid, so left/up/up-left are plain array shifts."""
+    import zlib
+
+    ys = np.arange(height, dtype=np.int64)[:, None]
+    xs = np.arange(width, dtype=np.int64)[None, :]
+    v = ((base + 3 * xs + 5 * ys) % 256).astype(np.int64)
+    left = np.zeros_like(v)
+    left[:, 1:] = v[:, :-1]
+    up = np.zeros_like(v)
+    up[1:, :] = v[:-1, :]
+    upleft = np.zeros_like(v)
+    upleft[1:, 1:] = v[:-1, :-1]
+    # Paeth predictor, vectorized
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+    filtered_by_type = [
+        v,  # 0 None
+        (v - left) % 256,  # 1 Sub
+        (v - up) % 256,  # 2 Up
+        (v - (left + up) // 2) % 256,  # 3 Average
+        (v - paeth) % 256,  # 4 Paeth
+    ]
+    scan = bytearray()
+    for y in range(height):
+        ft = y % 5
+        scan.append(ft)
+        scan.extend(filtered_by_type[ft][y].astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> tuple[int, int, float, int]:
+    """Parse a real PNG (8-bit grayscale, non-interlaced): chunk walk
+    with CRC verification, zlib inflate, and full scanline unfiltering
+    (all 5 filter types). Returns (width, height, mean_pixel,
+    weighted_sum) where weighted_sum = Σ v(x,y)·(1 + x + y·width) —
+    position-sensitive, so a decoder that gets any pixel's LOCATION
+    wrong fails the oracle even if the value multiset matches.
+
+    Unfiltering Sub/Average/Paeth is inherently sequential in x (each
+    pixel needs the RECONSTRUCTED left neighbor), so those rows run a
+    per-pixel loop — at the ≤16-px synthetic widths a numpy round-trip
+    per row would cost more than it saves (the PERF-20 rule cuts both
+    ways); Up rows vectorize since only the previous row is needed."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_code, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype_code != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    prev = np.zeros(width, dtype=np.int64)
+    total = 0
+    wsum = 0
+    for y in range(height):
+        ft = raw[y * stride]
+        filt = np.frombuffer(raw, dtype=np.uint8, count=width, offset=y * stride + 1).astype(np.int64)
+        if ft == 0:
+            recon = filt
+        elif ft == 2:
+            recon = (filt + prev) % 256
+        elif ft in (1, 3, 4):
+            recon = np.empty(width, dtype=np.int64)
+            left = 0
+            for x in range(width):
+                up = int(prev[x])
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - 1]) if x else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                left = (int(filt[x]) + pred) % 256
+                recon[x] = left
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        total += int(recon.sum())
+        wsum += int((recon * (1 + np.arange(width, dtype=np.int64) + y * width)).sum())
+        prev = recon
+    return width, height, total / (width * height), wsum
+
+
+def synthetic_png_assets(documents: DataFrame) -> DataFrame:
+    """Real compressed-image payloads: every doc_id % 3 == 0 becomes a
+    genuine PNG (8-bit grayscale, zlib DEFLATE, all 5 scanline filters;
+    width 8 + d%9, height 4 + d%8, pixel (d%241 + 3x + 5y) % 256)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        encode_png_gray(8 + int(d) % 9, 4 + int(d) % 8, int(d) % 241)
+                        for d in ids
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .filter(F.col("doc_id") % 3 == 0)
+        .mapInPandas(build, schema="asset_id long, payload binary")
+    )
+
+
+def decode_png_properties(assets: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode: chunk walk + CRC check + inflate +
+    unfilter per payload, emitting (width, height, mean_pixel,
+    weighted_sum)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "width": [],
+                "height": [],
+                "mean_pixel": [],
+                "weighted_sum": [],
+            }
+            for payload in pdf["payload"]:
+                w, h, mean, ws = decode_png_gray(bytes(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_pixel"].append(mean)
+                out["weighted_sum"].append(ws)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        schema="asset_id long, width int, height int, "
+        "mean_pixel double, weighted_sum long",
+    )
+
+
 def decode_payload(payload: bytes, kind: str):
     """Decode a payload by kind — real byte-format parsing, stdlib only:
     BMP for image, WAV for audio, AVI (uncompressed DIB frames) for

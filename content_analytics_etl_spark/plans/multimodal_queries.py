@@ -15,12 +15,14 @@ from pyspark.sql import functions as F
 from ..multimodal import (
     audio_window_stats,
     decode_planned_frames,
+    decode_png_properties,
     decode_properties,
     decode_video_properties,
     extract_features,
     resize_images,
     synthetic_assets,
     synthetic_media_assets,
+    synthetic_png_assets,
     synthetic_video_assets,
 )
 from ._util import t
@@ -102,6 +104,21 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_properties(assets)
 
 
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real COMPRESSED-image codec round-trip, stdlib only: build
+    genuine PNGs (zlib DEFLATE IDAT, CRC-checked chunks, all five
+    scanline filter types cycling per row), then parse the bytes back
+    (multimodal.decode_png_gray — chunk walk, CRC verify, inflate,
+    full unfilter). Two chained narrow stages, no shuffle. The oracle
+    recomputes width/height/mean and a position-weighted pixel checksum
+    from the generative formula, so a decoder that misplaces or
+    miscomputes ANY pixel hash-fails — this is the compressed-codec
+    counterpart of the BMP/WAV/AVI round-trips (DEFLATE entropy coding
+    included, not just container parsing)."""
+    assets = synthetic_png_assets(t(spark, sf_dir, "documents"))
+    return decode_png_properties(assets)
+
+
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image preprocessing: encode genuine BMPs, then decode AND
     nearest-neighbor-resize the pixel grid to a fixed 4×2 thumbnail in
@@ -158,6 +175,7 @@ QUERIES = {
     "multimodal_frame_plan": multimodal_frame_plan,
     "multimodal_decode": multimodal_decode,
     "multimodal_video_decode": multimodal_video_decode,
+    "multimodal_png_decode": multimodal_png_decode,
 }
 
 _KIND = (
@@ -272,6 +290,24 @@ ORACLES = {
                  i -> CAST(abs((doc_id * 31 + i * 7) % 2048 - 1024) AS DOUBLE)))
                  AS mean_abs
         FROM documents WHERE doc_id % 2 = 1
+    """,
+    # pixel v(x,y) = (d%241 + 3x + 5y) % 256; both aggregates are exact
+    # integer arithmetic (mean = int sum / n, < 2^53), so element order
+    # in the flattened lists is irrelevant to the hash
+    "multimodal_png_decode": """
+        SELECT doc_id AS asset_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(4 + doc_id % 8 AS INT) AS height,
+               list_avg(flatten(list_transform(range(0, 4 + doc_id % 8),
+                 y -> list_transform(range(0, 8 + doc_id % 9),
+                   x -> CAST((doc_id % 241 + 3*x + 5*y) % 256 AS DOUBLE)))))
+                 AS mean_pixel,
+               CAST(list_sum(flatten(list_transform(range(0, 4 + doc_id % 8),
+                 y -> list_transform(range(0, 8 + doc_id % 9),
+                   x -> ((doc_id % 241 + 3*x + 5*y) % 256)
+                        * (1 + x + y * (8 + doc_id % 9)))))) AS BIGINT)
+                 AS weighted_sum
+        FROM documents WHERE doc_id % 3 = 0
     """,
     "multimodal_video_decode": """
         SELECT doc_id AS asset_id,

@@ -262,3 +262,50 @@ def test_bmp_top_down_negative_height_not_mirrored():
     assert (gw, gh) == (w, h)
     assert got == want
     assert resize_bmp_nn(top_down) == resize_bmp_nn(bottom_up)
+
+
+def test_png_roundtrip_all_filters():
+    """Every PNG scanline filter type must reconstruct exactly; the
+    position-weighted checksum catches misplaced pixels that a plain
+    mean would miss."""
+    from content_analytics_etl_spark.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    for w, h, base in [(1, 1, 0), (8, 4, 17), (16, 11, 100), (9, 7, 240)]:
+        png = encode_png_gray(w, h, base)
+        gw, gh, mean, wsum = decode_png_gray(png)
+        tm = tw = 0
+        for y in range(h):
+            for x in range(w):
+                v = (base + 3 * x + 5 * y) % 256
+                tm += v
+                tw += v * (1 + x + y * w)
+        assert (gw, gh) == (w, h)
+        assert mean == tm / (w * h)
+        assert wsum == tw
+
+
+def test_png_crc_corruption_detected():
+    from content_analytics_etl_spark.multimodal import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    png = bytearray(encode_png_gray(8, 5, 10))
+    # flip one bit inside the IDAT body (after the 8-byte sig + IHDR)
+    idat_at = bytes(png).index(b"IDAT")
+    png[idat_at + 6] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(png))
+
+
+def test_png_rejects_non_png():
+    from content_analytics_etl_spark.multimodal import (
+        decode_png_gray,
+        encode_bmp24,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_gray(encode_bmp24(8, 4, 0))
