@@ -184,6 +184,46 @@ def doc_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_MERGES = 10
+
+
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer TRAINING, relationally: count
+    adjacent character pairs across the corpus weighted by word
+    frequency and report the top ``BPE_TOP_MERGES`` merge candidates —
+    exactly the statistic a byte-pair-encoding trainer maximizes each
+    round (doc_subword_counts APPLIES a fixed pre-tokenizer; this is
+    the other direction, inducing one from the corpus).
+
+    Scale shape: pair counting runs over the (word, wf) relation
+    (|vocab| rows — the PERF-18 build-from-the-aggregate discipline,
+    NOT the raw token stream), explodes ≤ len(word) compact pairs per
+    word, and the top-k is TakeOrderedAndProject (per-partition top-k
+    + a k-row merge, never a global sort). Ties break on pair text, so
+    the k-boundary is deterministic in both engines."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = wf.filter(F.length("w") >= 2).select(
+        "wf",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_MERGES)
+    )
+
+
 ROLLING_B = 31
 ROLLING_M = 2147483647  # 2³¹ − 1; acc·31 + 255 < 2³⁶, overflow-free
 
@@ -837,6 +877,7 @@ QUERIES = {
     "doc_rolling_hash": doc_rolling_hash,
     "lang_id": lang_id,
     "lang_id_confusion": lang_id_confusion,
+    "bpe_first_merges": bpe_first_merges,
     "doc_fingerprint": doc_fingerprint,
     "token_frequency": token_frequency,
     "bigram_frequency": bigram_frequency,
@@ -1259,4 +1300,20 @@ ORACLES["lang_id_confusion"] = f"""
     SELECT c.lang, c.lang_pred, c.n,
            CAST(c.n AS DOUBLE) / CAST(l.n_label AS DOUBLE) AS label_share
     FROM cm c JOIN per_label l USING (lang)
+"""
+
+ORACLES["bpe_first_merges"] = f"""
+    WITH wf AS (
+      SELECT w, count(1) AS wf
+      FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair, wf
+      FROM wf WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_MERGES}
 """
