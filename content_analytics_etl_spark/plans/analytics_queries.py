@@ -106,6 +106,74 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring:
+    recency (days from a customer's last order to the corpus max date),
+    frequency (order count), monetary (decimal-exact total spend), each
+    cut into quintiles, plus the concatenated 'RFM' segment code.
+
+    Scale shape (why NOT ntile): equal-count ntile needs one global
+    sort of every customer through a single partition — the exact
+    anti-pattern tools/audit_plans.py exists to flag. Production RFM
+    bins by QUANTILE THRESHOLDS instead: four exact percentiles per
+    metric (one aggregation; the sketch form swaps in at scale, see
+    events_approx_percentile_bound), broadcast as one row, and the
+    quintile is per-row arithmetic — no global sort, no tie
+    sensitivity (``value > threshold`` is a pure function of the data;
+    the Spark percentile ↔ DuckDB quantile_cont pairing is the one
+    events_value_percentiles already verified hash-exact).
+    Quintile convention: 1 + #(thresholds exceeded) — so recency 1 =
+    most recent, frequency/monetary 5 = heaviest."""
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("_maxd", "_last").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = per_cust.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"_{c}_{int(p * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def quintile(c: str) -> F.Column:
+        score = F.lit(1)
+        for p in (20, 40, 60, 80):
+            score = score + F.when(
+                F.col(c).cast("double") > F.col(f"_{c}_{p}"), 1
+            ).otherwise(0)
+        return score.cast("int")
+
+    return per_cust.crossJoin(F.broadcast(qs)).select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        quintile("recency_days").alias("r_quintile"),
+        quintile("frequency").alias("f_quintile"),
+        quintile("monetary").alias("m_quintile"),
+        F.concat_ws(
+            "",
+            quintile("recency_days"),
+            quintile("frequency"),
+            quintile("monetary"),
+        ).alias("segment"),
+    )
+
+
 def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (`DataFrame.unpivot`, the inverse of the
     reference's A4 pivot) over lineitem's four measure columns, then
@@ -357,6 +425,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_cohort_retention": events_cohort_retention,
     "lineitem_unpivot": lineitem_unpivot,
+    "customer_rfm_segments": customer_rfm_segments,
     "events_value_distribution": events_value_distribution,
     "events_zscore_outliers": events_zscore_outliers,
     "events_value_histogram": events_value_histogram,
@@ -551,3 +620,43 @@ ORACLES = {
         ) p ON TRUE
     """,
 }
+
+def _rfm_quintile_sql(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST({col} AS DOUBLE) > q._{col}_{p} THEN 1 ELSE 0 END)"
+        for p in (20, 40, 60, 80)
+    )
+    return f"CAST(1 + {terms} AS INT)"
+
+
+_RFM_QS = ",\n             ".join(
+    f"quantile_cont(CAST({c} AS DOUBLE), {p / 100}) AS _{c}_{p}"
+    for c in ("recency_days", "frequency", "monetary")
+    for p in (20, 40, 60, 80)
+)
+
+ORACLES["customer_rfm_segments"] = f"""
+    WITH per_cust AS MATERIALIZED (
+      SELECT o_custkey AS c_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             CAST(count(1) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT {_RFM_QS}
+      FROM per_cust
+    )
+    SELECT c_custkey,
+           CAST(recency_days AS INT) AS recency_days,
+           frequency, monetary,
+           {_rfm_quintile_sql("recency_days")} AS r_quintile,
+           {_rfm_quintile_sql("frequency")} AS f_quintile,
+           {_rfm_quintile_sql("monetary")} AS m_quintile,
+           CAST({_rfm_quintile_sql("recency_days")} AS VARCHAR)
+             || CAST({_rfm_quintile_sql("frequency")} AS VARCHAR)
+             || CAST({_rfm_quintile_sql("monetary")} AS VARCHAR) AS segment
+    FROM per_cust CROSS JOIN q
+"""
