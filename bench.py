@@ -87,6 +87,8 @@ HEADLINE = [
     "events_mad_outliers",
     "lang_id_confusion",
     "multimodal_png_decode",
+    "bpe_first_merges",
+    "customer_rfm_segments",
 ]
 
 
