@@ -174,6 +174,58 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFFINITY_MIN_BOTH = 2  # report pairs co-ordered at least this often
+
+
+def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — the association-mining
+    primitive behind 'frequently bought together': for every part pair
+    co-occurring in ≥ ``AFFINITY_MIN_BOTH`` orders, the co-order count,
+    each part's own order count, and lift = P(ab)/(P(a)·P(b)).
+
+    Scale shape: the pair generation is a self-join ON THE ORDER KEY of
+    the distinct (order, part) relation — fan-out is Σ C(k,2) per
+    order, bounded by the ~7-line order cap, so it is linear in orders,
+    never |parts|². Lift is computed as one division of two exact
+    integer products ((n_ab·N) / (n_a·n_b), both < 2^63) — a single
+    IEEE-exact op, bit-identical in any engine, instead of a chain of
+    double multiplies whose association order could drift."""
+    op = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = op.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part_b")
+    ).hint("merge")
+    pairs = (
+        a.join(b, ["okey"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= AFFINITY_MIN_BOTH)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (`DataFrame.unpivot`, the inverse of the
     reference's A4 pivot) over lineitem's four measure columns, then
@@ -426,6 +478,7 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "lineitem_unpivot": lineitem_unpivot,
     "customer_rfm_segments": customer_rfm_segments,
+    "part_affinity": part_affinity,
     "events_value_distribution": events_value_distribution,
     "events_zscore_outliers": events_zscore_outliers,
     "events_value_histogram": events_value_histogram,
@@ -659,4 +712,30 @@ ORACLES["customer_rfm_segments"] = f"""
              || CAST({_rfm_quintile_sql("frequency")} AS VARCHAR)
              || CAST({_rfm_quintile_sql("monetary")} AS VARCHAR) AS segment
     FROM per_cust CROSS JOIN q
+"""
+
+ORACLES["part_affinity"] = f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    supp AS (
+      SELECT l_partkey, CAST(count(1) AS BIGINT) AS n_part FROM op GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(1) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(1) >= {AFFINITY_MIN_BOTH}
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           sa.n_part AS n_a, sb.n_part AS n_b,
+           CAST(p.n_both * n.n_orders AS DOUBLE)
+             / CAST(sa.n_part * sb.n_part AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n
 """

@@ -45,6 +45,7 @@ ALLOW_NESTED_LOOP = {
     "join_bloom_prefilter": "1-row 8-KiB bloom word-array broadcast onto the probe scan",
     "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
+    "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
 }
 
 
