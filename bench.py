@@ -89,6 +89,7 @@ HEADLINE = [
     "multimodal_png_decode",
     "bpe_first_merges",
     "customer_rfm_segments",
+    "part_affinity",
 ]
 
 
