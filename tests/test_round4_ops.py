@@ -130,3 +130,34 @@ def test_ann_recall_audit_bounds(spark):
         assert r["n_true"] == ANN_TOPK
         assert 0 <= r["n_hit"] <= r["n_true"]
         assert abs(r["recall"] - r["n_hit"] / r["n_true"]) < 1e-12
+
+
+def test_rfm_quintiles_and_segment_consistent(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        customer_rfm_segments,
+    )
+
+    rows = customer_rfm_segments(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_quintile"] <= 5
+        assert 1 <= r["f_quintile"] <= 5
+        assert 1 <= r["m_quintile"] <= 5
+        assert r["segment"] == f"{r['r_quintile']}{r['f_quintile']}{r['m_quintile']}"
+        assert r["recency_days"] >= 0
+        assert r["frequency"] >= 1
+
+
+def test_part_affinity_invariants(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        AFFINITY_MIN_BOTH,
+        part_affinity,
+    )
+
+    rows = part_affinity(spark, SF).collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_both"] >= AFFINITY_MIN_BOTH
+        # co-occurrence cannot exceed either side's own order count
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] > 0
