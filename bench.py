@@ -90,6 +90,10 @@ HEADLINE = [
     "bpe_first_merges",
     "customer_rfm_segments",
     "part_affinity",
+    # r4 late additions: SemDeDup, fuzzy edit-distance dedup, mix rebalance
+    "sim_semdedup",
+    "dedup_edit_distance",
+    "corpus_mix_rebalance",
 ]
 
 

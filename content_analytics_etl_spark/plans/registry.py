@@ -71,8 +71,9 @@ _MODULES = [
 # doc_lm_perplexity, doc_winnow_overlap, sim_ann_recall_audit,
 # join_bloom_prefilter, dedup_minhash_estimate_audit,
 # events_mad_outliers, lang_id_confusion, multimodal_png_decode,
-# bpe_first_merges, customer_rfm_segments, part_affinity (all
-# mimic-green at sf0.01 and sf0.1 this round).
+# bpe_first_merges, customer_rfm_segments, part_affinity, sim_semdedup,
+# dedup_edit_distance, corpus_mix_rebalance (all mimic-green at sf0.01
+# and sf0.1 this round).
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

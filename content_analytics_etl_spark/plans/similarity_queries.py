@@ -426,6 +426,69 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(e, cent).select("vec_id", "cid", "d2")
 
 
+SEMDEDUP_COSINE = NEARDUP_COSINE  # one near-dup notion across the module
+
+
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with k-means, then search for near-duplicates ONLY within
+    each cluster and greedily keep the lowest-id member of every
+    duplicate relation. Per vector the report is (vec_id, cid, is_dup,
+    dup_of, max_cosine) where ``dup_of`` is the smallest earlier
+    same-cluster vec_id with cosine ≥ ``SEMDEDUP_COSINE``; the kept set
+    is exactly the rows with ``is_dup = false``.
+
+    Scale shape: assignment is the broadcast-centroid rank-1 window
+    (``kmeans_assign``); the pair search is an equi-join on ``cid``. The
+    within-cluster scan is quadratic in CLUSTER size, not corpus size —
+    SemDeDup's contract is that k grows with the corpus (k ≈ N/target
+    cluster size), holding per-cluster work constant, so total pair work
+    stays linear. k is fixed at ``KMEANS_K`` here only because the test
+    corpus is fixed; the knob, not the plan shape, changes at 100 TB.
+    The merge hint reuses one shuffle of the assigned frame across both
+    sides of the self-join (same trick as ``sim_neardup_pairs``).
+
+    Determinism: cosine is the left-fold dot (bit-identical to DuckDB's
+    sequential list_sum), MAX/MIN aggregates are order-independent, so
+    the hash matches the oracle under any partitioning."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = assign_clusters(e.select("vec_id", "v"), cent).select("vec_id", "cid")
+    m = e.join(assigned, "vec_id")
+    a = m.select(
+        "cid",
+        F.col("vec_id").alias("kept_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        "cid", "vec_id", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    ).hint("merge")
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    hits = (
+        a.join(b, "cid")
+        .filter(F.col("kept_id") < F.col("vec_id"))
+        .select("vec_id", "kept_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_COSINE)
+    )
+    dup = hits.groupBy("vec_id").agg(
+        F.min("kept_id").alias("dup_of"), F.max("cosine").alias("max_cosine")
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        "max_cosine",
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric per-vector quantization — the storage/bandwidth
     step a 100 TB embedding corpus needs before ANN serving (4× smaller
@@ -563,6 +626,7 @@ QUERIES = {
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_ann_pq_adc": sim_ann_pq_adc,
     "kmeans_assign": kmeans_assign,
+    "sim_semdedup": sim_semdedup,
     "embedding_quantize": embedding_quantize,
     "embedding_kmeans": embedding_kmeans,
 }
@@ -807,6 +871,46 @@ ORACLES = {
           FROM e CROSS JOIN cent
         )
         SELECT vec_id, cid, d2 FROM ranked WHERE rk = 1
+    """,
+    # Mirror of sim_semdedup: the assignment CTE is kmeans_assign's
+    # oracle verbatim, the pair scan is a same-cid self-join with the
+    # threshold expression repeated in WHERE (no alias reuse), and the
+    # per-vec report LEFT-JOINs the dup aggregate back on.
+    "sim_semdedup": f"""
+        WITH e AS ({_E_CTE}),
+        cent AS (
+          SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv
+          FROM e WHERE vec_id < {KMEANS_K}
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_DOT(d=DIM, a="v", b="v")}
+                            - 2.0 * {_DOT(d=DIM, a="v", b="cv")}
+                            + {_DOT(d=DIM, a="cv", b="cv")} ASC, cid
+                 ) AS rk
+          FROM e CROSS JOIN cent
+        ),
+        asg AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+        m AS (
+          SELECT a.vec_id, a.v, a.nrm, s.cid
+          FROM e a JOIN asg s USING (vec_id)
+        ),
+        hits AS (
+          SELECT b.vec_id AS vec_id, a.vec_id AS kept_id,
+                 {_DOT(d=DIM, a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cosine
+          FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE {_DOT(d=DIM, a="a.v", b="b.v")} / (a.nrm * b.nrm)
+                >= {SEMDEDUP_COSINE}
+        ),
+        dup AS (
+          SELECT vec_id, min(kept_id) AS dup_of, max(cosine) AS max_cosine
+          FROM hits GROUP BY vec_id
+        )
+        SELECT s.vec_id, s.cid, dup.dup_of IS NOT NULL AS is_dup,
+               dup.dup_of, dup.max_cosine
+        FROM asg s LEFT JOIN dup ON s.vec_id = dup.vec_id
     """,
     "embedding_kmeans": _km_oracle(),
     "sim_ann_ivf_topk": f"""

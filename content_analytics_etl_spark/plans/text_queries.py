@@ -294,6 +294,77 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_MAX_EPOCHS = 4.0  # upsampling cap: repeat a cell at most 4 epochs
+
+
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing plan — the step after ``doc_source_mix``
+    measures the corpus: given a uniform target share per (source, lang)
+    cell, emit each cell's sampling weight, its epoch count (the weight
+    capped at ``MIX_MAX_EPOCHS`` — the standard guard against repeating
+    a tiny source until it memorizes), the token budget the rebalanced
+    mix draws from the cell, and the cell's share of the rebalanced
+    corpus. This is the deterministic skeleton of a DoReMi/Pile-style
+    mixture recipe: downstream sampling multiplies each cell's rows by
+    ``epochs``.
+
+    Scale shape: one map-side-combined agg to |source|×|lang| rows, then
+    every global quantity (total tokens, cell count, rebalanced total)
+    is a 1-row broadcast onto that tiny frame — no windowed global sum
+    over corpus rows, no single-partition exchange of anything wider
+    than the cell table.
+
+    Determinism: shares and epoch caps are per-row double arithmetic;
+    the only cross-row double reduction (the rebalanced token total) is
+    summed through an exact DECIMAL(28,12) cast on both engines."""
+    d = t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", "lang", F.size(tokens("text")).alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_cells")
+    )
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_tot").cast("double")).alias(
+            "token_share"
+        ),
+        (F.lit(1.0) / F.col("_cells").cast("double")).alias("target_share"),
+    )
+    exp = base.withColumn(
+        "epochs",
+        F.least(
+            F.col("target_share") / F.col("token_share"), F.lit(MIX_MAX_EPOCHS)
+        ),
+    ).withColumn(
+        "expected_tokens", F.col("n_tokens").cast("double") * F.col("epochs")
+    )
+    etot = exp.agg(
+        F.sum(F.col("expected_tokens").cast("decimal(28,12)"))
+        .cast("double")
+        .alias("_etot")
+    )
+    return exp.crossJoin(F.broadcast(etot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        "target_share",
+        "epochs",
+        "expected_tokens",
+        (F.col("expected_tokens") / F.col("_etot")).alias("expected_share"),
+    )
+
+
 EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
 PHONE_RE = "[+]1-[0-9]{3}-[0-9]{4}"
 GATE_MIN_TOKENS = 20
@@ -870,6 +941,7 @@ QUERIES = {
     "doc_quality_gates": doc_quality_gates,
     "doc_repetition": doc_repetition,
     "doc_source_mix": doc_source_mix,
+    "corpus_mix_rebalance": corpus_mix_rebalance,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
@@ -1203,6 +1275,43 @@ ORACLES = {
                CAST(n_tokens AS DOUBLE)
                  / CAST((SELECT sum(n_tokens) FROM per) AS DOUBLE) AS token_share
         FROM per
+    """,
+    # Mirror of corpus_mix_rebalance: HUGEINT sums cast to BIGINT, all
+    # literals cast to DOUBLE explicitly (DuckDB float literals are
+    # DECIMAL), and the rebalanced total runs through the same
+    # DECIMAL(28,12) exact-sum policy as the Spark side.
+    "corpus_mix_rebalance": f"""
+        WITH per AS (
+          SELECT source, lang, count(1) AS n_docs,
+                 CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT CAST(sum(n_tokens) AS BIGINT) AS _tot, count(1) AS _cells
+          FROM per
+        ),
+        base AS (
+          SELECT source, lang, n_docs, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / CAST(_tot AS DOUBLE) AS token_share,
+                 CAST(1.0 AS DOUBLE) / CAST(_cells AS DOUBLE) AS target_share
+          FROM per CROSS JOIN tot
+        ),
+        exp AS (
+          SELECT *,
+                 least(target_share / token_share,
+                       CAST({MIX_MAX_EPOCHS} AS DOUBLE)) AS epochs,
+                 CAST(n_tokens AS DOUBLE)
+                   * least(target_share / token_share,
+                           CAST({MIX_MAX_EPOCHS} AS DOUBLE)) AS expected_tokens
+          FROM base
+        )
+        SELECT source, lang, n_docs, n_tokens, token_share, target_share,
+               epochs, expected_tokens,
+               expected_tokens
+                 / (SELECT CAST(sum(CAST(expected_tokens AS DECIMAL(28,12)))
+                                AS DOUBLE)
+                    FROM exp) AS expected_share
+        FROM exp
     """,
     "doc_sample_stratified": f"""
         SELECT doc_id, lang, n_chars

@@ -1,0 +1,157 @@
+"""Invariant tests for the round-4 additions sim_semdedup,
+dedup_edit_distance, and corpus_mix_rebalance. Each query already has a
+DuckDB oracle; these tests instead pin the DEFINING property against an
+independent in-process reimplementation (numpy pairwise cosine, a
+pure-Python Wagner-Fischer DP) or against the algebra the result must
+satisfy (shares sum to 1, epoch caps bind exactly where they should).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from content_analytics_etl_spark.plans.dedup_queries import (
+    EDIT_MAX_DIST,
+    EDIT_PREFIX,
+    dedup_edit_distance,
+)
+from content_analytics_etl_spark.plans.similarity_queries import (
+    KMEANS_K,
+    SEMDEDUP_COSINE,
+    sim_semdedup,
+)
+from content_analytics_etl_spark.plans.text_queries import (
+    MIX_MAX_EPOCHS,
+    corpus_mix_rebalance,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_texts(spark):
+    return {
+        r["doc_id"]: r["nt"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            F.trim(
+                F.regexp_replace(F.lower("text"), r"\s+", " ")
+            ).alias("nt"),
+        )
+        .collect()
+    }
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_semdedup_matches_numpy_reimplementation(spark):
+    """Exact dup-set equality vs a from-scratch numpy SemDeDup: same
+    fixed centroids (lowest-K ids), nearest-centroid assignment with
+    the same tie rule, exhaustive within-cluster pairs, greedy
+    keep-lowest-id at the same threshold."""
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array(
+        [rows[i]["embedding"] for i in order], dtype=np.float64
+    )
+    cent = V[ids < KMEANS_K]
+    d2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)  # argmin takes lowest index on ties
+    nrm = np.linalg.norm(V, axis=1)
+    want_dup_of: dict[int, int] = {}
+    for c in range(len(cent)):
+        members = ids[cid == c]
+        M = V[cid == c]
+        n = nrm[cid == c]
+        cos = (M @ M.T) / np.outer(n, n)
+        for j in range(len(members)):
+            earlier = [
+                int(members[i])
+                for i in range(j)
+                if cos[i, j] >= SEMDEDUP_COSINE - 1e-12
+            ]
+            if earlier:
+                want_dup_of[int(members[j])] = min(earlier)
+
+    got = {
+        r["vec_id"]: (r["is_dup"], r["dup_of"])
+        for r in sim_semdedup(spark, SF).collect()
+    }
+    assert len(got) == len(ids)
+    got_dups = {k: v[1] for k, v in got.items() if v[0]}
+    assert got_dups == want_dup_of
+    assert want_dup_of, "fixture should contain at least one semantic dup"
+    for k, (is_dup, dup_of) in got.items():
+        assert is_dup == (dup_of is not None)
+
+
+def test_edit_distance_pairs_verified_by_python_dp(spark):
+    """Every reported pair re-verifies under an independent DP
+    Levenshtein, shares the blocking prefix, and every exact duplicate
+    (distance 0 between normalized texts) that the blocking key can see
+    is reported."""
+    texts = _norm_texts(spark)
+    out = dedup_edit_distance(spark, SF).collect()
+    for r in out:
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        assert r["doc_a"] < r["doc_b"]
+        assert a[:EDIT_PREFIX] == b[:EDIT_PREFIX]
+        d = _levenshtein(a, b)
+        assert d == r["dist"] <= EDIT_MAX_DIST
+        assert r["len_a"] == len(a) and r["len_b"] == len(b)
+        assert math.isclose(
+            r["sim"], 1.0 - d / max(len(a), len(b)), rel_tol=1e-12
+        )
+    reported = {(r["doc_a"], r["doc_b"]) for r in out}
+    by_text: dict[str, int] = {}
+    for doc_id in sorted(texts):
+        nt = texts[doc_id]
+        if nt in by_text:
+            assert (by_text[nt], doc_id) in reported
+        else:
+            by_text[nt] = doc_id
+
+
+def test_mix_rebalance_algebra(spark):
+    """Shares sum to 1 on both sides of the rebalance, epochs respect
+    the cap and bind exactly when the uncapped weight exceeds it, and
+    the expected token budget is n_tokens x epochs."""
+    rows = corpus_mix_rebalance(spark, SF).collect()
+    assert rows
+    cells = len(rows)
+    assert math.isclose(sum(r["token_share"] for r in rows), 1.0, rel_tol=1e-9)
+    assert math.isclose(
+        sum(r["expected_share"] for r in rows), 1.0, rel_tol=1e-9
+    )
+    for r in rows:
+        assert math.isclose(r["target_share"], 1.0 / cells, rel_tol=1e-12)
+        assert 0.0 < r["epochs"] <= MIX_MAX_EPOCHS
+        raw = r["target_share"] / r["token_share"]
+        if raw >= MIX_MAX_EPOCHS:
+            assert r["epochs"] == MIX_MAX_EPOCHS
+        else:
+            assert math.isclose(r["epochs"], raw, rel_tol=1e-12)
+        assert math.isclose(
+            r["expected_tokens"], r["n_tokens"] * r["epochs"], rel_tol=1e-12
+        )

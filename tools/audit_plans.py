@@ -46,6 +46,9 @@ ALLOW_NESTED_LOOP = {
     "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
+    "sim_semdedup": "k-row centroid relation cross join (Lloyd assignment)",
+    "corpus_mix_rebalance": "two 1-row total aggregates broadcast onto the "
+    "|source|x|lang| cell table",
 }
 
 
