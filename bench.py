@@ -94,6 +94,9 @@ HEADLINE = [
     "sim_semdedup",
     "dedup_edit_distance",
     "corpus_mix_rebalance",
+    "doc_char_entropy",
+    "events_top_paths",
+    "events_distinct_sketch_rollup",
 ]
 
 

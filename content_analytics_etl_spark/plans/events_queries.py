@@ -305,6 +305,109 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_LEN = 8  # first N events define a user's path signature
+TOP_PATHS = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 20 most common early user journeys, where a
+    journey is the '>'-joined sequence of a user's first 8 event types
+    in (ts, event_id) order. One shuffle to assemble per-user sequences
+    (collect_list bounded by per-user event counts; the slice caps the
+    downstream key at 8 types), one agg over path strings, then a
+    top-k row_number over the ALREADY-AGGREGATED path table — the
+    single-partition exchange carries |distinct paths| aggregate rows,
+    not events (same top-k shape as ``order_limit``).
+
+    Determinism: sort_array on (ts, event_id, event_type) structs is a
+    total order because (ts, event_id) is unique, mirroring the SQL
+    ``list(... ORDER BY ts, event_id)`` exactly."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    path = F.array_join(
+        F.transform(F.slice("seq", 1, PATH_LEN), lambda x: x["event_type"]),
+        ">",
+    )
+    cnt = (
+        per.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = W.orderBy(F.col("n_users").desc(), "path")
+    return cnt.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_PATHS
+    )
+
+
+SKETCH_M = 64  # registers
+RHO_CAP = 55  # ρ when the 54-bit suffix is all zeros
+LOGLOG_ALPHA = 0.39701  # Durand-Flajolet asymptotic constant
+
+
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch AS DATA — the pre-aggregation
+    pattern behind every 100 TB "distinct users per day, and for any
+    ad-hoc day range" dashboard. ``events_approx_distinct`` uses the
+    engine's opaque HLL++; this builds a PORTABLE Durand-Flajolet
+    LogLog register table (m=64) from the repo's md5 hash, so partials
+    are plain (key, register, max-ρ) rows any engine can merge with
+    MAX — the daily sketches roll up to the all-days estimate without
+    rescanning events, exactly how a warehouse materializes per-day
+    sketch partials once and serves arbitrary ranges.
+
+    ρ is pure integer bit arithmetic (bit_count of the isolated lowest
+    set bit minus one — no transcendental), and the one float step, the
+    2^mean estimator, is rounded to 6 dp like ``doc_lm_perplexity``'s
+    2^H so both engines agree bit-for-bit. The exact per-day distinct
+    rides along to expose the sketch's error; estimate accuracy itself
+    is LogLog's ±1.3/√m (≈16%), not a correctness property."""
+    e = t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    ev = e.select(F.date_trunc("day", "ts").alias("day"), "user_id", h.alias("h"))
+    rest = F.shiftright("h", 6)
+    rho = (
+        F.when(rest == 0, F.lit(RHO_CAP))
+        .otherwise(F.bit_count(rest.bitwiseAND(-rest) - 1) + 1)
+        .cast("int")
+    )
+    ev = ev.select(
+        "day", "user_id", F.col("h").bitwiseAND(SKETCH_M - 1).alias("r"), rho.alias("rho")
+    )
+    day_regs = ev.groupBy("day", "r").agg(F.max("rho").alias("mx"))
+    est = F.round(
+        F.lit(LOGLOG_ALPHA * SKETCH_M)
+        * F.pow(F.lit(2.0), F.col("s").cast("double") / F.lit(float(SKETCH_M))),
+        6,
+    )
+    per_day = (
+        day_regs.groupBy("day")
+        .agg(F.sum("mx").alias("s"))
+        .join(e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.countDistinct("user_id").alias("exact_users")), "day")
+        .select("day", est.alias("est_users"), "exact_users")
+    )
+    # all-days row: merge the DAILY register tables (max per register),
+    # never rescanning events — the rollup property under test
+    total = (
+        day_regs.groupBy("r")
+        .agg(F.max("mx").alias("mx"))
+        .agg(F.sum("mx").alias("s"))
+        .crossJoin(F.broadcast(e.agg(F.countDistinct("user_id").alias("exact_users"))))
+        .select(
+            F.lit(None).cast("timestamp").alias("day"),
+            est.alias("est_users"),
+            "exact_users",
+        )
+    )
+    return per_day.unionByName(total)
+
+
 QUERIES = {
     "events_partition_pruned": events_partition_pruned,
     "events_zorder_layout": events_zorder_layout,
@@ -318,6 +421,8 @@ QUERIES = {
     "events_approx_distinct": events_approx_distinct,
     "events_value_percentiles": events_value_percentiles,
     "events_mad_outliers": events_mad_outliers,
+    "events_top_paths": events_top_paths,
+    "events_distinct_sketch_rollup": events_distinct_sketch_rollup,
 }
 
 _Z_SQL = " + ".join(
@@ -456,5 +561,65 @@ ORACLES = {
                count(1) FILTER (event_type = 'signup') AS n_signup,
                count(1) FILTER (event_type = 'error') AS n_error
         FROM events GROUP BY 1
+    """,
+    # Mirror of events_top_paths: list(... ORDER BY ts, event_id) is the
+    # same total order sort_array imposes on (ts, event_id, type) structs.
+    "events_top_paths": f"""
+        WITH per AS (
+          SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY 1
+        ),
+        p AS (
+          SELECT array_to_string(seq[1:{PATH_LEN}], '>') AS path FROM per
+        ),
+        c AS (SELECT path, count(1) AS n_users FROM p GROUP BY 1)
+        SELECT path, n_users, rank FROM (
+          SELECT *, row_number() OVER (ORDER BY n_users DESC, path) AS rank
+          FROM c)
+        WHERE rank <= {TOP_PATHS}
+    """,
+    # Mirror of events_distinct_sketch_rollup: identical md5-derived
+    # 60-bit hash, pure-integer rho (bit_count of isolated lowest set
+    # bit minus one), register MAX merge, and the 6 dp-rounded 2^mean
+    # estimator.
+    "events_distinct_sketch_rollup": f"""
+        WITH ev AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) AS h
+          FROM events
+        ),
+        rows_ AS (
+          SELECT day, user_id, h & {SKETCH_M - 1} AS r,
+                 CASE WHEN (h >> 6) = 0 THEN {RHO_CAP}
+                      ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1
+                 END AS rho
+          FROM ev
+        ),
+        day_regs AS (
+          SELECT day, r, max(rho) AS mx FROM rows_ GROUP BY 1, 2
+        ),
+        per_day AS (
+          SELECT d.day,
+                 round({LOGLOG_ALPHA} * {SKETCH_M}
+                       * pow(2.0, CAST(d.s AS DOUBLE) / {SKETCH_M}.0),
+                       6) AS est_users,
+                 x.exact_users
+          FROM (SELECT day, CAST(sum(mx) AS BIGINT) AS s
+                FROM day_regs GROUP BY 1) d
+          JOIN (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY 1) x USING (day)
+        ),
+        total AS (
+          SELECT CAST(NULL AS TIMESTAMP) AS day,
+                 round({LOGLOG_ALPHA} * {SKETCH_M}
+                       * pow(2.0, CAST(t.s AS DOUBLE) / {SKETCH_M}.0),
+                       6) AS est_users,
+                 (SELECT count(DISTINCT user_id) FROM events) AS exact_users
+          FROM (SELECT CAST(sum(mx) AS BIGINT) AS s
+                FROM (SELECT r, max(mx) AS mx FROM day_regs GROUP BY 1)) t
+        )
+        SELECT * FROM per_day UNION ALL SELECT * FROM total
     """,
 }

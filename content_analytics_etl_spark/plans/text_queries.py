@@ -243,6 +243,43 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", h.alias("rolling_hash"))
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/binary-spill quality gate (mojibake and base64 blobs sit
+    far above natural-language entropy, repeated-char spam far below).
+    H = log2(n) − (Σ c·log2(c))/n over per-character counts c of the
+    normalized text, so the only transcendental inputs are log2 of
+    SHARED INTEGERS — snapped to the 9 dp grid exactly like
+    ``doc_lm_perplexity``'s — and the per-doc reduction runs through the
+    exact DECIMAL(18,6) sum, making H bit-identical across engines and
+    partitionings.
+
+    Scale shape: explode to (doc, char) rows → two map-side-combined
+    aggs (per-(doc,char) count, then per-doc). The char alphabet bounds
+    the first agg's fan-in (≤ alphabet size per doc), so state is tiny
+    however long the document."""
+    d = t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split(norm_text("text"), "")).alias("ch")
+    )
+    per = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    bits = (
+        F.col("cnt").cast("double")
+        * F.round(F.log2(F.col("cnt").cast("double")), 9)
+    ).cast(DEC)
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars_norm"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(bits).cast("double").alias("_bits"),
+    )
+    ent = F.round(F.log2(F.col("n_chars_norm").cast("double")), 9) - F.col(
+        "_bits"
+    ) / F.col("n_chars_norm").cast("double")
+    return agg.select(
+        "doc_id", "n_chars_norm", "n_distinct_chars", ent.alias("entropy_bits")
+    )
+
+
 SAMPLE_BUCKETS = 10
 SAMPLE_KEEP = 2  # keep buckets 0,1 → deterministic 20 %
 
@@ -943,6 +980,7 @@ QUERIES = {
     "doc_source_mix": doc_source_mix,
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "doc_sample_stratified": doc_sample_stratified,
+    "doc_char_entropy": doc_char_entropy,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_subword_counts": doc_subword_counts,
@@ -1318,6 +1356,29 @@ ORACLES = {
         FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % {SAMPLE_BUCKETS} < {SAMPLE_KEEP}
+    """,
+    # Mirror of doc_char_entropy: same char explode as doc_rolling_hash
+    # (string_split_regex ↔ F.split on ''), log2 over shared integers on
+    # the 9 dp grid, DECIMAL(18,6)-exact per-doc reduction.
+    "doc_char_entropy": f"""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '')) AS ch
+          FROM documents
+        ),
+        per AS (SELECT doc_id, ch, count(1) AS cnt FROM ch GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(cnt) AS BIGINT) AS n_chars_norm,
+                 count(1) AS n_distinct_chars,
+                 CAST(sum(CAST(CAST(cnt AS DOUBLE)
+                               * round(log2(CAST(cnt AS DOUBLE)), 9)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS _bits
+          FROM per GROUP BY 1
+        )
+        SELECT doc_id, n_chars_norm, n_distinct_chars,
+               round(log2(CAST(n_chars_norm AS DOUBLE)), 9)
+                 - _bits / CAST(n_chars_norm AS DOUBLE) AS entropy_bits
+        FROM agg
     """,
     "doc_token_stats": f"""
         SELECT doc_id,

@@ -1,0 +1,132 @@
+"""Invariant tests for doc_char_entropy, events_top_paths, and
+events_distinct_sketch_rollup — each pinned against an independent
+pure-Python recomputation (collections.Counter entropy, per-user path
+assembly, a from-scratch LogLog register table), not just the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from content_analytics_etl_spark.plans.events_queries import (
+    LOGLOG_ALPHA,
+    PATH_LEN,
+    RHO_CAP,
+    SKETCH_M,
+    TOP_PATHS,
+    events_distinct_sketch_rollup,
+    events_top_paths,
+)
+from content_analytics_etl_spark.plans.text_queries import doc_char_entropy
+
+SF = "/root/testdata/sf0.001"
+
+
+def _snap_log2(x: float) -> float:
+    return round(math.log2(x), 9)
+
+
+def test_char_entropy_matches_counter(spark):
+    docs = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower()).strip()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r["doc_id"]: r for r in doc_char_entropy(spark, SF).collect()}
+    assert set(got) == set(docs)
+    for doc_id, nt in docs.items():
+        c = Counter(nt)
+        n = sum(c.values())
+        r = got[doc_id]
+        assert r["n_chars_norm"] == n
+        assert r["n_distinct_chars"] == len(c)
+        # mirror the engine's exact-DECIMAL(18,6) reduction: each
+        # double term is HALF_UP-quantized to 6 dp before the sum
+        bits = float(
+            sum(
+                Decimal(cnt * _snap_log2(cnt)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+                for cnt in c.values()
+            )
+        )
+        want = _snap_log2(n) - bits / n
+        assert math.isclose(r["entropy_bits"], want, rel_tol=1e-9)
+        assert 0.0 <= r["entropy_bits"] <= math.log2(len(c)) + 1e-9
+
+
+def test_top_paths_matches_python_assembly(spark):
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    paths = Counter(
+        ">".join(t for _, _, t in sorted(seq)[:PATH_LEN])
+        for seq in by_user.values()
+    )
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_PATHS]
+    want = {p: (n, i + 1) for i, (p, n) in enumerate(ranked)}
+    got = {
+        r["path"]: (r["n_users"], r["rank"])
+        for r in events_top_paths(spark, SF).collect()
+    }
+    assert got == want and got
+
+
+def _h60(user_id: int) -> int:
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:15], 16)
+
+
+def _rho(h: int) -> int:
+    rest = h >> 6
+    if rest == 0:
+        return RHO_CAP
+    return ((rest & -rest) - 1).bit_count() + 1
+
+
+def test_sketch_rollup_matches_python_loglog(spark):
+    """The per-day register tables and the max-merged all-days row both
+    match a from-scratch LogLog; the total row NEVER rescans events —
+    its registers must equal the elementwise max of the daily ones."""
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("ts", "user_id")
+        .collect()
+    )
+    day_regs: dict = defaultdict(lambda: [0] * SKETCH_M)
+    exact: dict = defaultdict(set)
+    for r in ev:
+        day = r["ts"].date()
+        h = _h60(r["user_id"])
+        reg = h & (SKETCH_M - 1)
+        day_regs[day][reg] = max(day_regs[day][reg], _rho(h))
+        exact[day].add(r["user_id"])
+
+    def est(regs: list[int]) -> float:
+        return round(
+            LOGLOG_ALPHA * SKETCH_M * 2.0 ** (sum(regs) / SKETCH_M), 6
+        )
+
+    merged = [
+        max(day_regs[d][j] for d in day_regs) for j in range(SKETCH_M)
+    ]
+    want = {
+        d: (est(day_regs[d]), len(exact[d])) for d in day_regs
+    }
+    want[None] = (est(merged), len(set().union(*exact.values())))
+
+    got = {}
+    for r in events_distinct_sketch_rollup(spark, SF).collect():
+        key = r["day"].date() if r["day"] is not None else None
+        got[key] = (r["est_users"], r["exact_users"])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        assert math.isclose(got[k][0], want[k][0], rel_tol=1e-9), k

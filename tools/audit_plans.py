@@ -49,6 +49,8 @@ ALLOW_NESTED_LOOP = {
     "sim_semdedup": "k-row centroid relation cross join (Lloyd assignment)",
     "corpus_mix_rebalance": "two 1-row total aggregates broadcast onto the "
     "|source|x|lang| cell table",
+    "events_distinct_sketch_rollup": "cross join of two 1-row aggregates "
+    "(merged-register sum x exact total) for the all-days row",
 }
 
 
