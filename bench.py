@@ -97,6 +97,8 @@ HEADLINE = [
     "doc_char_entropy",
     "events_top_paths",
     "events_distinct_sketch_rollup",
+    "events_markov_transitions",
+    "dedup_containment",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "common_neighbor_scores"]
 
 
 def connected_components(
@@ -60,3 +60,38 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+def common_neighbor_scores(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Link-prediction scores over an undirected pair list: for every
+    NON-edge (node_a < node_b) sharing >= 1 neighbor, the
+    common-neighbor count and neighborhood Jaccard. ``pairs`` must be
+    canonical (a < b per row). Wedge enumeration is one self-equi-join
+    of the symmetrized edges on the middle vertex — linear in wedge
+    count (sum of deg^2), all equi-joins."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    cn = (
+        edges.alias("x")
+        .join(edges.alias("y").hint("merge"), F.col("x.dst") == F.col("y.src"))
+        .filter(F.col("x.src") < F.col("y.dst"))
+        .groupBy(F.col("x.src").alias("node_a"), F.col("y.dst").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    ex = pairs.select(F.col(a).alias("node_a"), F.col(b).alias("node_b"))
+    cand = cn.join(ex, ["node_a", "node_b"], "left_anti")
+    da = deg.select(F.col("src").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("node_b"), F.col("deg").alias("deg_b"))
+    jac = F.col("common_neighbors").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")
+    ).cast("double")
+    return (
+        cand.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a", "node_b", "common_neighbors", "deg_a", "deg_b",
+            jac.alias("jaccard"),
+        )
+    )

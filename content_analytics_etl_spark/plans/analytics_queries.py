@@ -283,6 +283,38 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the generative twin of ``events_top_paths``'s frequent
+    journeys (path mining shows WHAT happens, the transition matrix
+    shows the per-step dynamics and feeds simulation/anomaly scoring).
+    ``lead`` over (user_id | ts, event_id) pairs each event with its
+    successor; transition probability is the count normalized within
+    the from-state. One window shuffle keyed by user_id, one compact
+    aggregation; the normalizing window runs over the ALREADY-AGGREGATED
+    |types|² matrix, partitioned by from_type — nothing global."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = F.sum("n_transitions").over(W.partitionBy("from_type"))
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / tot.cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (width 10) of value per event type —
     binning is row-local arithmetic, one compact aggregation."""
@@ -482,6 +514,7 @@ QUERIES = {
     "events_value_distribution": events_value_distribution,
     "events_zscore_outliers": events_zscore_outliers,
     "events_value_histogram": events_value_histogram,
+    "events_markov_transitions": events_markov_transitions,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -738,4 +771,25 @@ ORACLES["part_affinity"] = f"""
     JOIN supp sa ON sa.l_partkey = p.part_a
     JOIN supp sb ON sb.l_partkey = p.part_b
     CROSS JOIN n
+"""
+
+# Mirror of events_markov_transitions: same lead window and total order,
+# integer-exact normalizer (window SUM of BIGINT counts).
+ORACLES["events_markov_transitions"] = """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(1) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS prob
+    FROM c
 """

@@ -412,6 +412,60 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_THRESHOLD = 0.7
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches the quote/sub-document
+    case symmetric Jaccard misses: a short doc wholly embedded in a
+    long one has tiny J (the union is dominated by the long doc) but
+    containment C(A→B) = |A∩B| / |A| ≈ 1. Reports every same-lang pair
+    whose larger-direction containment reaches ``CONTAIN_THRESHOLD``,
+    with both directions' values (the asymmetry tells curation WHICH
+    side is the fragment).
+
+    Same inverted-index physical shape as ``dedup_ngram_jaccard`` —
+    shingles explode once, pairs materialize only on shared shingles
+    (C ≥ t ⇒ ≥ 1 shared), equi-join + count + two size joins; the
+    hot-shingle caveat and its prefix-filter remedy carry over
+    unchanged (containment's prefix uses the |A|-side bound)."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id", "lang"])
+    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = rows.alias("a"), rows.alias("b").hint("merge")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ca = F.col("c").cast("double") / F.col("sz_a").cast("double")
+    cb = F.col("c").cast("double") / F.col("sz_b").cast("double")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").alias("n_shared"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b") >= CONTAIN_THRESHOLD
+        )
+    )
+
+
 EDIT_PREFIX = 16  # blocking key: normalized-text prefix length
 EDIT_LEN_BUCKET = 16  # …plus a length bucket (floor(len/16))
 EDIT_MAX_DIST = 10
@@ -485,6 +539,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_edit_distance": dedup_edit_distance,
+    "dedup_containment": dedup_containment,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -692,4 +747,24 @@ ORACLES["dedup_edit_distance"] = f"""
                        AND a.doc_id < b.doc_id
     )
     WHERE dist <= {EDIT_MAX_DIST}
+"""
+
+# Mirror of dedup_containment: same distinct-shingle lists, pairwise
+# intersection count via list_intersect, both containment directions.
+ORACLES["dedup_containment"] = f"""
+    WITH sh AS ({_SHINGLES_CTE})
+    SELECT doc_a, doc_b, n_shared, containment_a, containment_b
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS n_shared,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(len(a.shingles) AS DOUBLE) AS containment_a,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / CAST(len(b.shingles) AS DOUBLE) AS containment_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    )
+    WHERE greatest(containment_a, containment_b) >= {CONTAIN_THRESHOLD}
 """

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import common_neighbor_scores
 from ._util import materialize_and_release
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
 from .dedup_queries import dedup_minhash_lsh
@@ -129,9 +130,33 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: for every NON-edge pair
+    sharing ≥ 1 neighbor, the common-neighbor count and neighborhood
+    Jaccard |Γa∩Γb| / |Γa∪Γb| — the classic 'these two documents
+    near-dup the same things but were never paired' signal curation
+    uses to find LSH misses and emerging template families.
+
+    Physical shape: wedge enumeration (one self-equi-join of the
+    symmetrized edge list on the shared middle vertex, a < b canonical),
+    count per endpoint pair, LEFT-ANTI against the existing edge set,
+    then two degree joins — all equi-joins, linear in Σdeg² (wedge
+    count), which bounded-degree near-dup graphs keep near-linear in
+    edges (``operators/graph.common_neighbor_scores``, whose non-empty
+    behavior is fixture-tested in tests/test_graph.py).
+
+    On THIS corpus the result is verified EMPTY at every sf — the LSH
+    verify step leaves only clique components (duplicate groups whose
+    every pair agrees), so all wedges close into triangles. That empty
+    frame is the audit's finding: zero LSH misses at one hop."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    return materialize_and_release(common_neighbor_scores(pairs), pairs)
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_common_neighbors": graph_common_neighbors,
 }
 
 # Three unrolled PageRank rounds; contribution sums decimal-exact, the
@@ -196,3 +221,33 @@ ORACLES = {
         SELECT node, count(1) AS n_triangles FROM corners GROUP BY node
     """,
 }
+
+# Mirror of graph_common_neighbors: same symmetrized edges, wedge
+# count with a < b, ANTI JOIN against the canonical pair list, degree
+# joins, integer-exact Jaccard denominator.
+ORACLES["graph_common_neighbors"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(1) AS deg FROM edges GROUP BY 1),
+    cn AS (
+      SELECT x.src AS node_a, y.dst AS node_b, count(1) AS common_neighbors
+      FROM edges x JOIN edges y ON x.dst = y.src
+      WHERE x.src < y.dst
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT cn.* FROM cn
+      ANTI JOIN pairs p ON cn.node_a = p.doc_a AND cn.node_b = p.doc_b
+    )
+    SELECT node_a, node_b, common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(common_neighbors AS DOUBLE)
+             / CAST(da.deg + db.deg - common_neighbors AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN deg da ON cand.node_a = da.src
+    JOIN deg db ON cand.node_b = db.src
+"""

@@ -73,8 +73,9 @@ _MODULES = [
 # events_mad_outliers, lang_id_confusion, multimodal_png_decode,
 # bpe_first_merges, customer_rfm_segments, part_affinity, sim_semdedup,
 # dedup_edit_distance, corpus_mix_rebalance, doc_char_entropy,
-# events_top_paths, events_distinct_sketch_rollup (all mimic-green at
-# sf0.01 and sf0.1 this round).
+# events_top_paths, events_distinct_sketch_rollup,
+# events_markov_transitions, dedup_containment, graph_common_neighbors
+# (all mimic-green at sf0.01 and sf0.1 this round).
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

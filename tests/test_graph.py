@@ -17,3 +17,42 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_common_neighbor_scores_path_and_clique(spark):
+    """Path a-b-c yields the non-edge (a,c) with cn=1 and Jaccard 1/3
+    (deg 1 + 1 - 1); a 3-clique yields NOTHING (every wedge closes);
+    a 4-star yields all C(3,2) leaf pairs with Jaccard 1 (their whole
+    1-neighborhood is the shared hub)."""
+    pairs = spark.createDataFrame(
+        # path 1-2-3 | clique 10-11-12 | star hub 20, leaves 21,22,23
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12),
+         (20, 21), (20, 22), (20, 23)],
+        ["doc_a", "doc_b"],
+    )
+    from content_analytics_etl_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["common_neighbors"], r["deg_a"], r["deg_b"], r["jaccard"]
+        )
+        for r in common_neighbor_scores(pairs).collect()
+    }
+    assert got == {
+        (1, 3): (1, 1, 1, 1.0),
+        (21, 22): (1, 1, 1, 1.0),
+        (21, 23): (1, 1, 1, 1.0),
+        (22, 23): (1, 1, 1, 1.0),
+    }
+
+
+def test_graph_common_neighbors_empty_on_clique_corpus(spark):
+    """On the real corpus every LSH component is a clique, so the audit
+    query must return the empty frame (the zero-LSH-miss finding)."""
+    from content_analytics_etl_spark.plans.graph_queries import (
+        graph_common_neighbors,
+    )
+
+    assert graph_common_neighbors(spark, "/root/testdata/sf0.001").count() == 0

@@ -9,6 +9,8 @@ satisfy (shares sum to 1, epoch caps bind exactly where they should).
 from __future__ import annotations
 
 import math
+import re
+from collections import Counter, defaultdict
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -155,3 +157,81 @@ def test_mix_rebalance_algebra(spark):
         assert math.isclose(
             r["expected_tokens"], r["n_tokens"] * r["epochs"], rel_tol=1e-12
         )
+
+
+def test_containment_matches_python_sets(spark):
+    """Exhaustive recomputation: every same-lang ordered pair whose
+    larger-direction containment reaches the threshold is reported with
+    the exact count/ratios, and nothing else is."""
+    from content_analytics_etl_spark.plans.dedup_queries import (
+        CONTAIN_THRESHOLD,
+        dedup_containment,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    sh = {}
+    lang = {}
+    for r in rows:
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        sh[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        lang[r["doc_id"]] = r["lang"]
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if lang[a] != lang[b] or not sh[a] or not sh[b]:
+                continue
+            c = len(sh[a] & sh[b])
+            if c == 0:
+                continue
+            ca, cb = c / len(sh[a]), c / len(sh[b])
+            if max(ca, cb) >= CONTAIN_THRESHOLD:
+                want[(a, b)] = (c, ca, cb)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_shared"], r["containment_a"], r["containment_b"]
+        )
+        for r in dedup_containment(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, ca, cb) in want.items():
+        assert got[k][0] == c
+        assert math.isclose(got[k][1], ca, rel_tol=1e-12)
+        assert math.isclose(got[k][2], cb, rel_tol=1e-12)
+
+
+def test_markov_transitions_match_python(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        events_markov_transitions,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = Counter()
+    for seq in seqs.values():
+        types = [t for _, _, t in sorted(seq)]
+        for x, y in zip(types, types[1:]):
+            trans[(x, y)] += 1
+    from_tot = Counter()
+    for (x, _), n in trans.items():
+        from_tot[x] += n
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in events_markov_transitions(spark, SF).collect()
+    }
+    assert set(got) == set(trans)
+    for k, n in trans.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], n / from_tot[k[0]], rel_tol=1e-12)
+    # rows of each from-state sum to 1
+    for x in from_tot:
+        s = sum(p for (a, _), (_, p) in got.items() if a == x)
+        assert math.isclose(s, 1.0, rel_tol=1e-9)
