@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import loglog_reg_rho
 from ..sources.writers import write_parquet_partitioned
 from ._util import dec, dsum, source_fingerprint, t, warehouse_root
 
@@ -348,6 +349,22 @@ RHO_CAP = 55  # ρ when the 54-bit suffix is all zeros
 LOGLOG_ALPHA = 0.39701  # Durand-Flajolet asymptotic constant
 
 
+def day_registers(events: DataFrame) -> DataFrame:
+    """Per-(day, register) LogLog partials — the mergeable sketch state
+    shared by the batch rollup below and the streaming twin
+    (``streaming/sketch.py: sketch_registers``)."""
+    r, rho = loglog_reg_rho("user_id", m=SKETCH_M, cap=RHO_CAP)
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"),
+            r.alias("r"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "r")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
 def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketch AS DATA — the pre-aggregation
     pattern behind every 100 TB "distinct users per day, and for any
@@ -366,20 +383,7 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     rides along to expose the sketch's error; estimate accuracy itself
     is LogLog's ±1.3/√m (≈16%), not a correctness property."""
     e = t(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    ev = e.select(F.date_trunc("day", "ts").alias("day"), "user_id", h.alias("h"))
-    rest = F.shiftright("h", 6)
-    rho = (
-        F.when(rest == 0, F.lit(RHO_CAP))
-        .otherwise(F.bit_count(rest.bitwiseAND(-rest) - 1) + 1)
-        .cast("int")
-    )
-    ev = ev.select(
-        "day", "user_id", F.col("h").bitwiseAND(SKETCH_M - 1).alias("r"), rho.alias("rho")
-    )
-    day_regs = ev.groupBy("day", "r").agg(F.max("rho").alias("mx"))
+    day_regs = day_registers(e)
     est = F.round(
         F.lit(LOGLOG_ALPHA * SKETCH_M)
         * F.pow(F.lit(2.0), F.col("s").cast("double") / F.lit(float(SKETCH_M))),

@@ -57,49 +57,48 @@ _MODULES = [
 
 # The first 50 names the driver will hash.  One line per family block.
 #
-# Round-4 rotation (VERDICT r3 #1): after r03's all-green window, 101 of
-# 134 registered queries had a lifetime driver verdict and 33 had NEVER
-# been inside the window.  This round pins 17 family representatives
-# (every family keeps ≥1 slot; all 17 are lifetime-green, several
-# — doc_ngram_scrub's siblings, multimodal_features, flagship — carry
-# round-4 code changes worth re-verifying) and fills the remaining 33
-# slots with EVERY never-verified query, so lifetime driver coverage
-# closes at 134/134 when CORRECTNESS_r04 lands green.
+# Round-4 rotation, FINAL (VERDICT r3 #1, extended mid-round): after
+# r03's all-green window, 33 of the then-134 queries had never been
+# inside the window; round 4 then ADDED 20 more queries. 53 candidates
+# for 50 slots: every family-representative slot was given to a
+# never-verified query, keeping all 33 r3 gaps plus 17 of the 20
+# round-4 additions → lifetime driver coverage 151/154 when
+# CORRECTNESS_r04 lands green. Dropping the representatives is safe:
+# all 17 are lifetime-green (r01-r03) and the full registry is
+# re-verified each round by the local driver-mimic sweep (same pandas
+# canonicalization as the driver; see PERF.md).
 #
-# Round-5 rotation candidates: queries added AFTER the r4 window was
-# pinned and therefore still lacking a lifetime driver verdict —
-# doc_lm_perplexity, doc_winnow_overlap, sim_ann_recall_audit,
-# join_bloom_prefilter, dedup_minhash_estimate_audit,
-# events_mad_outliers, lang_id_confusion, multimodal_png_decode,
-# bpe_first_merges, customer_rfm_segments, part_affinity, sim_semdedup,
-# dedup_edit_distance, corpus_mix_rebalance, doc_char_entropy,
-# events_top_paths, events_distinct_sketch_rollup,
-# events_markov_transitions, dedup_containment, graph_common_neighbors
-# (all mimic-green at sf0.01 and sf0.1 this round).
+# Round-5 rotation candidates (the 3 that did not fit, chosen as the
+# lowest-risk leftovers — each is the same machinery as an
+# already-windowed sibling): dedup_containment (inverted-index shape of
+# dedup_ngram_jaccard), events_markov_transitions (sibling of
+# events_top_paths), graph_common_neighbors (verified-empty audit over
+# the windowed dedup_minhash_lsh graph). All three are mimic-green at
+# sf0.01 and sf0.1.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query
 # has ever failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    # family representatives (17) — all lifetime driver-green
-    "flagship_profile",            # reference §2 core (r01-r03 green)
-    "join_salted",                 # relational, skew-salted join (r03)
-    "tpch_q1_pricing_summary",     # TPC-H family (r01-r03)
-    "events_partition_pruned",     # events + partition pruning (r03)
-    "events_session",              # sessionization, streaming batch twin (r03)
-    "warehouse_compact_roundtrip", # warehouse ops / compaction (r03)
-    "orders_merge_upsert",         # CDC MERGE (r03)
-    "dim_scd2_upsert",             # SCD2 (r03)
-    "events_asof_join",            # temporal (r03)
-    "doc_token_stats",             # text battery (r03)
-    "doc_tfidf_top_terms",         # text analytics (r03)
-    "graph_pagerank",              # graph (r03)
-    "dedup_minhash_lsh",           # dedup LSH (r03)
-    "sim_ann_ivf_topk",            # ANN (r03)
-    "embedding_kmeans",            # iterative k-means (r03)
-    "multimodal_decode",           # codec round-trip (r03)
-    "multimodal_features",         # pandas-UDF surface; r4 numpy rewrite
-    # never-driver-verified queries (33) — every remaining lifetime gap
+    # round-4 additions (17 of 20; the other 3 queued for round 5)
+    "doc_lm_perplexity",           # unigram-LM quality filter
+    "doc_winnow_overlap",          # cross-doc shared spans
+    "sim_ann_recall_audit",        # recall@k of all three ANN paths
+    "join_bloom_prefilter",        # explicit runtime-filter semi-join
+    "dedup_minhash_estimate_audit",  # MinHash estimate vs exact Jaccard
+    "events_mad_outliers",         # median/MAD robust outliers
+    "lang_id_confusion",           # classifier-accuracy audit
+    "multimodal_png_decode",       # DEFLATE codec round-trip
+    "bpe_first_merges",            # first BPE training step
+    "customer_rfm_segments",       # RFM percentile-threshold binning
+    "part_affinity",               # market-basket lift
+    "sim_semdedup",                # SemDeDup clustered semantic dedup
+    "dedup_edit_distance",         # blocked Levenshtein fuzzy dedup
+    "corpus_mix_rebalance",        # training-mix weights/epochs
+    "doc_char_entropy",            # char-entropy quality gate
+    "events_top_paths",            # early-journey path analysis
+    "events_distinct_sketch_rollup",  # mergeable LogLog registers
+    # never-driver-verified queries (33) — every remaining r3 lifetime gap
     # relational / window extensions
     "window_extras",
     "agg_stats",

@@ -5,6 +5,7 @@ from .ingest import ingest_viewing_logs
 from .joins import view_click_conversions
 from .dedup import dedup_stream_exact, dedup_stream_within_watermark
 from .cdc import apply_cdc_stream, latest_snapshot
+from .sketch import sketch_registers, estimate_from_registers
 
 __all__ = [
     "apply_cdc_stream",
@@ -18,4 +19,6 @@ __all__ = [
     "session_aggregate",
     "running_user_totals",
     "ingest_viewing_logs",
+    "sketch_registers",
+    "estimate_from_registers",
 ]

@@ -1,0 +1,65 @@
+"""Streaming distinct-count sketch maintenance (SURVEY.md §2.8 / §7
+extension): the incremental twin of the batch
+``events_distinct_sketch_rollup`` register table.
+
+The insight the batch query materializes — LogLog registers are
+(day, register, max-ρ) ROWS that merge with MAX — is exactly what makes
+the sketch streamable with a plain watermarked aggregation: each
+micro-batch folds its rows into the running per-day register maxima, so
+state is |days-in-watermark| × 64 rows TOTAL regardless of event volume
+(the 100 TB property: streaming distinct tracking with constant state
+per day, no per-user state ever). A dashboard reads the register table
+and applies the 2^mean estimator; any day range merges with one more
+MAX aggregation, never a replay.
+
+Expressions are shared with the batch side
+(``functions/hashing.loglog_reg_rho`` — pure integer bit arithmetic),
+so streaming ≡ batch equality is exact row equality, asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import loglog_reg_rho
+from ..plans.events_queries import LOGLOG_ALPHA, RHO_CAP, SKETCH_M
+
+__all__ = ["sketch_registers", "estimate_from_registers"]
+
+
+def sketch_registers(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked per-(day, register) LogLog maxima over a stream."""
+    r, rho = loglog_reg_rho("user_id", m=SKETCH_M, cap=RHO_CAP)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.date_trunc("day", "ts").alias("day"),
+            r.alias("r"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "r")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def estimate_from_registers(regs: DataFrame, *groups: str) -> DataFrame:
+    """Merge a register table (optionally across days: pass no groups)
+    and apply the LogLog estimator — batch post-processing a dashboard
+    runs over the streamed state."""
+    keys = list(groups)
+    merged = regs.groupBy(*keys, "r").agg(F.max("mx").alias("mx"))
+    summed = (
+        merged.groupBy(*keys).agg(F.sum("mx").alias("s"))
+        if keys
+        else merged.agg(F.sum("mx").alias("s"))
+    )
+    est = F.round(
+        F.lit(LOGLOG_ALPHA * SKETCH_M)
+        * F.pow(F.lit(2.0), F.col("s").cast("double") / F.lit(float(SKETCH_M))),
+        6,
+    )
+    return summed.select(*keys, est.alias("est_users"))

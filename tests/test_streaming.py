@@ -224,3 +224,38 @@ def test_stream_defined_over_empty_directory(spark, tmp_path):
     stream = stream_events(spark, str(empty))
     assert stream.isStreaming
     assert dict(stream.dtypes)["ts"].startswith("timestamp")
+
+
+def test_sketch_stream_equals_batch_registers(spark, sf_dir, events_dir):
+    """Streaming LogLog register maintenance ≡ the batch register table
+    row-for-row, and the merged all-days estimate computed FROM THE
+    STREAMED STATE equals the batch rollup's total row — i.e. the
+    dashboard never needs the raw events again."""
+    from content_analytics_etl_spark.plans.events_queries import (
+        day_registers,
+        events_distinct_sketch_rollup,
+    )
+    from content_analytics_etl_spark.streaming import (
+        estimate_from_registers,
+        sketch_registers,
+    )
+
+    name = f"sk_{uuid.uuid4().hex[:8]}"
+    _run_stream(sketch_registers(stream_events(spark, events_dir)), name)
+    streamed = spark.sql(f"SELECT * FROM {name}")
+    got = {tuple(r) for r in streamed.collect()}
+    want = {
+        tuple(r)
+        for r in day_registers(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()
+    }
+    assert got == want and got
+
+    est = estimate_from_registers(streamed).collect()[0]["est_users"]
+    total = [
+        r
+        for r in events_distinct_sketch_rollup(spark, sf_dir).collect()
+        if r["day"] is None
+    ][0]
+    assert est == total["est_users"]
