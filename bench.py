@@ -99,6 +99,8 @@ HEADLINE = [
     "events_distinct_sketch_rollup",
     "events_markov_transitions",
     "dedup_containment",
+    "events_attribution",
+    "events_active_streaks",
 ]
 
 

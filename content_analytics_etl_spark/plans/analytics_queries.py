@@ -315,6 +315,42 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAK_EPOCH = "2020-01-01"  # fixed anchor for the island key
+
+
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user — the gaps-and-islands
+    pattern every engagement dashboard needs (DAU streaks, retention
+    heuristics). Island key = days-since-epoch − row_number within the
+    user's ordered distinct active days: consecutive days share the key,
+    a gap shifts it. Reports per user the total active days, streak
+    count, longest streak, and last active day.
+
+    Shape: distinct (user, day) → one user-partitioned window → two
+    compact aggs, all keyed by user — nothing global. Day stays a
+    TIMESTAMP (date_trunc) and the island key is pure integer
+    arithmetic, so both engines agree exactly."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp",
+        F.datediff("day", F.lit(STREAK_EPOCH).cast("timestamp"))
+        - F.row_number().over(w),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.max("day").alias("end_day")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max("end_day").alias("last_active_day"),
+    )
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (width 10) of value per event type —
     binning is row-local arithmetic, one compact aggregation."""
@@ -515,6 +551,7 @@ QUERIES = {
     "events_zscore_outliers": events_zscore_outliers,
     "events_value_histogram": events_value_histogram,
     "events_markov_transitions": events_markov_transitions,
+    "events_active_streaks": events_active_streaks,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -792,4 +829,30 @@ ORACLES["events_markov_transitions"] = """
              / CAST(sum(n_transitions) OVER (PARTITION BY from_type)
                     AS DOUBLE) AS prob
     FROM c
+"""
+
+# Mirror of events_active_streaks: same integer island key off the same
+# fixed anchor, TIMESTAMP days, two-level aggregation.
+ORACLES["events_active_streaks"] = f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, day,
+             date_diff('day', TIMESTAMP '{STREAK_EPOCH}', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days
+    ),
+    s AS (
+      SELECT user_id, grp, count(1) AS len, max(day) AS end_day
+      FROM i GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(1) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           max(end_day) AS last_active_day
+    FROM s GROUP BY 1
 """

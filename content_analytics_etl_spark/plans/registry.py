@@ -73,8 +73,10 @@ _MODULES = [
 # already-windowed sibling): dedup_containment (inverted-index shape of
 # dedup_ngram_jaccard), events_markov_transitions (sibling of
 # events_top_paths), graph_common_neighbors (verified-empty audit over
-# the windowed dedup_minhash_lsh graph). All three are mimic-green at
-# sf0.01 and sf0.1.
+# the windowed dedup_minhash_lsh graph), plus the post-rotation
+# additions events_attribution (asof_join_backward machinery, windowed
+# via events_asof_join's family) and events_active_streaks. All are
+# mimic-green at sf0.01 and sf0.1.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

@@ -16,6 +16,56 @@ from ..operators.asof import asof_join_backward
 from ._util import t
 
 RANGE_WINDOW_US = 600_000_000  # 10 minutes, microseconds
+ATTRIB_DAYS = 7  # last-touch attribution lookback
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the same
+    user's most recent view/click at-or-before it, but only if that
+    touch is within the 7-day lookback — otherwise the purchase is
+    'direct'. The classic warehouse attribution query, expressed as the
+    row-atomic backward as-of join (operators/asof.py: the touch's
+    (ts, id, type) travel as ONE struct, so a credited purchase can
+    never mix fields from different touches) plus per-row window
+    arithmetic. One shuffle on user_id total.
+
+    Timestamp math is integer microseconds (unix_micros ↔ epoch_us,
+    the pairing events_range_join verified) — no float time anywhere."""
+    e = t(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    j = asof_join_backward(
+        purch,
+        touches,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["touch_ts", "touch_id", "touch_type"],
+        right_tiebreak="touch_id",
+    )
+    within = F.col("touch_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ATTRIB_DAYS} DAYS"
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(within, F.col("touch_type")).otherwise("direct").alias(
+            "attributed_to"
+        ),
+        F.when(within, F.col("touch_ts")).alias("touch_ts"),
+        F.when(within, F.col("touch_id")).alias("touch_id"),
+        F.when(
+            within, F.unix_micros("ts") - F.unix_micros("touch_ts")
+        ).alias("micros_since_touch"),
+    )
 
 
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,6 +132,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "events_attribution": events_attribution,
 }
 
 ORACLES = {
@@ -117,3 +168,40 @@ ORACLES = {
          AND epoch_us(c.ts) - epoch_us(v.ts) <= {RANGE_WINDOW_US}
     """,
 }
+
+# Mirror of events_attribution: same union+window backward as-of (struct
+# packed for row atomicity), same 7-day CASE, integer-microsecond time.
+ORACLES["events_attribution"] = f"""
+    WITH u AS (
+      SELECT user_id, ts, event_id AS tb, 0 AS side,
+             struct_pack(touch_ts := ts, touch_id := event_id,
+                         touch_type := event_type) AS tv,
+             NULL::BIGINT AS purchase_id
+      FROM events WHERE event_type IN ('view', 'click')
+      UNION ALL
+      SELECT user_id, ts, NULL::BIGINT AS tb, 1 AS side,
+             CAST(NULL AS STRUCT(touch_ts TIMESTAMP, touch_id BIGINT,
+                                 touch_type VARCHAR)) AS tv,
+             event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f AS (
+      SELECT *, last_value(tv IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, side, tb ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lt
+      FROM u
+    )
+    SELECT purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN lt.touch_ts >= ts - INTERVAL {ATTRIB_DAYS} DAY
+                THEN lt.touch_type ELSE 'direct' END AS attributed_to,
+           CASE WHEN lt.touch_ts >= ts - INTERVAL {ATTRIB_DAYS} DAY
+                THEN lt.touch_ts END AS touch_ts,
+           CASE WHEN lt.touch_ts >= ts - INTERVAL {ATTRIB_DAYS} DAY
+                THEN lt.touch_id END AS touch_id,
+           CASE WHEN lt.touch_ts >= ts - INTERVAL {ATTRIB_DAYS} DAY
+                THEN epoch_us(ts) - epoch_us(lt.touch_ts)
+           END AS micros_since_touch
+    FROM f WHERE side = 1
+"""

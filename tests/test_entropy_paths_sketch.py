@@ -130,3 +130,75 @@ def test_sketch_rollup_matches_python_loglog(spark):
     for k in want:
         assert got[k][1] == want[k][1], k
         assert math.isclose(got[k][0], want[k][0], rel_tol=1e-9), k
+
+
+def test_attribution_matches_python(spark):
+    """Each purchase credits the latest same-user view/click at-or-
+    before it iff within 7 days; otherwise 'direct' with null details."""
+    from content_analytics_etl_spark.plans.temporal_queries import (
+        ATTRIB_DAYS,
+        events_attribution,
+    )
+    from datetime import timedelta
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    touches = defaultdict(list)
+    purchases = []
+    for r in ev:
+        if r["event_type"] in ("view", "click"):
+            touches[r["user_id"]].append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+        elif r["event_type"] == "purchase":
+            purchases.append(r)
+    for u in touches:
+        touches[u].sort()
+    want = {}
+    for p in purchases:
+        cand = [x for x in touches.get(p["user_id"], []) if x[0] <= p["ts"]]
+        if cand and cand[-1][0] >= p["ts"] - timedelta(days=ATTRIB_DAYS):
+            ts_, id_, ty_ = cand[-1]
+            d = p["ts"] - ts_
+            micros = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            want[p["event_id"]] = (ty_, ts_, id_, micros)
+        else:
+            want[p["event_id"]] = ("direct", None, None, None)
+    got = {
+        r["purchase_id"]: (
+            r["attributed_to"], r["touch_ts"], r["touch_id"],
+            r["micros_since_touch"],
+        )
+        for r in events_attribution(spark, SF).collect()
+    }
+    assert got == want and got
+    assert any(v[0] == "direct" for v in want.values()) or len(want) > 0
+
+
+def test_active_streaks_match_python(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        events_active_streaks,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    want = {}
+    for u, ds in days.items():
+        sd = sorted(ds)
+        streaks = [1]
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        want[u] = (len(sd), len(streaks), max(streaks), sd[-1])
+    got = {
+        r["user_id"]: (
+            r["n_active_days"], r["n_streaks"], r["longest_streak"],
+            r["last_active_day"].date(),
+        )
+        for r in events_active_streaks(spark, SF).collect()
+    }
+    assert got == want and got
+    assert any(v[2] > 1 for v in want.values()), "fixture has a real streak"
