@@ -45,7 +45,7 @@ from ..operators.similarity import (
     hyperplane_bucket_agg,
     hyperplane_matrix,
 )
-from ._util import t
+from ._util import materialize_and_release, t
 
 DIM = 64
 TOPK = 5
@@ -460,7 +460,11 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
     assigned = assign_clusters(e.select("vec_id", "v"), cent).select("vec_id", "cid")
-    m = e.join(assigned, "vec_id")
+    # the assigned corpus feeds BOTH pair-scan sides and the final
+    # report — persist once or the centroid cross-join + rank-1 window
+    # re-executes three times (the pagerank persist-once discipline;
+    # at scale this is the one materialization SemDeDup budgets for)
+    m = e.join(assigned, "vec_id").persist()
     a = m.select(
         "cid",
         F.col("vec_id").alias("kept_id"),
@@ -480,13 +484,14 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = hits.groupBy("vec_id").agg(
         F.min("kept_id").alias("dup_of"), F.max("cosine").alias("max_cosine")
     )
-    return assigned.join(dup, "vec_id", "left").select(
+    report = m.select("vec_id", "cid").join(dup, "vec_id", "left").select(
         "vec_id",
         "cid",
         F.col("dup_of").isNotNull().alias("is_dup"),
         "dup_of",
         "max_cosine",
     )
+    return materialize_and_release(report, m)
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
