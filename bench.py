@@ -101,6 +101,7 @@ HEADLINE = [
     "dedup_containment",
     "events_attribution",
     "events_active_streaks",
+    "multimodal_gif_decode",
 ]
 
 

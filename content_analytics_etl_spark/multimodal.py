@@ -705,6 +705,238 @@ def decode_png_properties(assets: DataFrame) -> DataFrame:
     )
 
 
+_GIF_SIG = b"GIF87a"
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Real GIF LZW compression: dictionary coding with clear/EOI codes,
+    LSB-first bit packing, and code width growing 9→12 bits. Width
+    bookkeeping is the classic asymmetric pair — the ENCODER grows when
+    ``next_code == (1 << width) + 1`` because its dictionary runs one
+    definition ahead of the decoder's (it defines the entry for the
+    string it just emitted), while the decoder grows at
+    ``next_code == (1 << width)``; the round-trip test crosses the
+    9→10→11-bit boundaries to pin the pairing. At 4096 entries a CLEAR
+    resets the table per the spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF LZW decompression: dictionary rebuild (including the KwKwK
+    self-referencing case), decoder-side width growth at
+    ``next_code == (1 << width)`` (see the encoder's docstring for why
+    the conditions differ by one), CLEAR resets."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    raise AssertionError("unreachable")
+
+
+def encode_gif_gray(width: int, height: int, base: int) -> bytes:
+    """A real GIF87a: 256-entry grayscale global color table, image
+    data LZW-compressed by ``_lzw_encode_gif`` and wrapped in ≤255-byte
+    sub-blocks. Pixel index v(x, y) = (base + 7x + 11y) % 256; the
+    color table maps index i → (i, i, i), so the decoded gray equals
+    the index."""
+    v = (
+        (base + 7 * np.arange(width)[None, :] + 11 * np.arange(height)[:, None])
+        % 256
+    ).astype(np.uint8)
+    hdr = _GIF_SIG + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(c for i in range(256) for c in (i, i, i))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode_gif(v.tobytes())
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return hdr + palette + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif_gray(data: bytes) -> tuple[int, int, float, int]:
+    """Parse a real GIF87a (single image, global color table, no
+    interlace): header + logical screen descriptor, color table, image
+    descriptor, sub-block reassembly, LZW decode, then pixel values
+    looked up THROUGH the parsed color table (never assuming the
+    identity palette the encoder happens to write). Returns
+    (width, height, mean_pixel, weighted_sum) with the same
+    position-weighted checksum as the PNG decoder — any misplaced
+    pixel hash-fails the oracle."""
+    if data[:6] != _GIF_SIG:
+        raise ValueError("not a GIF87a payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("expected a global color table")
+    gct_size = 2 << (flags & 0x07)
+    palette = data[pos : pos + 3 * gct_size]
+    pos += 3 * gct_size
+    if data[pos] != 0x2C:
+        raise ValueError(f"expected image descriptor, got {data[pos]:#x}")
+    left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+    if iflags & 0xC0:
+        raise ValueError("local color table / interlace unsupported")
+    pos += 10
+    min_code_size = data[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        blen = data[pos]
+        pos += 1
+        if blen == 0:
+            break
+        lzw.extend(data[pos : pos + blen])
+        pos += blen
+    idx = _lzw_decode_gif(bytes(lzw), min_code_size)
+    if len(idx) != w * h:
+        raise ValueError(f"decoded {len(idx)} pixels for {w}x{h} image")
+    # gray value through the palette (r channel; the table is gray)
+    gray = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)[
+        np.frombuffer(idx, dtype=np.uint8), 0
+    ].astype(np.int64)
+    weights = 1 + np.arange(w * h, dtype=np.int64) % w + (
+        np.arange(w * h, dtype=np.int64) // w
+    ) * w
+    return w, h, float(gray.mean()), int((gray * weights).sum())
+
+
+def synthetic_gif_assets(documents: DataFrame) -> DataFrame:
+    """Real LZW-compressed payloads: every doc_id % 3 == 1 becomes a
+    genuine GIF87a (width 6 + d%10, height 4 + d%7, pixel index
+    (d%239 + 7x + 11y) % 256)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        encode_gif_gray(6 + int(d) % 10, 4 + int(d) % 7, int(d) % 239)
+                        for d in ids
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .filter(F.col("doc_id") % 3 == 1)
+        .mapInPandas(build, schema="asset_id long, payload binary")
+    )
+
+
+def decode_gif_properties(assets: DataFrame) -> DataFrame:
+    """Arrow-batched GIF decode: header/palette/descriptor parse,
+    sub-block reassembly, LZW decompression, palette lookup."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "width": [],
+                "height": [],
+                "mean_pixel": [],
+                "weighted_sum": [],
+            }
+            for payload in pdf["payload"]:
+                w, h, mean, ws = decode_gif_gray(bytes(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_pixel"].append(mean)
+                out["weighted_sum"].append(ws)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        run,
+        schema="asset_id long, width int, height int, "
+        "mean_pixel double, weighted_sum long",
+    )
+
+
 def decode_payload(payload: bytes, kind: str):
     """Decode a payload by kind — real byte-format parsing, stdlib only:
     BMP for image, WAV for audio, AVI (uncompressed DIB frames) for

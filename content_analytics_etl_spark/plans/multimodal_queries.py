@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..multimodal import (
     audio_window_stats,
+    decode_gif_properties,
     decode_planned_frames,
     decode_png_properties,
     decode_properties,
@@ -21,6 +22,7 @@ from ..multimodal import (
     extract_features,
     resize_images,
     synthetic_assets,
+    synthetic_gif_assets,
     synthetic_media_assets,
     synthetic_png_assets,
     synthetic_video_assets,
@@ -119,6 +121,21 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_properties(assets)
 
 
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL compressed-image codec, stdlib-free even of zlib:
+    genuine GIF87a payloads whose image data is LZW-compressed by our
+    own encoder (clear/EOI codes, LSB-first packing, 9→12-bit code
+    growth), decoded back by an independent LZW decoder + palette
+    lookup (multimodal.decode_gif_gray). Where the PNG round-trip
+    exercises DEFLATE via zlib, this one implements the dictionary
+    coder itself — decoder correctness is additionally pinned against a
+    hand-packed literal-code stream in tests/test_multimodal_decode.py,
+    so encoder and decoder cannot be wrong together. Same
+    position-weighted checksum oracle as the PNG path."""
+    assets = synthetic_gif_assets(t(spark, sf_dir, "documents"))
+    return decode_gif_properties(assets)
+
+
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image preprocessing: encode genuine BMPs, then decode AND
     nearest-neighbor-resize the pixel grid to a fixed 4×2 thumbnail in
@@ -176,6 +193,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_video_decode": multimodal_video_decode,
     "multimodal_png_decode": multimodal_png_decode,
+    "multimodal_gif_decode": multimodal_gif_decode,
 }
 
 _KIND = (
@@ -308,6 +326,24 @@ ORACLES = {
                         * (1 + x + y * (8 + doc_id % 9)))))) AS BIGINT)
                  AS weighted_sum
         FROM documents WHERE doc_id % 3 = 0
+    """,
+    # Mirror of multimodal_gif_decode: the generative pixel formula
+    # recomputed relationally — decode must reproduce every pixel at
+    # its exact position through LZW + palette or the hash fails.
+    "multimodal_gif_decode": """
+        SELECT doc_id AS asset_id,
+               CAST(6 + doc_id % 10 AS INT) AS width,
+               CAST(4 + doc_id % 7 AS INT) AS height,
+               list_avg(flatten(list_transform(range(0, 4 + doc_id % 7),
+                 y -> list_transform(range(0, 6 + doc_id % 10),
+                   x -> CAST((doc_id % 239 + 7*x + 11*y) % 256 AS DOUBLE)))))
+                 AS mean_pixel,
+               CAST(list_sum(flatten(list_transform(range(0, 4 + doc_id % 7),
+                 y -> list_transform(range(0, 6 + doc_id % 10),
+                   x -> ((doc_id % 239 + 7*x + 11*y) % 256)
+                        * (1 + x + y * (6 + doc_id % 10)))))) AS BIGINT)
+                 AS weighted_sum
+        FROM documents WHERE doc_id % 3 = 1
     """,
     "multimodal_video_decode": """
         SELECT doc_id AS asset_id,

@@ -309,3 +309,95 @@ def test_png_rejects_non_png():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png_gray(encode_bmp24(8, 4, 0))
+
+
+def _pack_9bit(codes):
+    """Independent LSB-first 9-bit packer (test-side, no shared code)."""
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_decoder_against_hand_packed_stream():
+    """Decoder correctness independent of our encoder: a literal-code
+    stream (every pixel emitted as its root code, CLEAR every 200 codes
+    so the 9-bit width never grows) is packed by a test-local bit
+    packer; the decoder must reproduce the exact pixel bytes. Catches a
+    mutually-wrong encoder/decoder pair that a round-trip alone would
+    bless."""
+    from content_analytics_etl_spark.multimodal import _lzw_decode_gif
+
+    pixels = bytes((7 * i + 3) % 256 for i in range(1000))
+    codes = [256]
+    for i, p in enumerate(pixels):
+        if i and i % 200 == 0:
+            codes.append(256)  # CLEAR: reset before width could grow
+        codes.append(p)
+    codes.append(257)  # EOI
+    assert _lzw_decode_gif(_pack_9bit(codes)) == pixels
+
+
+def test_gif_lzw_roundtrip_crosses_width_boundaries():
+    """Encoder→decoder round trip on inputs long/repetitive enough to
+    push the dictionary through the 9→10→11→12-bit widths and the
+    4096-entry CLEAR reset."""
+    from content_analytics_etl_spark.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+    import random
+
+    rnd = random.Random(11)
+    for data in (
+        bytes(rnd.randrange(256) for _ in range(30_000)),
+        (b"abcabcabd" * 9000),
+        bytes(200_000),  # constant input: fastest dictionary growth
+    ):
+        enc = _lzw_encode_gif(data)
+        assert _lzw_decode_gif(enc) == data
+        assert len(enc) < len(data) or len(set(data)) > 200
+
+
+def test_gif_roundtrip_and_palette_lookup():
+    """encode_gif_gray → decode_gif_gray reproduces the generative
+    formula, and the decoder reads values THROUGH the palette: a
+    permuted palette with remapped indices must decode to the same
+    grays."""
+    from content_analytics_etl_spark.multimodal import (
+        _GIF_SIG,
+        _lzw_encode_gif,
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+    import struct
+
+    w, h, base = 13, 6, 77
+    gw, gh, mean, ws = decode_gif_gray(encode_gif_gray(w, h, base))
+    vals = [(base + 7 * x + 11 * y) % 256 for y in range(h) for x in range(w)]
+    assert (gw, gh) == (w, h)
+    assert mean == sum(vals) / len(vals)
+    assert ws == sum(v * (1 + i % w + (i // w) * w) for i, v in enumerate(vals))
+
+    # same image, reversed palette + complemented indices
+    hdr = _GIF_SIG + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = bytes(c for i in range(255, -1, -1) for c in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode_gif(bytes(255 - v for v in vals))
+    blocks = bytearray([8])
+    for i in range(0, len(lzw), 255):
+        blocks.append(len(lzw[i : i + 255]))
+        blocks.extend(lzw[i : i + 255])
+    blocks.append(0)
+    gw2, gh2, mean2, ws2 = decode_gif_gray(
+        hdr + palette + desc + bytes(blocks) + b"\x3b"
+    )
+    assert (gw2, gh2, mean2, ws2) == (w, h, mean, ws)
