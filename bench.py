@@ -102,6 +102,7 @@ HEADLINE = [
     "events_attribution",
     "events_active_streaks",
     "multimodal_gif_decode",
+    "events_daily_mv_refresh",
 ]
 
 

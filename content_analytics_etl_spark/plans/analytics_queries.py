@@ -536,6 +536,65 @@ def warehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MV_CUTOFF = "2024-01-21"  # events span 2024-01-01..30: 20d snapshot + 10d delta
+_MV_DEC = "decimal(28,6)"  # Spark's SUM(decimal(18,6)) result type
+
+
+def events_daily_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the refresh job
+    behind every warehouse rollup table: a daily (day, event_type)
+    aggregate SNAPSHOT is materialized once for history (ts < cutoff),
+    and each refresh aggregates only the DELTA (ts ≥ cutoff) and merges
+    it in with a keyed full-outer join — new days insert, overlapping
+    days add. The oracle is the FULL recompute over all events, so the
+    hash match is a proof that incremental maintenance ≡ recompute.
+
+    Exactness across the merge: the snapshot stores the DECIMAL(28,6)
+    partial sums (never doubles), and snapshot+delta addition is exact
+    decimal arithmetic — associative, so splitting history at any
+    cutoff yields bit-identical totals; the one double cast happens at
+    read-out. At 100 TB the merge becomes partition-overwrite of the
+    affected day partitions; the plan shape (aggregate the delta only,
+    keyed join onto the MV) is unchanged — history is never rescanned.
+    Snapshot cached per source fingerprint (compaction's staleness
+    policy)."""
+    key = source_fingerprint(sf_dir, "events")
+    snap_path = os.path.join(warehouse_root(spark), f"events_daily_mv_{key}")
+    e = t(spark, sf_dir, "events")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("sv"),
+        )
+
+    if not os.path.exists(os.path.join(snap_path, "_SUCCESS")):
+        daily(e.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(
+            snap_path
+        )
+    old = spark.read.parquet(snap_path).select(
+        "day", "event_type", F.col("n").alias("n_old"), F.col("sv").alias("sv_old")
+    )
+    delta = daily(e.filter(F.col("ts") >= cutoff)).select(
+        "day", "event_type", F.col("n").alias("n_new"), F.col("sv").alias("sv_new")
+    )
+    zero_d = F.lit(0).cast(_MV_DEC)
+    merged = old.join(delta, ["day", "event_type"], "full_outer")
+    return merged.select(
+        "day",
+        "event_type",
+        (
+            F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))
+        ).alias("n_events"),
+        (F.coalesce("sv_old", zero_d) + F.coalesce("sv_new", zero_d))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 QUERIES = {
     "orders_merge_upsert": orders_merge_upsert,
     "warehouse_compact_roundtrip": warehouse_compact_roundtrip,
@@ -552,6 +611,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_markov_transitions": events_markov_transitions,
     "events_active_streaks": events_active_streaks,
+    "events_daily_mv_refresh": events_daily_mv_refresh,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -855,4 +915,13 @@ ORACLES["events_active_streaks"] = f"""
            CAST(max(len) AS BIGINT) AS longest_streak,
            max(end_day) AS last_active_day
     FROM s GROUP BY 1
+"""
+
+# Oracle for events_daily_mv_refresh: the FULL recompute — the hash
+# match proves snapshot+delta maintenance equals rescanning everything.
+ORACLES["events_daily_mv_refresh"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
 """

@@ -61,3 +61,57 @@ def test_warehouse_compact_roundtrip_query(spark, sf_dir):
     assert set(rows) == set(direct)
     for status, r in rows.items():
         assert r["n_orders"] == direct[status]["count"]
+
+
+def test_mv_refresh_snapshot_reused_and_equals_full(spark, sf_dir):
+    """The MV snapshot materializes once (second call must not rewrite
+    it), the refresh equals the full recompute row-for-row, and the
+    delta scan carries the ts-cutoff filter down to the source scan."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from content_analytics_etl_spark.plans._util import (
+        source_fingerprint,
+        warehouse_root,
+    )
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        events_daily_mv_refresh,
+    )
+
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_daily_mv_refresh(spark, sf_dir).collect()
+    }
+    snap = os.path.join(
+        warehouse_root(spark),
+        f"events_daily_mv_{source_fingerprint(sf_dir, 'events')}",
+    )
+    mtime = os.path.getmtime(os.path.join(snap, "_SUCCESS"))
+    time.sleep(0.05)
+    df = events_daily_mv_refresh(spark, sf_dir)
+    again = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in df.collect()
+    }
+    assert os.path.getmtime(os.path.join(snap, "_SUCCESS")) == mtime
+    assert again == got
+
+    full = {
+        (r["day"], r["event_type"]): (r["n"], r["sv"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sv"),
+        )
+        .collect()
+    }
+    assert got == full
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the delta side's cutoff reaches the events scan as a pushed filter
+    assert "GreaterThanOrEqual(ts,2024-01-21" in plan
