@@ -103,6 +103,7 @@ HEADLINE = [
     "events_active_streaks",
     "multimodal_gif_decode",
     "events_daily_mv_refresh",
+    "events_ema_smoothing",
 ]
 
 

@@ -536,6 +536,45 @@ def warehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMA_ALPHA = 0.25
+EMA_WINDOW = 24  # trailing hours feeding each smoothed point
+
+
+def events_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average over the hourly event-count series per
+    type — the standard monitoring smoother (EWMA control charts,
+    anomaly baselines). The recursion acc ← α·x + (1−α)·acc is not a
+    windowable aggregate, but over a BOUNDED trailing frame (24 h) it
+    is exactly expressible relationally: collect the frame into an
+    ordered array, then left-fold it (seed = oldest point). Spark's
+    ``F.aggregate`` and DuckDB's ``list_reduce`` execute the identical
+    IEEE operation sequence, so the smoothed doubles are bit-equal —
+    the same fold-determinism contract as functions/vectors.py.
+
+    Shape: one hash aggregation events → hourly, one 24-row bounded
+    window per type (state bounded by the frame, not history), per-row
+    fold arithmetic. Nothing global, nothing unbounded."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(EMA_WINDOW - 1), 0)
+    )
+    arr = F.collect_list(F.col("n").cast("double")).over(w)
+    h2 = hourly.select("event_type", "hour", "n", arr.alias("a"))
+    ema = F.aggregate(
+        F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0))),
+        F.element_at("a", 1),
+        lambda acc, x: F.lit(EMA_ALPHA) * x + F.lit(1 - EMA_ALPHA) * acc,
+    )
+    return h2.select(
+        "event_type", "hour", F.col("n").alias("n_events"), ema.alias("ema")
+    )
+
+
 MV_CUTOFF = "2024-01-21"  # events span 2024-01-01..30: 20d snapshot + 10d delta
 _MV_DEC = "decimal(28,6)"  # Spark's SUM(decimal(18,6)) result type
 
@@ -612,6 +651,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_active_streaks": events_active_streaks,
     "events_daily_mv_refresh": events_daily_mv_refresh,
+    "events_ema_smoothing": events_ema_smoothing,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -924,4 +964,28 @@ ORACLES["events_daily_mv_refresh"] = """
            count(1) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
+"""
+
+# Mirror of events_ema_smoothing: same ordered 24-row frame list, same
+# left fold — list_reduce seeds with the first element exactly like
+# F.aggregate(slice(2..), element_at(1)), and both engines execute the
+# identical alpha*x + (1-alpha)*acc IEEE sequence.
+ORACLES["events_ema_smoothing"] = f"""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type, count(1) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type, hour, n,
+             list(CAST(n AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {EMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+             ) AS a
+      FROM hourly
+    )
+    SELECT event_type, hour, n AS n_events,
+           list_reduce(a, (acc, x) -> {EMA_ALPHA}*x + {1 - EMA_ALPHA}*acc)
+             AS ema
+    FROM arr
 """

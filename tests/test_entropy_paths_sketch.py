@@ -202,3 +202,37 @@ def test_active_streaks_match_python(spark):
     }
     assert got == want and got
     assert any(v[2] > 1 for v in want.values()), "fixture has a real streak"
+
+
+def test_ema_smoothing_matches_python_fold(spark):
+    """The 24-point trailing EMA equals a pure-Python recursive fold
+    over the same per-type hourly series (same seed, same order)."""
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        EMA_ALPHA,
+        EMA_WINDOW,
+        events_ema_smoothing,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    hourly = Counter()
+    for r in ev:
+        hourly[(r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))] += 1
+    series = defaultdict(list)
+    for (ty, h), n in sorted(hourly.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        series[ty].append((h, n))
+    want = {}
+    for ty, pts in series.items():
+        for i, (h, n) in enumerate(pts):
+            frame = [x for _, x in pts[max(0, i - EMA_WINDOW + 1) : i + 1]]
+            acc = float(frame[0])
+            for x in frame[1:]:
+                acc = EMA_ALPHA * x + (1 - EMA_ALPHA) * acc
+            want[(ty, h)] = (n, acc)
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["ema"])
+        for r in events_ema_smoothing(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == want[k][1], k  # bit-exact, same fold
