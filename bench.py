@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "events_daily_mv_refresh",
     "events_ema_smoothing",
+    "embedding_power_iteration",
 ]
 
 

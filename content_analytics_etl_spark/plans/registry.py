@@ -78,8 +78,10 @@ _MODULES = [
 # via events_asof_join's family), events_active_streaks, and
 # multimodal_gif_decode (same round-trip harness as the windowed
 # multimodal_png_decode), events_daily_mv_refresh (oracle IS the
-# full recompute), and events_ema_smoothing (cross-engine bounded-frame
-# fold). All are mimic-green at sf0.01 and sf0.1.
+# full recompute), events_ema_smoothing (cross-engine bounded-frame
+# fold), and embedding_power_iteration (iterative, hash-exact at
+# sf0.01/0.1/1 after the PERF-29 fixed-point fix). All are mimic-green
+# at sf0.01 and sf0.1.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

@@ -494,6 +494,69 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(report, m)
 
 
+PCA_ITERS = 3
+PCA_SEED = 0.125  # v0 = [1/8]*64: unit vector, exactly representable
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION — the dimensionality-reduction / whitening primitive an
+    embedding pipeline runs before PCA-quantization or OOD scoring.
+    Three unrolled iterations of v ← normalize(Σᵢ xᵢ·(xᵢ·v)) from the
+    fixed seed v₀ = [1/8]⁶⁴, reported as the 64 loadings plus the final
+    pre-normalization norm (the Rayleigh-quotient-style spectral
+    estimate).
+
+    Like ``embedding_kmeans``, an ITERATIVE algorithm held to the full
+    hash-exact standard. The per-dimension reduction is FIXED-POINT:
+    each x_d·dot term is quantized by ``floor(x·10⁹ + 0.5)`` (floor of
+    an identical IEEE double — bit-equal in both engines) and summed as
+    exact BIGINT. The usual double→DECIMAL cast is NOT engine-portable
+    here: Spark casts via the double's SHORTEST decimal representation
+    (BigDecimal.valueOf) with HALF_UP, DuckDB scales the raw double —
+    at sf0.1 one of 192 reduction cells landed on the boundary and the
+    engines disagreed in the 12th decimal (PERF finding 29). The norm
+    is the ordered d-ascending fold of w_d² (bit-equal to DuckDB's
+    sequential list_sum), and the driver round-trip per iteration is
+    O(dim) — 64 doubles, never rows. The oracle is three chained CTEs
+    computing the identical IEEE sequence.
+
+    Scale shape per iteration: one broadcast of the 64-float direction
+    into the row-local dot, one posexplode to (dim, contribution)
+    pairs, one 64-group aggregation — linear in corpus size with
+    map-side combine, nothing quadratic, no global sort."""
+    import math
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("x")
+    )
+    v = [PCA_SEED] * DIM
+    w_df = None
+    for _ in range(PCA_ITERS):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        dot = dot_product(F.col("x"), vlit)
+        contrib = e.select(
+            F.posexplode(F.transform("x", lambda xi: xi * dot)).alias(
+                "d", "val"
+            )
+        )
+        q = F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        w_df = contrib.groupBy("d").agg(
+            (F.sum(q).cast("double") / F.lit(1e9)).alias("w")
+        )
+        w = [r["w"] for r in w_df.orderBy("d").collect()]
+        s = 0.0
+        for z in w:  # ordered fold — mirrors list_sum exactly
+            s += z * z
+        norm = math.sqrt(s)
+        v = [z / norm for z in w]
+    return w_df.select(
+        "d",
+        (F.col("w") / F.lit(norm)).alias("loading"),
+        F.lit(norm).alias("spectral_norm"),
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric per-vector quantization — the storage/bandwidth
     step a 100 TB embedding corpus needs before ANN serving (4× smaller
@@ -632,6 +695,7 @@ QUERIES = {
     "sim_ann_pq_adc": sim_ann_pq_adc,
     "kmeans_assign": kmeans_assign,
     "sim_semdedup": sim_semdedup,
+    "embedding_power_iteration": embedding_power_iteration,
     "embedding_quantize": embedding_quantize,
     "embedding_kmeans": embedding_kmeans,
 }
@@ -918,6 +982,61 @@ ORACLES = {
         FROM asg s LEFT JOIN dup ON s.vec_id = dup.vec_id
     """,
     "embedding_kmeans": _km_oracle(),
+    # Mirror of embedding_power_iteration: three chained CTE rounds,
+    # each = row dot (ordered fold) -> per-dimension fixed-point
+    # BIGINT reduction (floor(x*1e9 + 0.5)) -> ordered-fold norm; the division v=w/nrm happens
+    # per element before the next round's dot, exactly as in Python.
+    "embedding_power_iteration": f"""
+        WITH e AS (SELECT {_V} AS v FROM embeddings),
+        d1 AS (
+          SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> v[i] * {PCA_SEED})) AS dot
+          FROM e
+        ),
+        w1 AS MATERIALIZED (
+          SELECT CAST(r.i - 1 AS INT) AS d,
+                 CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+          FROM d1, range(1, {DIM + 1}) r(i) GROUP BY 1
+        ),
+        n1 AS (
+          SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+          FROM (SELECT list(w ORDER BY d) AS wv FROM w1)
+        ),
+        d2 AS (
+          SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> v[i] * (n1.wv[i] / n1.nrm))) AS dot
+          FROM e, n1
+        ),
+        w2 AS MATERIALIZED (
+          SELECT CAST(r.i - 1 AS INT) AS d,
+                 CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+          FROM d2, range(1, {DIM + 1}) r(i) GROUP BY 1
+        ),
+        n2 AS (
+          SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+          FROM (SELECT list(w ORDER BY d) AS wv FROM w2)
+        ),
+        d3 AS (
+          SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> v[i] * (n2.wv[i] / n2.nrm))) AS dot
+          FROM e, n2
+        ),
+        w3 AS MATERIALIZED (
+          SELECT CAST(r.i - 1 AS INT) AS d,
+                 CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+          FROM d3, range(1, {DIM + 1}) r(i) GROUP BY 1
+        ),
+        n3 AS (
+          SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm
+          FROM (SELECT list(w ORDER BY d) AS wv FROM w3)
+        )
+        SELECT d, w / (SELECT nrm FROM n3) AS loading,
+               (SELECT nrm FROM n3) AS spectral_norm
+        FROM w3
+    """,
     "sim_ann_ivf_topk": f"""
         WITH e AS ({_E_CTE}),
         cent AS (

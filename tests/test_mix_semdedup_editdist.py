@@ -235,3 +235,54 @@ def test_markov_transitions_match_python(spark):
     for x in from_tot:
         s = sum(p for (a, _), (_, p) in got.items() if a == x)
         assert math.isclose(s, 1.0, rel_tol=1e-9)
+
+
+def test_power_iteration_matches_numpy(spark):
+    """Three-step power iteration equals the numpy recurrence from the
+    same seed (tolerance-close; numpy reorders the reductions), the
+    loadings are unit-norm, and they align with the true dominant
+    eigenvector of X^T X."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        PCA_ITERS,
+        PCA_SEED,
+        embedding_power_iteration,
+    )
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    v = np.full(X.shape[1], PCA_SEED)
+    for _ in range(PCA_ITERS):
+        w = X.T @ (X @ v)
+        norm = np.linalg.norm(w)
+        v = w / norm
+    rows = embedding_power_iteration(spark, SF).collect()
+    got = np.empty(X.shape[1])
+    for r in rows:
+        got[r["d"]] = r["loading"]
+    sn = rows[0]["spectral_norm"]
+    assert all(math.isclose(r["spectral_norm"], sn) for r in rows)
+    assert math.isclose(np.linalg.norm(got), 1.0, rel_tol=1e-12)
+    # the engine reduction is fixed-point on a 1e-9 grid (PERF 29), so
+    # each w_d carries up to rows*5e-10 absolute quantization offset
+    assert np.allclose(got, v, rtol=1e-6, atol=1e-6)
+    assert math.isclose(sn, norm, rel_tol=1e-6)
+    # guaranteed power-iteration properties (this corpus is near-
+    # isotropic, so full convergence in 3 rounds is NOT expected):
+    # the Rayleigh quotient is non-decreasing from the seed, alignment
+    # with the dominant eigenvector never falls, and the spectral
+    # estimate is bracketed by the extreme eigenvalues.
+    evals, evecs = np.linalg.eigh(X.T @ X)
+    top = evecs[:, -1]
+    A = X.T @ X
+    seed = np.full(X.shape[1], PCA_SEED)
+    seed /= np.linalg.norm(seed)
+    assert float(got @ A @ got) >= float(seed @ A @ seed)
+    assert abs(float(got @ top)) >= abs(float(seed @ top)) - 1e-12
+    assert evals[0] - 1e-6 <= sn <= evals[-1] + 1e-6
