@@ -105,6 +105,7 @@ HEADLINE = [
     "events_daily_mv_refresh",
     "events_ema_smoothing",
     "embedding_power_iteration",
+    "sim_mmr_diversify",
 ]
 
 

@@ -79,8 +79,9 @@ _MODULES = [
 # multimodal_gif_decode (same round-trip harness as the windowed
 # multimodal_png_decode), events_daily_mv_refresh (oracle IS the
 # full recompute), events_ema_smoothing (cross-engine bounded-frame
-# fold), and embedding_power_iteration (iterative, hash-exact at
-# sf0.01/0.1/1 after the PERF-29 fixed-point fix). All are mimic-green
+# fold), embedding_power_iteration (iterative, hash-exact at
+# sf0.01/0.1/1 after the PERF-29 fixed-point fix), and
+# sim_mmr_diversify (unrolled greedy MMR re-rank). All are mimic-green
 # at sf0.01 and sf0.1.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots

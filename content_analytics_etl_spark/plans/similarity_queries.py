@@ -494,6 +494,143 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(report, m)
 
 
+MMR_LAMBDA = 0.7
+MMR_POOL = 10
+MMR_SELECT = 3
+
+
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity-aware
+    selection step retrieval pipelines run after ANN: from each query's
+    exact top-10 pool, greedily pick 3 results maximizing
+    λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s). A third iterative
+    algorithm held to the hash-exact standard: the greedy recursion is
+    unrolled into three relational selection stages (rank-1 windows
+    with score-desc, id-asc total order), like ``embedding_kmeans`` and
+    ``embedding_power_iteration``.
+
+    Scale shape: the pool is ≤ MMR_POOL rows per bounded query (≤ 20
+    queries at any corpus size — module contract), so the pairwise
+    pool-sim relation is ≤ 10×9 rows per query by construction; every
+    join is keyed by query_id. The corpus-side work is exactly
+    ``sim_brute_topk``'s broadcast scan; everything after it runs on
+    constant-size frames. Pool and sims persist once (PERF 27: they
+    feed every selection stage)."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    pool = (
+        brute_topk(emb, emb.filter(_query_side()), k=MMR_POOL)
+        .select("query_id", "cand_id", F.col("cosine").alias("rel"))
+        .persist()
+    )
+    ex = e.select(F.col("vec_id").alias("ca"), F.col("v").alias("xv"), F.col("nrm").alias("xn"))
+    ey = e.select(F.col("vec_id").alias("cb"), F.col("v").alias("yv"), F.col("nrm").alias("yn"))
+    sims = (
+        pool.select("query_id", F.col("cand_id").alias("ca"))
+        .join(
+            pool.select("query_id", F.col("cand_id").alias("cb")), "query_id"
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .join(ex, "ca")
+        .join(ey, "cb")
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            (dot_product(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))).alias("sim"),
+        )
+        .persist()
+    )
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(1 - MMR_LAMBDA)
+
+    def pick(cands: DataFrame, score: F.Column) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(score.desc(), F.col("cand_id"))
+        return cands.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") == 1
+        )
+
+    s1 = pick(pool, lam * F.col("rel")).select(
+        "query_id",
+        F.col("cand_id").alias("s1"),
+        F.col("rel").alias("rel1"),
+    )
+    c2 = (
+        pool.join(s1.select("query_id", "s1"), "query_id")
+        .filter(F.col("cand_id") != F.col("s1"))
+        .join(
+            sims.select("query_id", F.col("ca").alias("cand_id"), F.col("cb").alias("s1"), "sim"),
+            ["query_id", "cand_id", "s1"],
+        )
+        .select("query_id", "cand_id", "rel", F.col("sim").alias("pen"))
+    )
+    s2 = pick(c2, lam * F.col("rel") - mu * F.col("pen")).select(
+        "query_id",
+        F.col("cand_id").alias("s2"),
+        F.col("rel").alias("rel2"),
+        F.col("pen").alias("pen2"),
+    )
+    c3 = (
+        pool.join(s1.select("query_id", "s1"), "query_id")
+        .join(s2.select("query_id", "s2"), "query_id")
+        .filter((F.col("cand_id") != F.col("s1")) & (F.col("cand_id") != F.col("s2")))
+        .join(
+            sims.select("query_id", F.col("ca").alias("cand_id"), F.col("cb").alias("s1"), F.col("sim").alias("sim1")),
+            ["query_id", "cand_id", "s1"],
+        )
+        .join(
+            sims.select("query_id", F.col("ca").alias("cand_id"), F.col("cb").alias("s2"), F.col("sim").alias("sim2")),
+            ["query_id", "cand_id", "s2"],
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            F.greatest("sim1", "sim2").alias("pen"),
+        )
+    )
+    s3 = pick(c3, lam * F.col("rel") - mu * F.col("pen")).select(
+        "query_id",
+        F.col("cand_id").alias("s3"),
+        F.col("rel").alias("rel3"),
+        F.col("pen").alias("pen3"),
+    )
+    zero = F.lit(0.0)
+    out = (
+        s1.select(
+            "query_id",
+            F.lit(1).alias("mmr_rank"),
+            F.col("s1").alias("cand_id"),
+            F.col("rel1").alias("relevance"),
+            zero.alias("penalty"),
+            (lam * F.col("rel1") - mu * zero).alias("mmr_score"),
+        )
+        .unionByName(
+            s2.select(
+                "query_id",
+                F.lit(2).alias("mmr_rank"),
+                F.col("s2").alias("cand_id"),
+                F.col("rel2").alias("relevance"),
+                F.col("pen2").alias("penalty"),
+                (lam * F.col("rel2") - mu * F.col("pen2")).alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id",
+                F.lit(3).alias("mmr_rank"),
+                F.col("s3").alias("cand_id"),
+                F.col("rel3").alias("relevance"),
+                F.col("pen3").alias("penalty"),
+                (lam * F.col("rel3") - mu * F.col("pen3")).alias("mmr_score"),
+            )
+        )
+    )
+    return materialize_and_release(out, pool, sims)
+
+
 PCA_ITERS = 3
 PCA_SEED = 0.125  # v0 = [1/8]*64: unit vector, exactly representable
 
@@ -695,6 +832,7 @@ QUERIES = {
     "sim_ann_pq_adc": sim_ann_pq_adc,
     "kmeans_assign": kmeans_assign,
     "sim_semdedup": sim_semdedup,
+    "sim_mmr_diversify": sim_mmr_diversify,
     "embedding_power_iteration": embedding_power_iteration,
     "embedding_quantize": embedding_quantize,
     "embedding_kmeans": embedding_kmeans,
@@ -982,6 +1120,89 @@ ORACLES = {
         FROM asg s LEFT JOIN dup ON s.vec_id = dup.vec_id
     """,
     "embedding_kmeans": _km_oracle(),
+    # Mirror of sim_mmr_diversify: pool = brute-topk CTE at k=10,
+    # pool-pairwise sims, three chained greedy selections with the
+    # identical score expression and (score DESC, cand_id) total order.
+    "sim_mmr_diversify": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        q AS (SELECT * FROM e WHERE {_Q_SIDE}),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm) AS rel
+          FROM e c JOIN q ON c.vec_id <> q.vec_id
+        ),
+        pool AS MATERIALIZED (
+          SELECT query_id, cand_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, cand_id) AS rk
+            FROM scored)
+          WHERE rk <= {MMR_POOL}
+        ),
+        sims AS MATERIALIZED (
+          SELECT p1.query_id, p1.cand_id AS ca, p2.cand_id AS cb,
+                 {_DOT(d=DIM, a="x.v", b="y.v")} / (x.nrm * y.nrm) AS sim
+          FROM pool p1
+          JOIN pool p2 ON p1.query_id = p2.query_id
+                      AND p1.cand_id <> p2.cand_id
+          JOIN e x ON x.vec_id = p1.cand_id
+          JOIN e y ON y.vec_id = p2.cand_id
+        ),
+        s1 AS (
+          SELECT query_id, cand_id AS s1, rel AS rel1 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY {MMR_LAMBDA} * rel DESC, cand_id) AS rk
+            FROM pool)
+          WHERE rk = 1
+        ),
+        c2 AS (
+          SELECT p.query_id, p.cand_id, p.rel, s.sim AS pen
+          FROM pool p
+          JOIN s1 ON p.query_id = s1.query_id AND p.cand_id <> s1.s1
+          JOIN sims s ON s.query_id = p.query_id
+                     AND s.ca = p.cand_id AND s.cb = s1.s1
+        ),
+        s2 AS (
+          SELECT query_id, cand_id AS s2, rel AS rel2, pen AS pen2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY {MMR_LAMBDA} * rel
+                                 - {1 - MMR_LAMBDA} * pen DESC,
+                                 cand_id) AS rk
+            FROM c2)
+          WHERE rk = 1
+        ),
+        c3 AS (
+          SELECT p.query_id, p.cand_id, p.rel,
+                 greatest(sa.sim, sb.sim) AS pen
+          FROM pool p
+          JOIN s1 ON p.query_id = s1.query_id AND p.cand_id <> s1.s1
+          JOIN s2 ON p.query_id = s2.query_id AND p.cand_id <> s2.s2
+          JOIN sims sa ON sa.query_id = p.query_id
+                      AND sa.ca = p.cand_id AND sa.cb = s1.s1
+          JOIN sims sb ON sb.query_id = p.query_id
+                      AND sb.ca = p.cand_id AND sb.cb = s2.s2
+        ),
+        s3 AS (
+          SELECT query_id, cand_id AS s3, rel AS rel3, pen AS pen3 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY {MMR_LAMBDA} * rel
+                                 - {1 - MMR_LAMBDA} * pen DESC,
+                                 cand_id) AS rk
+            FROM c3)
+          WHERE rk = 1
+        )
+        SELECT query_id, CAST(1 AS INT) AS mmr_rank, s1 AS cand_id,
+               rel1 AS relevance, 0.0 AS penalty,
+               {MMR_LAMBDA} * rel1 - {1 - MMR_LAMBDA} * 0.0 AS mmr_score
+        FROM s1
+        UNION ALL
+        SELECT query_id, CAST(2 AS INT), s2, rel2, pen2,
+               {MMR_LAMBDA} * rel2 - {1 - MMR_LAMBDA} * pen2
+        FROM s2
+        UNION ALL
+        SELECT query_id, CAST(3 AS INT), s3, rel3, pen3,
+               {MMR_LAMBDA} * rel3 - {1 - MMR_LAMBDA} * pen3
+        FROM s3
+    """,
     # Mirror of embedding_power_iteration: three chained CTE rounds,
     # each = row dot (ordered fold) -> per-dimension fixed-point
     # BIGINT reduction (floor(x*1e9 + 0.5)) -> ordered-fold norm; the division v=w/nrm happens

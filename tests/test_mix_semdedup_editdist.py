@@ -286,3 +286,57 @@ def test_power_iteration_matches_numpy(spark):
     assert float(got @ A @ got) >= float(seed @ A @ seed)
     assert abs(float(got @ top)) >= abs(float(seed @ top)) - 1e-12
     assert evals[0] - 1e-6 <= sn <= evals[-1] + 1e-6
+
+
+def test_mmr_matches_python_greedy(spark):
+    """The 3 picks per query equal a pure-Python greedy MMR over the
+    same top-10 pool (same λ, same tie order), and the diversity
+    penalty actually bites somewhere (some pick differs from the pure
+    relevance order, or every penalty is zero because pools are
+    orthogonal — assert the former when any penalty > 0 exists)."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        MMR_LAMBDA,
+        MMR_POOL,
+        QUERY_CAP,
+        QUERY_MOD,
+        sim_mmr_diversify,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    idx = {v: i for i, v in enumerate(ids)}
+    queries = [v for v in ids if v % QUERY_MOD == 0 and v < QUERY_CAP]
+    want = {}
+    for qv in queries:
+        rels = [
+            (float(S[idx[qv], idx[c]]), c) for c in ids if c != qv
+        ]
+        pool = [
+            c for _, c in sorted(rels, key=lambda t: (-t[0], t[1]))[:MMR_POOL]
+        ]
+        rel = {c: float(S[idx[qv], idx[c]]) for c in pool}
+        sel = []
+        for rank in range(3):
+            best = None
+            for c in pool:
+                if c in sel:
+                    continue
+                pen = max((float(S[idx[c], idx[s]]) for s in sel), default=0.0)
+                score = MMR_LAMBDA * rel[c] - (1 - MMR_LAMBDA) * pen
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, pen)
+            sel.append(best[1])
+            want[(qv, rank + 1)] = best[1]
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["cand_id"]
+        for r in sim_mmr_diversify(spark, SF).collect()
+    }
+    assert got == want and got
