@@ -106,6 +106,7 @@ HEADLINE = [
     "events_ema_smoothing",
     "embedding_power_iteration",
     "sim_mmr_diversify",
+    "doc_rake_keywords",
 ]
 
 

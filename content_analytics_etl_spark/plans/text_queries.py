@@ -243,6 +243,67 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", h.alias("rolling_hash"))
 
 
+RAKE_TOP = 3
+
+
+def doc_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — unsupervised
+    keyphrase tagging for corpus topic indexing: candidate phrases are
+    maximal stopword-free token runs; each word scores deg(w)/freq(w)
+    within its document (deg = summed length of phrases containing w);
+    a phrase scores the sum of its words' scores; top 3 phrases per doc.
+
+    Fully relational: the phrase id is a running stopword count (one
+    doc-keyed window), word stats are INTEGER sums (deg, freq — no
+    float hazard), and the one cross-word float reduction (the phrase
+    score) uses the PERF-29 fixed-point form (floor(score·10⁹ + 0.5)
+    summed as BIGINT) so both engines agree bit-for-bit. Identical
+    phrase strings within a doc collapse before ranking (their scores
+    are identical by construction), keeping the (score desc, phrase)
+    rank a total order. Everything is keyed by doc_id — explode, three
+    compact aggs, one ranking window; linear at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    stop = F.col("token").isin(*STOPWORDS)
+    w_run = W.partitionBy("doc_id").orderBy("pos")
+    tok = tok.withColumn(
+        "phrase_id", F.sum(stop.cast("int")).over(w_run)
+    ).filter(~stop)
+    plen = F.count(F.lit(1)).over(W.partitionBy("doc_id", "phrase_id"))
+    member = tok.withColumn("plen", plen)
+    wordstat = member.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = member.join(wordstat, ["doc_id", "token"]).withColumn(
+        "wscore", F.col("deg").cast("double") / F.col("freq").cast("double")
+    )
+    fixp = F.floor(F.col("wscore") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    phrases = scored.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+        (F.sum(fixp).cast("double") / F.lit(1e9)).alias("rake_score"),
+    )
+    uniq = phrases.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("n_words").alias("n_words"),
+        F.max("rake_score").alias("rake_score"),
+    )
+    wr = W.partitionBy("doc_id").orderBy(
+        F.col("rake_score").desc(), F.col("phrase")
+    )
+    return uniq.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= RAKE_TOP
+    )
+
+
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the classic
     gibberish/binary-spill quality gate (mojibake and base64 blobs sit
@@ -981,6 +1042,7 @@ QUERIES = {
     "corpus_mix_rebalance": corpus_mix_rebalance,
     "doc_sample_stratified": doc_sample_stratified,
     "doc_char_entropy": doc_char_entropy,
+    "doc_rake_keywords": doc_rake_keywords,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_subword_counts": doc_subword_counts,
@@ -1356,6 +1418,67 @@ ORACLES = {
         FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % {SAMPLE_BUCKETS} < {SAMPLE_KEEP}
+    """,
+    # Mirror of doc_rake_keywords: same running-stopword phrase ids,
+    # integer deg/freq, fixed-point phrase-score reduction (PERF 29),
+    # pos-ordered string_agg, identical-phrase collapse before ranking.
+    "doc_rake_keywords": f"""
+        WITH tok0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(pos := CAST(i - 1 AS INT),
+                                    token := toks[i]))) AS s
+          FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        ),
+        tok AS (
+          SELECT doc_id, s.pos AS pos, s.token AS token FROM tok0
+        ),
+        run AS (
+          SELECT doc_id, pos, token,
+                 CASE WHEN token IN {_in_list(STOPWORDS)}
+                      THEN 1 ELSE 0 END AS st,
+                 SUM(CASE WHEN token IN {_in_list(STOPWORDS)}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+          FROM tok
+        ),
+        member AS (
+          SELECT doc_id, phrase_id, pos, token,
+                 count(1) OVER (PARTITION BY doc_id, phrase_id) AS plen
+          FROM run WHERE st = 0
+        ),
+        ws AS (
+          SELECT doc_id, token, count(1) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM member GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT m.doc_id, m.phrase_id, m.pos, m.token,
+                 CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore
+          FROM member m JOIN ws ON m.doc_id = ws.doc_id
+                               AND m.token = ws.token
+        ),
+        ph AS (
+          SELECT doc_id, phrase_id,
+                 string_agg(token, ' ' ORDER BY pos) AS phrase,
+                 count(1) AS n_words,
+                 CAST(SUM(CAST(floor(wscore * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000000.0
+                   AS rake_score
+          FROM scored GROUP BY 1, 2
+        ),
+        uq AS (
+          SELECT doc_id, phrase, count(1) AS n_occurrences,
+                 CAST(max(n_words) AS BIGINT) AS n_words,
+                 max(rake_score) AS rake_score
+          FROM ph GROUP BY 1, 2
+        )
+        SELECT doc_id, phrase, n_occurrences, n_words, rake_score, rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY rake_score DESC, phrase) AS rank
+          FROM uq)
+        WHERE rank <= {RAKE_TOP}
     """,
     # Mirror of doc_char_entropy: same char explode as doc_rolling_hash
     # (string_split_regex ↔ F.split on ''), log2 over shared integers on

@@ -236,3 +236,61 @@ def test_ema_smoothing_matches_python_fold(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == want[k][1], k  # bit-exact, same fold
+
+
+def test_rake_matches_python(spark):
+    """Top-3 phrases per doc equal a from-scratch Python RAKE (same
+    stopword runs, deg/freq scores, fixed-point phrase sums, same tie
+    order)."""
+    from content_analytics_etl_spark.plans.text_queries import (
+        RAKE_TOP,
+        STOPWORDS,
+        doc_rake_keywords,
+    )
+
+    docs = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    want = {}
+    for doc_id, toks in docs.items():
+        phrases = []
+        cur = []
+        for tk in toks:
+            if tk in STOPWORDS:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(tk)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            continue
+        freq = Counter()
+        deg = Counter()
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+        scored = {}
+        occ = Counter()
+        for p in phrases:
+            s = sum(
+                math.floor((deg[w] / freq[w]) * 1e9 + 0.5) for w in p
+            ) / 1e9
+            key = " ".join(p)
+            occ[key] += 1
+            scored[key] = (s, len(p))
+        top = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+            :RAKE_TOP
+        ]
+        for rank, (phrase, (s, nw)) in enumerate(top, 1):
+            want[(doc_id, rank)] = (phrase, occ[phrase], nw, s)
+    got = {
+        (r["doc_id"], r["rank"]): (
+            r["phrase"], r["n_occurrences"], r["n_words"], r["rake_score"]
+        )
+        for r in doc_rake_keywords(spark, SF).collect()
+    }
+    assert got == want and got
