@@ -661,17 +661,30 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per iteration: one broadcast of the 64-float direction
     into the row-local dot, one posexplode to (dim, contribution)
     pairs, one 64-group aggregation — linear in corpus size with
-    map-side combine, nothing quadratic, no global sort."""
+    map-side combine, nothing quadratic, no global sort. (The
+    64-conditional-sum single-row alternative measured SLOWER — see
+    the inline note and PERF 30.)"""
     import math
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("x")
+    # persist once: each of the 3 iterations re-references the decoded
+    # corpus (PERF 27), and the frame is (id, 64 doubles) — tiny
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("x"))
+        .persist()
     )
     v = [PCA_SEED] * DIM
-    w_df = None
+    w = []
     for _ in range(PCA_ITERS):
         vlit = F.array(*[F.lit(float(c)) for c in v])
         dot = dot_product(F.col("x"), vlit)
+        # posexplode to (dim, contribution) + 64-group aggregation —
+        # measured FASTER than the 64-conditional-sum single-row form
+        # (4.2-4.8 s vs 3.3 s at sf0.1): 64 wide aggregate expressions
+        # explode the codegen'd plan (compile cost per iteration, each
+        # iteration's literals forcing a fresh compilation), while the
+        # explode keeps every expression tiny. The reduction integers
+        # are identical either way (PERF 30).
         contrib = e.select(
             F.posexplode(F.transform("x", lambda xi: xi * dot)).alias(
                 "d", "val"
@@ -687,11 +700,17 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             s += z * z
         norm = math.sqrt(s)
         v = [z / norm for z in w]
-    return w_df.select(
+    # final frame from the already-collected O(dim) vector — the same
+    # _centroid_df convention embedding_kmeans uses; re-deriving it from
+    # lineage would run the third corpus pass a second time
+    out = spark.createDataFrame(
+        [(d, float(z)) for d, z in enumerate(w)], "d int, w double"
+    ).select(
         "d",
         (F.col("w") / F.lit(norm)).alias("loading"),
         F.lit(norm).alias("spectral_norm"),
     )
+    return materialize_and_release(out, e)
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
