@@ -172,3 +172,25 @@ def test_chunk_plan_covers_every_token_once_per_stride(n_tokens):
         assert length >= 1  # every planned chunk is non-empty
         covered.update(range(start, start + length))
     assert covered == set(range(n_tokens))
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    min_code=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(data, min_code):
+    """LZW encode→decode is the identity for arbitrary byte strings and
+    every GIF minimum code size (values are masked into the alphabet so
+    2-bit codes are exercised too)."""
+    from content_analytics_etl_spark.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    alphabet_mask = (1 << min_code) - 1
+    payload = bytes(b & alphabet_mask for b in data)
+    assert (
+        _lzw_decode_gif(_lzw_encode_gif(payload, min_code), min_code)
+        == payload
+    )
