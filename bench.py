@@ -107,6 +107,8 @@ HEADLINE = [
     "embedding_power_iteration",
     "sim_mmr_diversify",
     "doc_rake_keywords",
+    "events_seasonal_naive_eval",
+    "part_revenue_abc",
 ]
 
 

@@ -536,6 +536,59 @@ def warehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASON_LAG_HOURS = 24  # seasonal-naive horizon: same hour yesterday
+
+
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation — the first number any time-series
+    effort needs: per event type, how well does 'same hour yesterday'
+    (seasonal naive, lag 24 on the hourly count series) predict the
+    actual hourly count? Reports MAE, RMSE and bias over all evaluable
+    hours. Every error is an INTEGER (count − lagged count), so the
+    aggregates are exact integer/decimal arithmetic with one final
+    double division — no float hazard at all.
+
+    The prediction joins on hour − 24h (a keyed equi-join after shifting
+    the prediction side), NOT ``lag(24)`` — lag counts ROWS, so one
+    missing hour in the series would silently misalign every later
+    prediction; the join is exact under gaps and evaluates only hours
+    whose predecessor exists. Shape: one hash aggregation events →
+    hourly, one (type, hour) equi-join of the hourly series with its
+    shifted self, one compact per-type aggregation."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pred = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr(f"INTERVAL {SEASON_LAG_HOURS} HOURS")).alias(
+            "hour"
+        ),
+        F.col("n").alias("pred"),
+    )
+    h = hourly.join(pred, ["event_type", "hour"])
+    err = F.col("n") - F.col("pred")
+    return (
+        h.select("event_type", err.alias("err"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            (
+                F.sum(F.abs(F.col("err"))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mae"),
+            F.sqrt(
+                F.sum(F.col("err") * F.col("err")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rmse"),
+            (
+                F.sum(F.col("err")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("bias"),
+        )
+    )
+
+
 EMA_ALPHA = 0.25
 EMA_WINDOW = 24  # trailing hours feeding each smoothed point
 
@@ -572,6 +625,72 @@ def events_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h2.select(
         "event_type", "hour", F.col("n").alias("n_events"), ema.alias("ema")
+    )
+
+
+ABC_A_SHARE = 0.8  # Pareto class boundaries on cumulative revenue share
+ABC_B_SHARE = 0.95
+
+
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification — the 80/15/5 revenue-share
+    cut every supply-chain warehouse runs: parts ranked by lineitem
+    revenue; class A carries the first 80% of cumulative share, B to
+    95%, C the tail. Reports per part the revenue, rank, cumulative
+    share and class.
+
+    The cumulative sum runs over FIXED-POINT integers (revenue has ≤ 6
+    decimal places by construction — it is the exact DECIMAL(18,6) sum
+    cast to double — so floor(rev·10⁶ + 0.5) is lossless and < 2⁵³):
+    windowed double sums are NOT portable (DuckDB's segment-tree window
+    aggregation associates differently from a running fold), integer
+    sums are order-free. The global ordered window runs over the
+    ALREADY-AGGREGATED part table — |parts| rows, a dimension, not the
+    fact table — the same aggregate-then-rank shape as
+    ``events_top_paths``; the grand total is a 1-row broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    # rev_fp is an AGGREGATE output (not a downstream projection) so the
+    # global window's single-partition exchange sits directly on the
+    # HashAggregate — the aggregate-then-rank shape the plan audit
+    # certifies; the 1-row total joins on AFTER the windows
+    per = li.groupBy("l_partkey").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.floor(F.sum(rev).cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("rev_fp"),
+    )
+    tot = per.agg(F.sum("rev_fp").alias("tot_fp"))
+    w = (
+        W.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = (
+        per.withColumn("cum_fp", F.sum("rev_fp").over(w))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("revenue").desc(), "l_partkey")
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    share = F.col("cum_fp").cast("double") / F.col("tot_fp").cast("double")
+    cls = (
+        F.when(share <= ABC_A_SHARE, "A")
+        .when(share <= ABC_B_SHARE, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        "n_lines",
+        "rank",
+        share.alias("cum_share"),
+        cls.alias("abc_class"),
     )
 
 
@@ -652,6 +771,8 @@ QUERIES = {
     "events_active_streaks": events_active_streaks,
     "events_daily_mv_refresh": events_daily_mv_refresh,
     "events_ema_smoothing": events_ema_smoothing,
+    "events_seasonal_naive_eval": events_seasonal_naive_eval,
+    "part_revenue_abc": part_revenue_abc,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -988,4 +1109,60 @@ ORACLES["events_ema_smoothing"] = f"""
            list_reduce(a, (acc, x) -> {EMA_ALPHA}*x + {1 - EMA_ALPHA}*acc)
              AS ema
     FROM arr
+"""
+
+# Mirror of events_seasonal_naive_eval: identical shifted self-join
+# (exact under missing hours), integer errors, one final double divide.
+ORACLES["events_seasonal_naive_eval"] = f"""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type, count(1) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT a.event_type, a.n, p.n AS pred
+      FROM hourly a
+      JOIN hourly p ON p.event_type = a.event_type
+                   AND p.hour + INTERVAL {SEASON_LAG_HOURS} HOUR = a.hour
+    )
+    SELECT event_type, count(1) AS n_hours,
+           CAST(sum(abs(n - pred)) AS DOUBLE)
+             / CAST(count(1) AS DOUBLE) AS mae,
+           sqrt(CAST(sum((n - pred) * (n - pred)) AS DOUBLE)
+                / CAST(count(1) AS DOUBLE)) AS rmse,
+           CAST(sum(n - pred) AS DOUBLE)
+             / CAST(count(1) AS DOUBLE) AS bias
+    FROM h GROUP BY 1
+"""
+
+# Mirror of part_revenue_abc: same decimal-exact per-part revenue,
+# lossless fixed-point cumulative window (ROWS frame), 1-row total.
+ORACLES["part_revenue_abc"] = f"""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             count(1) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    fp AS (
+      SELECT *, CAST(floor(revenue * 1000000.0 + 0.5) AS BIGINT) AS rev_fp
+      FROM per
+    ),
+    c AS (
+      SELECT *,
+             SUM(rev_fp) OVER (ORDER BY revenue DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fp,
+             row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rank,
+             (SELECT CAST(sum(rev_fp) AS BIGINT) FROM fp) AS tot_fp
+      FROM fp
+    )
+    SELECT l_partkey, revenue, n_lines, rank,
+           CAST(cum_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE)
+                     <= {ABC_A_SHARE} THEN 'A'
+                WHEN CAST(cum_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE)
+                     <= {ABC_B_SHARE} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
 """

@@ -82,8 +82,10 @@ _MODULES = [
 # fold), embedding_power_iteration (iterative, hash-exact at
 # sf0.01/0.1/1 after the PERF-29 fixed-point fix), and
 # sim_mmr_diversify (unrolled greedy MMR re-rank), and
-# doc_rake_keywords (relational RAKE keyphrase extraction). All are
-# mimic-green at sf0.01 and sf0.1.
+# doc_rake_keywords (relational RAKE keyphrase extraction),
+# events_seasonal_naive_eval (forecast-baseline scoring), and
+# part_revenue_abc (Pareto/ABC classification, fixed-point cumulative
+# window). All are mimic-green at sf0.01 and sf0.1.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

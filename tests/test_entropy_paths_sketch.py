@@ -294,3 +294,78 @@ def test_rake_matches_python(spark):
         for r in doc_rake_keywords(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_seasonal_naive_matches_python(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        SEASON_LAG_HOURS,
+        events_seasonal_naive_eval,
+    )
+    from datetime import timedelta
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    hourly = Counter()
+    for r in ev:
+        hourly[
+            (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        ] += 1
+    errs = defaultdict(list)
+    for (ty, h), n in hourly.items():
+        prev = hourly.get((ty, h - timedelta(hours=SEASON_LAG_HOURS)))
+        if prev is not None:
+            errs[ty].append(n - prev)
+    got = {
+        r["event_type"]: (r["n_hours"], r["mae"], r["rmse"], r["bias"])
+        for r in events_seasonal_naive_eval(spark, SF).collect()
+    }
+    assert set(got) == set(errs)
+    for ty, es in errs.items():
+        n = len(es)
+        assert got[ty][0] == n
+        assert math.isclose(got[ty][1], sum(abs(e) for e in es) / n)
+        assert math.isclose(
+            got[ty][2], math.sqrt(sum(e * e for e in es) / n)
+        )
+        assert math.isclose(got[ty][3], sum(es) / n, abs_tol=1e-12)
+
+
+def test_abc_classification_matches_python(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        ABC_A_SHARE,
+        ABC_B_SHARE,
+        part_revenue_abc,
+    )
+    from decimal import Decimal
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    rev = defaultdict(Decimal)
+    nl = Counter()
+    for r in li:
+        rev[r["l_partkey"]] += (
+            Decimal(str(r["l_extendedprice"]))
+            * (1 - Decimal(str(r["l_discount"])))
+        ).quantize(Decimal("0.000001"))
+        nl[r["l_partkey"]] += 1
+    parts = sorted(rev, key=lambda p: (-float(rev[p]), p))
+    tot = sum(int(rev[p] * 1_000_000) for p in parts)
+    cum = 0
+    want = {}
+    for rank, p in enumerate(parts, 1):
+        cum += int(rev[p] * 1_000_000)
+        share = cum / tot
+        cls = "A" if share <= ABC_A_SHARE else ("B" if share <= ABC_B_SHARE else "C")
+        want[p] = (float(rev[p]), nl[p], rank, share, cls)
+    got = {
+        r["l_partkey"]: (
+            r["revenue"], r["n_lines"], r["rank"], r["cum_share"], r["abc_class"]
+        )
+        for r in part_revenue_abc(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    n_cls = Counter(v[4] for v in got.values())
+    assert n_cls["A"] and n_cls["B"] and n_cls["C"]  # all classes non-empty
+    for p, (r_, n_, rk_, sh_, c_) in want.items():
+        g = got[p]
+        assert math.isclose(g[0], r_, rel_tol=1e-9)
+        assert (g[1], g[2], g[4]) == (n_, rk_, c_)
+        assert math.isclose(g[3], sh_, rel_tol=1e-12)

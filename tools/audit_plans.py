@@ -52,6 +52,8 @@ ALLOW_NESTED_LOOP = {
     "|source|x|lang| cell table",
     "events_distinct_sketch_rollup": "cross join of two 1-row aggregates "
     "(merged-register sum x exact total) for the all-days row",
+    "part_revenue_abc": "1-row grand-total aggregate broadcast onto the "
+    "per-part table",
 }
 
 
