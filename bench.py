@@ -109,6 +109,7 @@ HEADLINE = [
     "doc_rake_keywords",
     "events_seasonal_naive_eval",
     "part_revenue_abc",
+    "corpus_training_manifest",
 ]
 
 

@@ -26,8 +26,13 @@ from .dedup_queries import (
     dedup_exact_flags,
     dedup_keep_best,
 )
+from pyspark.sql import Window as W
+
+from ..functions.text_metrics import tokens
 from .text_queries import (
     ORACLES as T_ORACLES,
+    PACK_CONTEXT,
+    _TOKS_SQL,
     doc_quality_gates,
     doc_split_assign,
 )
@@ -107,9 +112,64 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINING-assembly counterpart of the curation manifest: what
+    the trainer actually consumes per (source, split) — document and
+    token counts, the number of ``PACK_CONTEXT``-token packed sequences
+    (the same contiguous greedy packer as ``doc_pack_sequences``, but
+    partitioned by (source, split): bins never mix shards or splits),
+    the packing fill ratio, and each source's token share WITHIN its
+    split (the number a data-mix review compares against the recipe).
+
+    Composition showcase like ``corpus_curation_manifest``: split
+    assignment (stable salted-hash buckets) × tokenizer × packing
+    window, joined per document, rolled up per cell. All integer
+    arithmetic until two final double divisions; the within-split share
+    normalizer is a window SUM of BIGINT over the tiny aggregated cell
+    table, partitioned by split — keyed, exact, nothing global."""
+    sp = doc_split_assign(spark, sf_dir).select("doc_id", "split")
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+        .join(sp, "doc_id")
+    )
+    w = (
+        W.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")) / F.lit(float(PACK_CONTEXT))
+        ).cast("int"),
+    )
+    per = packed.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max("bin_id") + 1).cast("bigint").alias("n_sequences"),
+    )
+    fill = F.col("n_tokens").cast("double") / (
+        F.col("n_sequences") * PACK_CONTEXT
+    ).cast("double")
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        W.partitionBy("split")
+    ).cast("double")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        "n_sequences",
+        fill.alias("fill_ratio"),
+        share.alias("split_token_share"),
+    )
+
+
 QUERIES = {
     "corpus_curation_manifest": corpus_curation_manifest,
     "corpus_curation_funnel": corpus_curation_funnel,
+    "corpus_training_manifest": corpus_training_manifest,
 }
 
 ORACLES = {
@@ -153,4 +213,39 @@ ORACLES["corpus_curation_funnel"] = f"""
              AS n_contaminated,
            CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS INT) AS n_kept
     FROM manifest GROUP BY source, split
+"""
+
+# Mirror of corpus_training_manifest: the split CTE is doc_split_assign's
+# oracle, packing is the same per-(source, split) cumulative window and
+# float division, shares are integer-window-normalized.
+ORACLES["corpus_training_manifest"] = f"""
+    WITH sp AS ({T_ORACLES["doc_split_assign"]}),
+    base AS (
+      SELECT d.doc_id, d.source, sp.split, len({_TOKS_SQL}) AS n_tokens
+      FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+    ),
+    packed AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source, split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM base
+    ),
+    b2 AS (
+      SELECT *, CAST(floor((cum - n_tokens) / {PACK_CONTEXT}.0) AS INT)
+                  AS bin_id
+      FROM packed
+    ),
+    per AS (
+      SELECT source, split, count(1) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(max(bin_id) + 1 AS BIGINT) AS n_sequences
+      FROM b2 GROUP BY 1, 2
+    )
+    SELECT source, split, n_docs, n_tokens, n_sequences,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(n_sequences * {PACK_CONTEXT} AS DOUBLE) AS fill_ratio,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(SUM(n_tokens) OVER (PARTITION BY split) AS DOUBLE)
+             AS split_token_share
+    FROM per
 """

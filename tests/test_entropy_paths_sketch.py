@@ -369,3 +369,53 @@ def test_abc_classification_matches_python(spark):
         assert math.isclose(g[0], r_, rel_tol=1e-9)
         assert (g[1], g[2], g[4]) == (n_, rk_, c_)
         assert math.isclose(g[3], sh_, rel_tol=1e-12)
+
+
+def test_training_manifest_matches_python(spark):
+    """Per-(source, split) cells equal a pure-Python recomputation of
+    split buckets, tokenization, greedy packing and shares."""
+    from content_analytics_etl_spark.plans.curation_queries import (
+        corpus_training_manifest,
+    )
+    from content_analytics_etl_spark.plans.text_queries import (
+        PACK_CONTEXT,
+        SPLIT_TRAIN_LT,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cells = defaultdict(list)  # (source, split) -> [(doc_id, n_tokens)]
+    for r in docs:
+        b = int(hashlib.md5(f"split|{r['doc_id']}".encode()).hexdigest()[:15], 16) % 100
+        split = (
+            "train" if b < SPLIT_TRAIN_LT
+            else ("val" if b < SPLIT_TRAIN_LT + 2 else "test")
+        )
+        n = len(re.sub(r"\s+", " ", r["text"].lower()).strip().split(" "))
+        cells[(r["source"], split)].append((r["doc_id"], n))
+    want = {}
+    split_tok = Counter()
+    for key, rows in cells.items():
+        rows.sort()
+        cum = 0
+        bins = set()
+        for _, n in rows:
+            bins.add(int(cum // PACK_CONTEXT))
+            cum += n
+        want[key] = (len(rows), cum, max(bins) + 1)
+        split_tok[key[1]] += cum
+    got = {
+        (r["source"], r["split"]): (
+            r["n_docs"], r["n_tokens"], r["n_sequences"],
+            r["fill_ratio"], r["split_token_share"],
+        )
+        for r in corpus_training_manifest(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for key, (nd, nt, ns) in want.items():
+        g = got[key]
+        assert (g[0], g[1], g[2]) == (nd, nt, ns)
+        assert math.isclose(g[3], nt / (ns * PACK_CONTEXT), rel_tol=1e-12)
+        assert math.isclose(g[4], nt / split_tok[key[1]], rel_tol=1e-12)
+    for split in ("train", "val", "test"):
+        s = sum(v[4] for k, v in got.items() if k[1] == split)
+        assert math.isclose(s, 1.0, rel_tol=1e-9)
