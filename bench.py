@@ -110,6 +110,8 @@ HEADLINE = [
     "events_seasonal_naive_eval",
     "part_revenue_abc",
     "corpus_training_manifest",
+    "events_peak_detection",
+    "doc_dup_aware_sampling",
 ]
 
 

@@ -536,6 +536,32 @@ def warehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the hourly count series per type —
+    the alerting primitive behind 'traffic spiked at 14:00': an hour is
+    a peak when its count strictly exceeds both neighbors (endpoints
+    excluded — a NULL neighbor never qualifies), with prominence = the
+    margin over the taller neighbor. Pure integer window arithmetic;
+    one hash aggregation + one lag/lead window per type."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    h = hourly.withColumn("prev", F.lag("n").over(w)).withColumn(
+        "nxt", F.lead("n").over(w)
+    )
+    return (
+        h.filter((F.col("n") > F.col("prev")) & (F.col("n") > F.col("nxt")))
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").alias("n_events"),
+            (F.col("n") - F.greatest("prev", "nxt")).alias("prominence"),
+        )
+    )
+
+
 SEASON_LAG_HOURS = 24  # seasonal-naive horizon: same hour yesterday
 
 
@@ -773,6 +799,7 @@ QUERIES = {
     "events_ema_smoothing": events_ema_smoothing,
     "events_seasonal_naive_eval": events_seasonal_naive_eval,
     "part_revenue_abc": part_revenue_abc,
+    "events_peak_detection": events_peak_detection,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -1165,4 +1192,23 @@ ORACLES["part_revenue_abc"] = f"""
                      <= {ABC_B_SHARE} THEN 'B'
                 ELSE 'C' END AS abc_class
     FROM c
+"""
+
+# Mirror of events_peak_detection: same strict two-sided comparison;
+# NULL neighbors (series endpoints) never qualify in either engine.
+ORACLES["events_peak_detection"] = """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_type, count(1) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT *,
+             lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev,
+             lead(n) OVER (PARTITION BY event_type ORDER BY hour) AS nxt
+      FROM hourly
+    )
+    SELECT event_type, hour, n AS n_events,
+           n - greatest(prev, nxt) AS prominence
+    FROM h WHERE n > prev AND n > nxt
 """

@@ -527,6 +527,29 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dup_aware_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling weights — the cluster-level softening of
+    hard dedup used when outright dropping near-dups is too aggressive:
+    every document in a near-dup family of size k samples with weight
+    1/k, so each FAMILY (not each copy) contributes one unit of
+    probability mass and boilerplate-heavy sources stop dominating the
+    mix. Documents outside any cluster are their own singleton (weight
+    1). Composition: connected components over the MinHash-LSH pair
+    graph -> left join onto the corpus -> one cluster-keyed count
+    window -> per-row reciprocal; everything keyed by cluster_id."""
+    cl = dedup_clusters(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    j = d.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    size = F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    return j.withColumn("cluster_size", size).withColumn(
+        "sample_weight",
+        F.lit(1.0) / F.col("cluster_size").cast("double"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_flags": dedup_exact_flags,
@@ -540,6 +563,7 @@ QUERIES = {
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_containment": dedup_containment,
+    "doc_dup_aware_sampling": doc_dup_aware_sampling,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -767,4 +791,22 @@ ORACLES["dedup_containment"] = f"""
       WHERE len(list_intersect(a.shingles, b.shingles)) > 0
     )
     WHERE greatest(containment_a, containment_b) >= {CONTAIN_THRESHOLD}
+"""
+
+# Mirror of doc_dup_aware_sampling: the clusters CTE is dedup_clusters'
+# oracle, singletons coalesce to their own id, one cluster-count window.
+ORACLES["doc_dup_aware_sampling"] = f"""
+    WITH cl AS MATERIALIZED ({ORACLES["dedup_clusters"]}),
+    j AS (
+      SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    ),
+    s AS (
+      SELECT *, count(1) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM j
+    )
+    SELECT doc_id, cluster_id, cluster_size,
+           CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE)
+             AS sample_weight
+    FROM s
 """

@@ -419,3 +419,59 @@ def test_training_manifest_matches_python(spark):
     for split in ("train", "val", "test"):
         s = sum(v[4] for k, v in got.items() if k[1] == split)
         assert math.isclose(s, 1.0, rel_tol=1e-9)
+
+
+def test_peak_detection_matches_python(spark):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        events_peak_detection,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    hourly = Counter()
+    for r in ev:
+        hourly[
+            (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        ] += 1
+    series = defaultdict(list)
+    for (ty, h), n in sorted(hourly.items()):
+        series[ty].append((h, n))
+    want = {}
+    for ty, pts in series.items():
+        for i in range(1, len(pts) - 1):
+            if pts[i][1] > pts[i - 1][1] and pts[i][1] > pts[i + 1][1]:
+                want[(ty, pts[i][0])] = (
+                    pts[i][1],
+                    pts[i][1] - max(pts[i - 1][1], pts[i + 1][1]),
+                )
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["prominence"])
+        for r in events_peak_detection(spark, SF).collect()
+    }
+    assert got == want and got
+
+
+def test_dup_aware_sampling_unit_mass_per_family(spark):
+    """Every document appears exactly once, weights are 1/cluster_size,
+    and each family's weights sum to exactly one unit."""
+    from content_analytics_etl_spark.plans.dedup_queries import (
+        doc_dup_aware_sampling,
+        dedup_clusters,
+    )
+
+    rows = doc_dup_aware_sampling(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    fam = defaultdict(list)
+    for r in rows:
+        assert math.isclose(r["sample_weight"], 1.0 / r["cluster_size"])
+        fam[r["cluster_id"]].append(r)
+    for cid, members in fam.items():
+        assert len(members) == members[0]["cluster_size"]
+        assert math.isclose(
+            sum(m["sample_weight"] for m in members), 1.0, rel_tol=1e-12
+        )
+    clustered = {r["doc_id"] for r in dedup_clusters(spark, SF).collect()}
+    assert any(len(m) > 1 for m in fam.values())  # real families exist
+    for cid, members in fam.items():
+        if len(members) == 1 and members[0]["doc_id"] not in clustered:
+            assert cid == members[0]["doc_id"]  # singleton id convention
