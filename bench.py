@@ -112,6 +112,7 @@ HEADLINE = [
     "corpus_training_manifest",
     "events_peak_detection",
     "doc_dup_aware_sampling",
+    "events_multitouch_attribution",
 ]
 
 

@@ -86,9 +86,10 @@ _MODULES = [
 # events_seasonal_naive_eval (forecast-baseline scoring), and
 # part_revenue_abc (Pareto/ABC classification, fixed-point cumulative
 # window), corpus_training_manifest (training-assembly composition
-# showcase), events_peak_detection, and doc_dup_aware_sampling
-# (cluster-level 1/k training weights). All are mimic-green at sf0.01
-# and sf0.1.
+# showcase), events_peak_detection, doc_dup_aware_sampling
+# (cluster-level 1/k training weights), and
+# events_multitouch_attribution (linear credit over the bucketized
+# interval join). All are mimic-green at sf0.01 and sf0.1.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

@@ -9,7 +9,7 @@ operators/asof.py for the determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_backward
@@ -65,6 +65,61 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             within, F.unix_micros("ts") - F.unix_micros("touch_ts")
         ).alias("micros_since_touch"),
+    )
+
+
+ATTRIB_WINDOW_US = ATTRIB_DAYS * 86_400_000_000
+
+
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the fairness-minded twin of
+    ``events_attribution``'s last-touch: every view/click in the 7-day
+    window before a purchase shares the credit equally (1/k each),
+    rolled up per touch type: touches involved, distinct purchases
+    influenced, and total fractional credit.
+
+    Candidate pairs come from the same bucketized interval-join shape
+    as ``events_range_join`` (touches explode to two 7-day buckets,
+    purchases probe their own — every qualifying pair generated exactly
+    once by an equi-join, no unbounded non-equi explosion). The 1/k
+    credit is fixed-point (floor(10⁹/k), summed as BIGINT — PERF 29),
+    so the per-type totals are bit-exact under any partitioning."""
+    e = t(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    tb = touches.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"t_us DIV {ATTRIB_WINDOW_US}"),
+                F.expr(f"t_us DIV {ATTRIB_WINDOW_US} + 1"),
+            )
+        ),
+    )
+    pb = purch.withColumn("bucket", F.expr(f"p_us DIV {ATTRIB_WINDOW_US}"))
+    delta = F.col("p_us") - F.col("t_us")
+    pairs = (
+        tb.join(pb, ["user_id", "bucket"])
+        .filter((delta >= 0) & (delta <= ATTRIB_WINDOW_US))
+        .select("purchase_id", "touch_id", "touch_type")
+    )
+    k = F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+    credited = pairs.withColumn(
+        "credit_fp", F.floor(F.lit(1e9) / k.cast("double")).cast("bigint")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases_influenced"),
+        (F.sum("credit_fp").cast("double") / F.lit(1e9)).alias("total_credit"),
     )
 
 
@@ -133,6 +188,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
     "events_attribution": events_attribution,
+    "events_multitouch_attribution": events_multitouch_attribution,
 }
 
 ORACLES = {
@@ -204,4 +260,32 @@ ORACLES["events_attribution"] = f"""
                 THEN epoch_us(ts) - epoch_us(lt.touch_ts)
            END AS micros_since_touch
     FROM f WHERE side = 1
+"""
+
+# Mirror of events_multitouch_attribution: the oracle uses the direct
+# non-equi interval join (fine at oracle scale; the engine side stays
+# bucketized), identical inclusive bounds and fixed-point 1/k credit.
+ORACLES["events_multitouch_attribution"] = f"""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, tch.event_id AS touch_id,
+             tch.event_type AS touch_type
+      FROM events p
+      JOIN events tch
+        ON p.user_id = tch.user_id
+       AND p.event_type = 'purchase'
+       AND tch.event_type IN ('view', 'click')
+       AND epoch_us(p.ts) - epoch_us(tch.ts) >= 0
+       AND epoch_us(p.ts) - epoch_us(tch.ts) <= {ATTRIB_WINDOW_US}
+    ),
+    credited AS (
+      SELECT *,
+             CAST(floor(1000000000.0
+                        / CAST(count(1) OVER (PARTITION BY purchase_id)
+                               AS DOUBLE)) AS BIGINT) AS credit_fp
+      FROM pairs
+    )
+    SELECT touch_type, count(1) AS n_touches,
+           count(DISTINCT purchase_id) AS n_purchases_influenced,
+           CAST(sum(credit_fp) AS DOUBLE) / 1000000000.0 AS total_credit
+    FROM credited GROUP BY 1
 """

@@ -475,3 +475,55 @@ def test_dup_aware_sampling_unit_mass_per_family(spark):
     for cid, members in fam.items():
         if len(members) == 1 and members[0]["doc_id"] not in clustered:
             assert cid == members[0]["doc_id"]  # singleton id convention
+
+
+def test_multitouch_attribution_matches_python(spark):
+    """Per-type totals equal a pure-Python linear attribution over the
+    same 7-day inclusive window with the same fixed-point 1/k credit,
+    and the total credit across types equals (purchases with >=1 touch)
+    up to the declared fixed-point granularity."""
+    from content_analytics_etl_spark.plans.temporal_queries import (
+        ATTRIB_WINDOW_US,
+        events_multitouch_attribution,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    touches = defaultdict(list)
+    purchases = []
+    for r in ev:
+        d = r["ts"]
+        us = (
+            (d - d.__class__(1970, 1, 1)).days * 86_400_000_000
+            + (d - d.__class__(1970, 1, 1)).seconds * 1_000_000
+            + (d - d.__class__(1970, 1, 1)).microseconds
+        )
+        if r["event_type"] in ("view", "click"):
+            touches[r["user_id"]].append((us, r["event_type"]))
+        elif r["event_type"] == "purchase":
+            purchases.append((r["user_id"], us, r["event_id"]))
+    stats = defaultdict(lambda: [0, set(), 0])  # touches, purchases, credit_fp
+    for u, pus, pid in purchases:
+        hits = [
+            ty
+            for tus, ty in touches.get(u, [])
+            if 0 <= pus - tus <= ATTRIB_WINDOW_US
+        ]
+        if not hits:
+            continue
+        fp = math.floor(1e9 / len(hits))
+        for ty in hits:
+            s = stats[ty]
+            s[0] += 1
+            s[1].add(pid)
+            s[2] += fp
+    got = {
+        r["touch_type"]: (
+            r["n_touches"], r["n_purchases_influenced"], r["total_credit"]
+        )
+        for r in events_multitouch_attribution(spark, SF).collect()
+    }
+    assert set(got) == set(stats)
+    for ty, (nt, pids, fp) in stats.items():
+        assert got[ty][0] == nt
+        assert got[ty][1] == len(pids)
+        assert math.isclose(got[ty][2], fp / 1e9, rel_tol=1e-12)
