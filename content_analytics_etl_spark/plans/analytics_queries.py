@@ -742,8 +742,13 @@ def events_daily_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed join onto the MV) is unchanged — history is never rescanned.
     Snapshot cached per source fingerprint (compaction's staleness
     policy)."""
+    # the cutoff is part of the cache key: a snapshot built at one
+    # cutoff silently double-counts (or drops) the interval between two
+    # cutoffs if reused after MV_CUTOFF changes
     key = source_fingerprint(sf_dir, "events")
-    snap_path = os.path.join(warehouse_root(spark), f"events_daily_mv_{key}")
+    snap_path = os.path.join(
+        warehouse_root(spark), f"events_daily_mv_{key}_{MV_CUTOFF}"
+    )
     e = t(spark, sf_dir, "events")
     cutoff = F.lit(MV_CUTOFF).cast("timestamp")
 

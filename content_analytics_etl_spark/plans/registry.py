@@ -59,37 +59,26 @@ _MODULES = [
 #
 # Round-4 rotation, FINAL (VERDICT r3 #1, extended mid-round): after
 # r03's all-green window, 33 of the then-134 queries had never been
-# inside the window; round 4 then ADDED 20 more queries. 53 candidates
-# for 50 slots: every family-representative slot was given to a
-# never-verified query, keeping all 33 r3 gaps plus 17 of the 20
-# round-4 additions → lifetime driver coverage 151/154 when
-# CORRECTNESS_r04 lands green. Dropping the representatives is safe:
-# all 17 are lifetime-green (r01-r03) and the full registry is
-# re-verified each round by the local driver-mimic sweep (same pandas
-# canonicalization as the driver; see PERF.md).
+# inside the window; round 4 kept ALL 33 and gave every
+# family-representative slot to a round-4 addition (17 of them).
+# When CORRECTNESS_r04 lands green, lifetime driver coverage =
+# 101 (r01-r03) + 50 (this window) = 151 of the 168 now registered.
+# Dropping the representatives is safe: all 17 are lifetime-green
+# (r01-r03) and the full registry is re-verified each round by the
+# local driver-mimic sweep (same pandas canonicalization as the
+# driver; see PERF.md — this round: 168/168 at sf0.01 AND sf0.1).
 #
-# Round-5 rotation candidates (the 3 that did not fit, chosen as the
-# lowest-risk leftovers — each is the same machinery as an
-# already-windowed sibling): dedup_containment (inverted-index shape of
-# dedup_ngram_jaccard), events_markov_transitions (sibling of
-# events_top_paths), graph_common_neighbors (verified-empty audit over
-# the windowed dedup_minhash_lsh graph), plus the post-rotation
-# additions events_attribution (asof_join_backward machinery, windowed
-# via events_asof_join's family), events_active_streaks, and
-# multimodal_gif_decode (same round-trip harness as the windowed
-# multimodal_png_decode), events_daily_mv_refresh (oracle IS the
-# full recompute), events_ema_smoothing (cross-engine bounded-frame
-# fold), embedding_power_iteration (iterative, hash-exact at
-# sf0.01/0.1/1 after the PERF-29 fixed-point fix), and
-# sim_mmr_diversify (unrolled greedy MMR re-rank), and
-# doc_rake_keywords (relational RAKE keyphrase extraction),
-# events_seasonal_naive_eval (forecast-baseline scoring), and
-# part_revenue_abc (Pareto/ABC classification, fixed-point cumulative
-# window), corpus_training_manifest (training-assembly composition
-# showcase), events_peak_detection, doc_dup_aware_sampling
-# (cluster-level 1/k training weights), and
-# events_multitouch_attribution (linear credit over the bucketized
-# interval join). All are mimic-green at sf0.01 and sf0.1.
+# Round-5 rotation candidates — the 17 round-4 queries still without a
+# lifetime driver verdict (each also mimic-green at sf0.01 and sf0.1;
+# the 33 r4-windowed-once slots can rotate out, so all 17 fit with
+# room to spare): dedup_containment, events_markov_transitions,
+# graph_common_neighbors (verified-empty audit), events_attribution,
+# events_active_streaks, multimodal_gif_decode, events_daily_mv_refresh
+# (oracle IS the full recompute), events_ema_smoothing,
+# embedding_power_iteration, sim_mmr_diversify, doc_rake_keywords,
+# events_seasonal_naive_eval, part_revenue_abc,
+# corpus_training_manifest, events_peak_detection,
+# doc_dup_aware_sampling, events_multitouch_attribution.
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

@@ -311,9 +311,11 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     H = log2(n) − (Σ c·log2(c))/n over per-character counts c of the
     normalized text, so the only transcendental inputs are log2 of
     SHARED INTEGERS — snapped to the 9 dp grid exactly like
-    ``doc_lm_perplexity``'s — and the per-doc reduction runs through the
-    exact DECIMAL(18,6) sum, making H bit-identical across engines and
-    partitionings.
+    ``doc_lm_perplexity``'s — and the per-doc reduction is FIXED-POINT
+    (floor(term·10⁹ + 0.5) summed as exact BIGINT, the PERF-29 form:
+    many-cell double→DECIMAL casts eventually hit the rounding boundary
+    where the engines disagree), making H bit-identical across engines
+    and partitionings.
 
     Scale shape: explode to (doc, char) rows → two map-side-combined
     aggs (per-(doc,char) count, then per-doc). The char alphabet bounds
@@ -324,14 +326,16 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(norm_text("text"), "")).alias("ch")
     )
     per = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
-    bits = (
+    bits_fp = F.floor(
         F.col("cnt").cast("double")
         * F.round(F.log2(F.col("cnt").cast("double")), 9)
-    ).cast(DEC)
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
     agg = per.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_chars_norm"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
-        F.sum(bits).cast("double").alias("_bits"),
+        (F.sum(bits_fp).cast("double") / F.lit(1e9)).alias("_bits"),
     )
     ent = F.round(F.log2(F.col("n_chars_norm").cast("double")), 9) - F.col(
         "_bits"
@@ -414,7 +418,11 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: shares and epoch caps are per-row double arithmetic;
     the only cross-row double reduction (the rebalanced token total) is
-    summed through an exact DECIMAL(28,12) cast on both engines."""
+    FIXED-POINT — floor(x·10³ + 0.5) summed as exact BIGINT (PERF 29:
+    double→DECIMAL casts are not engine-portable at the rounding
+    boundary, and the wide-decimal→double cast diverges above ~16
+    significant digits; milli-token precision keeps the sum within
+    int64 at any corpus size)."""
     d = t(spark, sf_dir, "documents")
     per = (
         d.select("source", "lang", F.size(tokens("text")).alias("n_toks"))
@@ -446,9 +454,14 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected_tokens", F.col("n_tokens").cast("double") * F.col("epochs")
     )
     etot = exp.agg(
-        F.sum(F.col("expected_tokens").cast("decimal(28,12)"))
-        .cast("double")
-        .alias("_etot")
+        (
+            F.sum(
+                F.floor(
+                    F.col("expected_tokens") * F.lit(1e3) + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(1e3)
+        ).alias("_etot")
     )
     return exp.crossJoin(F.broadcast(etot)).select(
         "source",
@@ -1408,8 +1421,8 @@ ORACLES = {
         SELECT source, lang, n_docs, n_tokens, token_share, target_share,
                epochs, expected_tokens,
                expected_tokens
-                 / (SELECT CAST(sum(CAST(expected_tokens AS DECIMAL(28,12)))
-                                AS DOUBLE)
+                 / (SELECT CAST(SUM(CAST(floor(expected_tokens * 1000.0 + 0.5)
+                                         AS BIGINT)) AS DOUBLE) / 1000.0
                     FROM exp) AS expected_share
         FROM exp
     """,
@@ -1482,7 +1495,7 @@ ORACLES = {
     """,
     # Mirror of doc_char_entropy: same char explode as doc_rolling_hash
     # (string_split_regex ↔ F.split on ''), log2 over shared integers on
-    # the 9 dp grid, DECIMAL(18,6)-exact per-doc reduction.
+    # the 9 dp grid, fixed-point BIGINT per-doc reduction (PERF 29).
     "doc_char_entropy": f"""
         WITH ch AS (
           SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '')) AS ch
@@ -1493,9 +1506,11 @@ ORACLES = {
           SELECT doc_id,
                  CAST(sum(cnt) AS BIGINT) AS n_chars_norm,
                  count(1) AS n_distinct_chars,
-                 CAST(sum(CAST(CAST(cnt AS DOUBLE)
-                               * round(log2(CAST(cnt AS DOUBLE)), 9)
-                               AS DECIMAL(18,6))) AS DOUBLE) AS _bits
+                 CAST(SUM(CAST(floor(CAST(cnt AS DOUBLE)
+                                     * round(log2(CAST(cnt AS DOUBLE)), 9)
+                                     * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000000.0
+                   AS _bits
           FROM per GROUP BY 1
         )
         SELECT doc_id, n_chars_norm, n_distinct_chars,

@@ -32,17 +32,22 @@ __all__ = ["sketch_registers", "estimate_from_registers"]
 def sketch_registers(
     events: DataFrame, *, watermark: str = "2 hours"
 ) -> DataFrame:
-    """Watermarked per-(day, register) LogLog maxima over a stream."""
+    """Watermarked per-(day, register) LogLog maxima over a stream.
+
+    The day key MUST be ``window(ts, '1 day')`` — grouping by
+    ``date_trunc('day', ts)`` looks equivalent but strips the
+    event-time watermark metadata (only the watermarked column itself
+    or a window over it carries it), so append mode would raise and
+    state would never be evicted; the window form gives real
+    ``|days-in-watermark| × 64``-row state and append-mode emission of
+    finalized days. ``w.start`` equals the batch side's day-truncated
+    timestamp (UTC session)."""
     r, rho = loglog_reg_rho("user_id", m=SKETCH_M, cap=RHO_CAP)
     return (
         events.withWatermark("ts", watermark)
-        .select(
-            F.date_trunc("day", "ts").alias("day"),
-            r.alias("r"),
-            rho.alias("rho"),
-        )
-        .groupBy("day", "r")
-        .agg(F.max("rho").alias("mx"))
+        .groupBy(F.window("ts", "1 day").alias("w"), r.alias("r"))
+        .agg(F.max(rho).alias("mx"))
+        .select(F.col("w.start").alias("day"), "r", "mx")
     )
 
 

@@ -84,9 +84,11 @@ def test_mv_refresh_snapshot_reused_and_equals_full(spark, sf_dir):
         (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in events_daily_mv_refresh(spark, sf_dir).collect()
     }
+    from content_analytics_etl_spark.plans.analytics_queries import MV_CUTOFF
+
     snap = os.path.join(
         warehouse_root(spark),
-        f"events_daily_mv_{source_fingerprint(sf_dir, 'events')}",
+        f"events_daily_mv_{source_fingerprint(sf_dir, 'events')}_{MV_CUTOFF}",
     )
     mtime = os.path.getmtime(os.path.join(snap, "_SUCCESS"))
     time.sleep(0.05)

@@ -10,7 +10,6 @@ import hashlib
 import math
 import re
 from collections import Counter, defaultdict
-from decimal import ROUND_HALF_UP, Decimal
 
 from content_analytics_etl_spark.plans.events_queries import (
     LOGLOG_ALPHA,
@@ -43,15 +42,14 @@ def test_char_entropy_matches_counter(spark):
         r = got[doc_id]
         assert r["n_chars_norm"] == n
         assert r["n_distinct_chars"] == len(c)
-        # mirror the engine's exact-DECIMAL(18,6) reduction: each
-        # double term is HALF_UP-quantized to 6 dp before the sum
-        bits = float(
+        # mirror the engine's fixed-point reduction (PERF 29): each
+        # double term quantized by floor(x*1e9 + 0.5), summed exactly
+        bits = (
             sum(
-                Decimal(cnt * _snap_log2(cnt)).quantize(
-                    Decimal("0.000001"), ROUND_HALF_UP
-                )
+                math.floor(cnt * _snap_log2(cnt) * 1e9 + 0.5)
                 for cnt in c.values()
             )
+            / 1e9
         )
         want = _snap_log2(n) - bits / n
         assert math.isclose(r["entropy_bits"], want, rel_tol=1e-9)

@@ -143,8 +143,10 @@ def test_mix_rebalance_algebra(spark):
     assert rows
     cells = len(rows)
     assert math.isclose(sum(r["token_share"] for r in rows), 1.0, rel_tol=1e-9)
+    # the rebalanced-total normalizer is fixed-point at milli-token
+    # precision (PERF 29), so shares sum to 1 within cells*5e-4/total
     assert math.isclose(
-        sum(r["expected_share"] for r in rows), 1.0, rel_tol=1e-9
+        sum(r["expected_share"] for r in rows), 1.0, rel_tol=1e-5
     )
     for r in rows:
         assert math.isclose(r["target_share"], 1.0 / cells, rel_tol=1e-12)

@@ -259,3 +259,40 @@ def test_sketch_stream_equals_batch_registers(spark, sf_dir, events_dir):
         if r["day"] is None
     ][0]
     assert est == total["est_users"]
+
+
+def test_sketch_stream_append_mode_emits_finalized_days(spark, sf_dir, events_dir):
+    """Regression for the watermark-metadata bug: grouping the sketch by
+    date_trunc instead of window(ts, '1 day') stripped event-time
+    tracking, so append mode raised AnalysisException and state never
+    evicted. With the window form, append emits exactly the days whose
+    window end ≤ max(ts) − watermark, each matching the batch register
+    rows."""
+    from content_analytics_etl_spark.plans.events_queries import day_registers
+    from content_analytics_etl_spark.streaming import (
+        sketch_registers,
+        stream_events,
+    )
+
+    name = f"ska_{uuid.uuid4().hex[:8]}"
+    q = (
+        sketch_registers(stream_events(spark, events_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - __import__("datetime").timedelta(hours=2)
+    batch = day_registers(events).collect()
+    finalized = {
+        tuple(r)
+        for r in batch
+        if r["day"] + __import__("datetime").timedelta(days=1) <= watermark
+    }
+    assert got == finalized and got
