@@ -113,6 +113,7 @@ HEADLINE = [
     "events_peak_detection",
     "doc_dup_aware_sampling",
     "events_multitouch_attribution",
+    "orders_open_backlog",
 ]
 
 

@@ -536,6 +536,55 @@ def warehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the interval-counting pattern
+    (hospital census / concurrent sessions / WIP inventory): an order is
+    open from its order date until its last line ships; the backlog on
+    day d is the number of concurrently open intervals. Computed the
+    scalable way: each order emits a +1 delta at its start day and a −1
+    the day AFTER its close day, deltas aggregate per day, and one
+    running sum over the ~date-range-sized aggregated day table yields
+    the census — never a day × open-orders join (which is quadratic in
+    the backlog depth). Pure integer arithmetic; the global window runs
+    over the aggregated day table (the audit-certified
+    aggregate-then-rank shape).
+
+    The close day is ``greatest(order date, last ship)`` — an order
+    cannot close before it is placed (the synthetic generator emits
+    some ship dates before the order date; real TPC-H forbids them,
+    and the clamp makes the interval well-formed either way). Orders
+    with no lineitems close same-day via the left join."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    spans = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        F.col("o_orderdate").alias("start_day"),
+        (
+            F.greatest(
+                F.coalesce(F.col("last_ship"), F.col("o_orderdate")),
+                F.col("o_orderdate"),
+            )
+            + F.expr("INTERVAL 1 DAY")
+        ).alias("end_day"),
+    )
+    deltas = (
+        spans.select(F.col("start_day").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            spans.select(F.col("end_day").alias("day"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w = (
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        deltas.withColumn("n_open_orders", F.sum("delta").over(w))
+        .select("day", "delta", "n_open_orders")
+    )
+
+
 def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-maximum detection on the hourly count series per type —
     the alerting primitive behind 'traffic spiked at 14:00': an hour is
@@ -805,6 +854,7 @@ QUERIES = {
     "events_seasonal_naive_eval": events_seasonal_naive_eval,
     "part_revenue_abc": part_revenue_abc,
     "events_peak_detection": events_peak_detection,
+    "orders_open_backlog": orders_open_backlog,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
 }
@@ -1216,4 +1266,30 @@ ORACLES["events_peak_detection"] = """
     SELECT event_type, hour, n AS n_events,
            n - greatest(prev, nxt) AS prominence
     FROM h WHERE n > prev AND n > nxt
+"""
+
+# Mirror of orders_open_backlog: same +1/-1 delta events (close day + 1
+# via interval arithmetic), per-day aggregation, running integer sum.
+ORACLES["orders_open_backlog"] = """
+    WITH spans AS (
+      SELECT o.o_orderdate AS start_day,
+             greatest(coalesce(ls.last_ship, o.o_orderdate),
+                      o.o_orderdate) + INTERVAL 1 DAY AS end_day
+      FROM orders o
+      LEFT JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+                 FROM lineitem GROUP BY 1) ls
+        ON o.o_orderkey = ls.l_orderkey
+    ),
+    deltas AS (
+      SELECT day, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT start_day AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT end_day AS day, -1 AS d FROM spans
+      ) GROUP BY 1
+    )
+    SELECT day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_open_orders
+    FROM deltas
 """

@@ -78,7 +78,8 @@ _MODULES = [
 # embedding_power_iteration, sim_mmr_diversify, doc_rake_keywords,
 # events_seasonal_naive_eval, part_revenue_abc,
 # corpus_training_manifest, events_peak_detection,
-# doc_dup_aware_sampling, events_multitouch_attribution.
+# doc_dup_aware_sampling, events_multitouch_attribution,
+# orders_open_backlog (interval counting via delta events).
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

@@ -525,3 +525,37 @@ def test_multitouch_attribution_matches_python(spark):
         assert got[ty][0] == nt
         assert got[ty][1] == len(pids)
         assert math.isclose(got[ty][2], fp / 1e9, rel_tol=1e-12)
+
+
+def test_open_backlog_matches_python_interval_count(spark):
+    """The running census equals a direct interval count at every delta
+    day, and the final cumulative sum returns to zero (every opened
+    order eventually closes)."""
+    from datetime import timedelta
+
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        orders_open_backlog,
+    )
+
+    orders = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    last_ship = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        k = r["l_orderkey"]
+        if k not in last_ship or r["l_shipdate"] > last_ship[k]:
+            last_ship[k] = r["l_shipdate"]
+    spans = [
+        (od, max(last_ship.get(k, od), od) + timedelta(days=1))
+        for k, od in orders.items()
+    ]
+    rows = sorted(
+        orders_open_backlog(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    for r in rows:
+        open_now = sum(1 for s, e in spans if s <= r["day"] < e)
+        assert r["n_open_orders"] == open_now, r["day"]
+    assert rows[-1]["n_open_orders"] == 0
+    assert sum(r["delta"] for r in rows) == 0
