@@ -114,6 +114,7 @@ HEADLINE = [
     "doc_dup_aware_sampling",
     "events_multitouch_attribution",
     "orders_open_backlog",
+    "token_pmi_cooccurrence",
 ]
 
 

@@ -79,7 +79,8 @@ _MODULES = [
 # events_seasonal_naive_eval, part_revenue_abc,
 # corpus_training_manifest, events_peak_detection,
 # doc_dup_aware_sampling, events_multitouch_attribution,
-# orders_open_backlog (interval counting via delta events).
+# orders_open_backlog (interval counting via delta events),
+# token_pmi_cooccurrence (collocation mining, positional band join).
 #
 # Round-3 rotation note kept for the audit trail: 10 double-green slots
 # were swapped for 10 never-verified queries (VERDICT r2 #6); no query

@@ -243,6 +243,87 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", h.alias("rolling_hash"))
 
 
+PMI_WINDOW = 3  # co-occurrence: tokens within 3 positions
+PMI_MIN_COOC = 5
+PMI_TOP = 50
+
+
+def token_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining: pointwise mutual information of token
+    pairs co-occurring within a ±3-position window — the classic
+    collocation detector (PMI ≫ 0 = the pair is a phrase/collocation,
+    not a chance meeting). Top 50 pairs with ≥ 5 co-occurrences by
+    (PMI desc, pair asc).
+
+    Scale shape: the pair generation is a POSITIONAL BAND join — each
+    (doc, pos) row meets only positions pos+1..pos+3 of the same doc
+    via an equi-join on (doc_id, pos+k) per offset, so fan-out is a
+    constant 3 per token, linear in corpus size (never a same-token
+    posting-list self-join). Unigram and pair counts are integer aggs;
+    PMI = log2((c_ab·T)/(c_a·c_b)) over exact-integer-derived doubles,
+    grid-snapped to 9 dp like every transcendental in this module. The
+    final top-k ranks the aggregated pair table (audit-certified
+    aggregate-then-rank shape); the totals are 1-row broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # shift NEGATIVE: the right row landing at pos i carries the token
+    # from i+k, so (token_a@i, token_b@i+k) reads left-to-right
+    shifted = [
+        tok.select(
+            "doc_id",
+            (F.col("pos") - k).alias("pos"),
+            F.col("token").alias("token_b"),
+        )
+        for k in range(1, PMI_WINDOW + 1)
+    ]
+    right = shifted[0]
+    for s in shifted[1:]:
+        right = right.unionAll(s)
+    pairs = (
+        tok.select("doc_id", "pos", F.col("token").alias("token_a"))
+        .join(right, ["doc_id", "pos"])
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= PMI_MIN_COOC)
+    )
+    # exact pair total: a doc of n tokens yields Σ_{k=1..3} max(n−k, 0)
+    # windowed pairs (the 3n−6 shortcut is wrong for 1-2 token docs)
+    tot_pairs = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(
+                sum(
+                    F.greatest(F.col("n") - F.lit(k), F.lit(0))
+                    for k in range(1, PMI_WINDOW + 1)
+                )
+            ).alias("_tp")
+        )
+    )
+    ua = uni.select(F.col("token").alias("token_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("token").alias("token_b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log2(
+            (F.col("n_cooc").cast("double") * F.col("_tp").cast("double"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        9,
+    )
+    scored = (
+        pairs.join(ua, "token_a")
+        .join(ub, "token_b")
+        .crossJoin(F.broadcast(tot_pairs))
+        .select("token_a", "token_b", "n_cooc", pmi.alias("pmi"))
+    )
+    w = W.orderBy(F.col("pmi").desc(), "token_a", "token_b")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= PMI_TOP
+    )
+
+
 RAKE_TOP = 3
 
 
@@ -1056,6 +1137,7 @@ QUERIES = {
     "doc_sample_stratified": doc_sample_stratified,
     "doc_char_entropy": doc_char_entropy,
     "doc_rake_keywords": doc_rake_keywords,
+    "token_pmi_cooccurrence": token_pmi_cooccurrence,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_subword_counts": doc_subword_counts,
@@ -1431,6 +1513,55 @@ ORACLES = {
         FROM documents
         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % {SAMPLE_BUCKETS} < {SAMPLE_KEEP}
+    """,
+    # Mirror of token_pmi_cooccurrence: same positional shifts (three
+    # UNION ALL branches), exact per-doc pair total, 9 dp-snapped log2
+    # over identical integer-derived doubles.
+    "token_pmi_cooccurrence": f"""
+        WITH tok0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(pos := CAST(i - 1 AS INT),
+                                    token := toks[i]))) AS s
+          FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        ),
+        tok AS (
+          SELECT doc_id, s.pos AS pos, s.token AS token FROM tok0
+        ),
+        uni AS (SELECT token, count(1) AS c FROM tok GROUP BY 1),
+        rightt AS (
+          SELECT doc_id, pos - 1 AS pos, token AS token_b FROM tok
+          UNION ALL
+          SELECT doc_id, pos - 2 AS pos, token AS token_b FROM tok
+          UNION ALL
+          SELECT doc_id, pos - 3 AS pos, token AS token_b FROM tok
+        ),
+        pairs AS (
+          SELECT a.token AS token_a, r.token_b, count(1) AS n_cooc
+          FROM tok a JOIN rightt r
+            ON a.doc_id = r.doc_id AND a.pos = r.pos
+          GROUP BY 1, 2 HAVING count(1) >= {PMI_MIN_COOC}
+        ),
+        tp AS (
+          SELECT CAST(SUM(greatest(n - 1, 0) + greatest(n - 2, 0)
+                          + greatest(n - 3, 0)) AS BIGINT) AS _tp
+          FROM (SELECT doc_id, count(1) AS n FROM tok GROUP BY 1)
+        ),
+        scored AS (
+          SELECT token_a, token_b, n_cooc,
+                 round(log2((CAST(n_cooc AS DOUBLE) * CAST(_tp AS DOUBLE))
+                       / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 9)
+                   AS pmi
+          FROM pairs
+          JOIN uni ca ON ca.token = pairs.token_a
+          JOIN uni cb ON cb.token = pairs.token_b
+          CROSS JOIN tp
+        )
+        SELECT token_a, token_b, n_cooc, pmi, rank FROM (
+          SELECT *, row_number() OVER (
+                      ORDER BY pmi DESC, token_a, token_b) AS rank
+          FROM scored)
+        WHERE rank <= {PMI_TOP}
     """,
     # Mirror of doc_rake_keywords: same running-stopword phrase ids,
     # integer deg/freq, fixed-point phrase-score reduction (PERF 29),

@@ -559,3 +559,50 @@ def test_open_backlog_matches_python_interval_count(spark):
         assert r["n_open_orders"] == open_now, r["day"]
     assert rows[-1]["n_open_orders"] == 0
     assert sum(r["delta"] for r in rows) == 0
+
+
+def test_pmi_cooccurrence_matches_python(spark):
+    """Top-50 PMI pairs equal a from-scratch Python computation over the
+    same +-3 window, counts, exact pair total, and 9 dp-snapped log2."""
+    from content_analytics_etl_spark.plans.text_queries import (
+        PMI_MIN_COOC,
+        PMI_TOP,
+        PMI_WINDOW,
+        token_pmi_cooccurrence,
+    )
+
+    docs = [
+        re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    uni = Counter()
+    pairs = Counter()
+    tp = 0
+    for toks in docs:
+        n = len(toks)
+        uni.update(toks)
+        tp += sum(max(n - k, 0) for k in range(1, PMI_WINDOW + 1))
+        for i, a in enumerate(toks):
+            for k in range(1, PMI_WINDOW + 1):
+                if i + k < n:
+                    pairs[(a, toks[i + k])] += 1
+    scored = [
+        (
+            round(math.log2((c * tp) / (uni[a] * uni[b])), 9),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in pairs.items()
+        if c >= PMI_MIN_COOC
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = {
+        (a, b): (c, p, i + 1)
+        for i, (p, a, b, c) in enumerate(scored[:PMI_TOP])
+    }
+    got = {
+        (r["token_a"], r["token_b"]): (r["n_cooc"], r["pmi"], r["rank"])
+        for r in token_pmi_cooccurrence(spark, SF).collect()
+    }
+    assert got == want and got

@@ -54,6 +54,8 @@ ALLOW_NESTED_LOOP = {
     "(merged-register sum x exact total) for the all-days row",
     "part_revenue_abc": "1-row grand-total aggregate broadcast onto the "
     "per-part table",
+    "token_pmi_cooccurrence": "1-row pair-total aggregate broadcast onto "
+    "the pair table",
 }
 
 
