@@ -3,6 +3,13 @@
 JSON line: {"metric", "value" (total wall seconds), "unit", "queries"
 (per-query seconds), "sf"}.
 
+The stdout line is kept COMPACT (VERDICT r4 #2/#4: the 81-query map
+outgrew the driver's capture buffer and BENCH_r04.json recorded
+``parsed: null``): the full per-query map is written to BENCH_FULL.json
+next to this file, and the stdout "queries" map carries only the
+flagship subset named in ``STDOUT_QUERIES`` plus n_queries and a
+pointer to the full file.
+
 Each query executes end-to-end via the noop sink (full plan runs, nothing
 collected to the driver). Timings are steady-state: a full untimed pass
 first (JVM JIT + whole-stage-codegen compile + OS page cache), then THREE
@@ -118,6 +125,24 @@ HEADLINE = [
 ]
 
 
+# flagship subset echoed on stdout (full map lives in BENCH_FULL.json)
+STDOUT_QUERIES = [
+    "flagship_profile",
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "events_session",
+    "events_asof_join",
+    "doc_tfidf_top_terms",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_ann_lsh_topk",
+    "multimodal_features",
+    "corpus_curation_manifest",
+    "embedding_power_iteration",
+    "part_revenue_abc",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -141,19 +166,29 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
     timings = {name: round(t, 3) for name, t in timings.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "passes": passes,
-                "aggregation": "per-query min",
-            }
-        )
+    full = {
+        "metric": "headline_suite_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "passes": passes,
+        "aggregation": "per-query min",
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    # stdout stays under ~1 KB so the driver's capture parses it whole
+    compact = dict(full)
+    compact["queries"] = {
+        n: timings[n] for n in STDOUT_QUERIES if n in timings
+    }
+    compact["n_queries"] = len(timings)
+    compact["queries_full"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

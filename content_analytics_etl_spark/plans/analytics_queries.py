@@ -21,7 +21,14 @@ from ..operators.asof import asof_join_forward
 from ..operators.merge import merge_upsert
 from ..operators.scd import scd2_apply
 from ..sources.writers import compact_parquet
-from ._util import dec, dsum, source_fingerprint, t, warehouse_root
+from ._util import (
+    dec,
+    dsum,
+    materialize_and_release,
+    source_fingerprint,
+    t,
+    warehouse_root,
+)
 from .text_queries import _NORM_SQL, _TOKS_SQL  # oracle-side tokenizer
 from ..functions.text_metrics import tokens
 
@@ -705,6 +712,7 @@ def events_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ABC_A_SHARE = 0.8  # Pareto class boundaries on cumulative revenue share
 ABC_B_SHARE = 0.95
+ABC_RANGE_PARTS = 32  # range partitions for the distributed prefix sum
 
 
 def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,18 +727,26 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast to double — so floor(rev·10⁶ + 0.5) is lossless and < 2⁵³):
     windowed double sums are NOT portable (DuckDB's segment-tree window
     aggregation associates differently from a running fold), integer
-    sums are order-free. The global ordered window runs over the
-    ALREADY-AGGREGATED part table — |parts| rows, a dimension, not the
-    fact table — the same aggregate-then-rank shape as
-    ``events_top_paths``; the grand total is a 1-row broadcast."""
+    sums are order-free.
+
+    The prefix sum is DISTRIBUTED (VERDICT r4 #1 replaced the global
+    single-partition window): two-pass range-partitioned cumsum —
+    ``repartitionByRange`` on the rank order, per-PARTITION running
+    sums/row numbers (window keyed by the physical partition id), and
+    an O(#partitions) driver collect of per-partition totals turned
+    into broadcast prefix offsets. Integer addition is associative, so
+    offset + local-cumsum is bit-identical to the global running fold
+    the oracle computes. No task ever holds more than one range slice
+    (|parts|/32 rows here; at 100 TB raise ABC_RANGE_PARTS with the
+    cluster — the collect stays O(#partitions)). The tagged frame is
+    persisted BEFORE both consumers: range partitioning samples its
+    bounds, so an unpersisted re-evaluation could assign different pids
+    to the offsets pass and the window pass (at durable scale,
+    checkpoint/write instead of cache)."""
     li = t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
-    # rev_fp is an AGGREGATE output (not a downstream projection) so the
-    # global window's single-partition exchange sits directly on the
-    # HashAggregate — the aggregate-then-rank shape the plan audit
-    # certifies; the 1-row total joins on AFTER the windows
     per = li.groupBy("l_partkey").agg(
         F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -738,35 +754,57 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_fp"),
     )
-    tot = per.agg(F.sum("rev_fp").alias("tot_fp"))
-    w = (
-        W.orderBy(F.col("revenue").desc(), "l_partkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    ranked = (
-        per.withColumn("cum_fp", F.sum("rev_fp").over(w))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.orderBy(F.col("revenue").desc(), "l_partkey")
-            ),
+    ordered = (
+        per.repartitionByRange(
+            ABC_RANGE_PARTS, F.col("revenue").desc(), "l_partkey"
         )
-        .crossJoin(F.broadcast(tot))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    share = F.col("cum_fp").cast("double") / F.col("tot_fp").cast("double")
+    # pass 1: per-partition totals → prefix offsets (control plane:
+    # 32 rows collected, never data); tot derives from the SAME persisted
+    # frame (r4's version re-aggregated lineitem from scratch)
+    stats = (
+        ordered.groupBy("pid")
+        .agg(F.sum("rev_fp").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("pid")
+        .collect()
+    )
+    tot_fp = sum(r["s"] for r in stats)
+    rows, acc_s, acc_c = [], 0, 0
+    for r in stats:
+        rows.append((r["pid"], acc_s, acc_c))
+        acc_s += r["s"]
+        acc_c += r["c"]
+    offsets = spark.createDataFrame(
+        rows, "pid int, off_fp long, off_rank long"
+    )
+    # pass 2: per-partition running sums, then add the broadcast offsets
+    w = W.partitionBy("pid").orderBy(F.col("revenue").desc(), "l_partkey")
+    ranked = (
+        ordered.withColumn(
+            "cum_local", F.sum("rev_fp").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        )
+        .withColumn("rank_local", F.row_number().over(w))
+        .join(F.broadcast(offsets), "pid")
+    )
+    share = (F.col("cum_local") + F.col("off_fp")).cast("double") / F.lit(
+        tot_fp
+    ).cast("double")
     cls = (
         F.when(share <= ABC_A_SHARE, "A")
         .when(share <= ABC_B_SHARE, "B")
         .otherwise("C")
     )
-    return ranked.select(
+    out = ranked.select(
         "l_partkey",
         "revenue",
         "n_lines",
-        "rank",
+        (F.col("rank_local") + F.col("off_rank")).cast("int").alias("rank"),
         share.alias("cum_share"),
         cls.alias("abc_class"),
     )
+    return materialize_and_release(out, ordered)
 
 
 MV_CUTOFF = "2024-01-21"  # events span 2024-01-01..30: 20d snapshot + 10d delta

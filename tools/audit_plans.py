@@ -52,8 +52,6 @@ ALLOW_NESTED_LOOP = {
     "|source|x|lang| cell table",
     "events_distinct_sketch_rollup": "cross join of two 1-row aggregates "
     "(merged-register sum x exact total) for the all-days row",
-    "part_revenue_abc": "1-row grand-total aggregate broadcast onto the "
-    "per-part table",
     "token_pmi_cooccurrence": "1-row pair-total aggregate broadcast onto "
     "the pair table",
 }
@@ -72,11 +70,19 @@ def single_partition_violations(plan: str) -> list[str]:
 
     Legitimate single-partition exchanges are the final step of a global
     aggregate (child = partial HashAggregate/SortAggregate/
-    ObjectHashAggregate, output is one row per agg) or a global limit
-    (child = LocalLimit, output capped at the limit). An explicit
-    ``repartition(1)`` (REPARTITION_BY_NUM) or any other shape funnels
-    the full relation through one task — the anti-pattern this audit
-    promises to flag."""
+    ObjectHashAggregate with EMPTY grouping keys, output is one row per
+    agg) or a global limit (child = LocalLimit or TakeOrderedAndProject,
+    output capped at the limit). An explicit ``repartition(1)``
+    (REPARTITION_BY_NUM) or any other shape funnels the full relation
+    through one task — the anti-pattern this audit promises to flag.
+
+    VERDICT r4 #2/#3 closed a loophole: the aggregate exemption used to
+    accept ANY HashAggregate child, which also matched KEYED group-bys —
+    a |keys|-row relation funneled through one task (how
+    ``part_revenue_abc``'s full per-part sort+window passed r4's audit).
+    The exemption now requires the child aggregate's ``Keys`` detail to
+    be empty; a keyed aggregate under a single-partition exchange flags
+    (negative-tested in tests/test_plan_shapes.py)."""
     # detail blocks: node id -> (node name, block text)
     blocks = {
         m.group(1): (m.group(2), m.group(0))
@@ -102,8 +108,25 @@ def single_partition_violations(plan: str) -> list[str]:
             if f"Exchange ({node_id})" in line and i + 1 < len(tree_lines):
                 child = tree_lines[i + 1]
                 break
-        ok_children = ("HashAggregate", "SortAggregate", "ObjectHashAggregate", "LocalLimit")
-        if child is None or not any(k in child for k in ok_children):
+        ok = False
+        m = re.search(r"(\w+) \((\d+)\)", child or "")
+        if m:
+            cname, cid = m.group(1), m.group(2)
+            if cname in ("LocalLimit", "TakeOrderedAndProject"):
+                ok = True  # output bounded by the limit k
+            elif cname in (
+                "HashAggregate",
+                "SortAggregate",
+                "ObjectHashAggregate",
+            ):
+                # only a GLOBAL (keyless) aggregate is 1-row-bounded;
+                # `Keys: []` in the child's detail block, vs
+                # `Keys [n]: [...]` for a keyed group-by
+                cblock = blocks.get(cid, ("", ""))[1]
+                ok = bool(
+                    re.search(r"^Keys(?: \[0\])?: \[\]", cblock, re.MULTILINE)
+                )
+        if not ok:
             probs.append(
                 f"single-partition exchange over non-aggregated rows (Exchange ({node_id}))"
             )
