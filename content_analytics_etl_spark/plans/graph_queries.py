@@ -153,10 +153,31 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(common_neighbor_scores(pairs), pairs)
 
 
+def graph_common_neighbors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion to ``graph_common_neighbors`` over a seeded NON-CLIQUE
+    graph (VERDICT r4 #4: the LSH graph is all cliques, so the main
+    query is verified-empty at every sf and its oracle pass was
+    vacuous). A deterministic third of the edges — (doc_a+doc_b) ≡ 0
+    (mod 3) — is dropped before wedge enumeration, opening wedges inside
+    every ≥3-clique: the dropped pair's endpoints still share the rest
+    of the clique as common neighbors, so the driver hash compares REAL
+    non-empty link-prediction rows (Jaccard arithmetic, anti-join,
+    degree joins all exercised on data). Same linear wedge-join shape as
+    the main query."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .filter((F.col("doc_a") + F.col("doc_b")) % 3 != 0)
+        .persist()
+    )
+    return materialize_and_release(common_neighbor_scores(pairs), pairs)
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "graph_common_neighbors": graph_common_neighbors,
+    "graph_common_neighbors_pruned": graph_common_neighbors_pruned,
 }
 
 # Three unrolled PageRank rounds; contribution sums decimal-exact, the
@@ -225,6 +246,38 @@ ORACLES = {
 # Mirror of graph_common_neighbors: same symmetrized edges, wedge
 # count with a < b, ANTI JOIN against the canonical pair list, degree
 # joins, integer-exact Jaccard denominator.
+# Pruned companion: identical wedge/anti-join/degree SQL, but over the
+# seeded non-clique edge set ((doc_a+doc_b) % 3 <> 0) so rows > 0.
+ORACLES["graph_common_neighbors_pruned"] = f"""
+    WITH RECURSIVE pairs0 AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM pairs0 WHERE (doc_a + doc_b) % 3 <> 0
+    ),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(1) AS deg FROM edges GROUP BY 1),
+    cn AS (
+      SELECT x.src AS node_a, y.dst AS node_b, count(1) AS common_neighbors
+      FROM edges x JOIN edges y ON x.dst = y.src
+      WHERE x.src < y.dst
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT cn.* FROM cn
+      ANTI JOIN pairs p ON cn.node_a = p.doc_a AND cn.node_b = p.doc_b
+    )
+    SELECT node_a, node_b, common_neighbors,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(common_neighbors AS DOUBLE)
+             / CAST(da.deg + db.deg - common_neighbors AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN deg da ON cand.node_a = da.src
+    JOIN deg db ON cand.node_b = db.src
+"""
+
 ORACLES["graph_common_neighbors"] = f"""
     WITH RECURSIVE pairs AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
     edges AS MATERIALIZED (

@@ -59,6 +59,31 @@ def test_shuffle_count_does_not_regress(spark, sf_dir, name):
     )
 
 
+# Top-k queries that MUST compile to TakeOrderedAndProject (per-partition
+# top-k + k-row merge), never a full-relation single-partition Window sort.
+# VERDICT r4 #3: these previously relied on Spark's silent window-group-limit
+# rewrite of ``row_number ≤ k``; the explicit orderBy().limit(k) idiom plus
+# this assertion pins the shape against refactors.
+TOPK_PINNED = ["token_pmi_cooccurrence", "events_top_paths"]
+
+
+@pytest.mark.parametrize("name", TOPK_PINNED)
+def test_topk_compiles_to_take_ordered(spark, sf_dir, name):
+    from tools.audit_plans import single_partition_violations
+
+    df = all_queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        f"{name}: top-k lost its TakeOrderedAndProject — the rank window "
+        "would sort the full relation on one task"
+    )
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    fplan = df._jdf.queryExecution().explainString(mode)
+    assert single_partition_violations(fplan) == []
+
+
 class TestSinglePartitionAudit:
     """The audit tool's single-partition check must actually fire
     (round-3 verdict: both branches of the old check fell through to
@@ -91,6 +116,38 @@ class TestSinglePartitionAudit:
         )
         probs = single_partition_violations(self._formatted(bad))
         assert probs, "empty-partitionBy window funnel must be flagged"
+
+    def test_flags_keyed_aggregate_funnel(self, spark):
+        """VERDICT r4 #2 negative test: a KEYED group-by under a
+        single-partition exchange is a |keys|-row funnel that grows with
+        the data — the old any-HashAggregate exemption let it pass (how
+        part_revenue_abc's full per-part sort+window went unflagged)."""
+        from pyspark.sql import Window, functions as F
+
+        from tools.audit_plans import single_partition_violations
+
+        bad = (
+            spark.range(1000)
+            .groupBy((F.col("id") % 100).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .withColumn("cum", F.sum("s").over(Window.orderBy("k")))
+        )
+        probs = single_partition_violations(self._formatted(bad))
+        assert probs, "keyed-aggregate global-window funnel must be flagged"
+
+    def test_allows_rank_over_explicit_topk(self, spark):
+        """rank window over an orderBy().limit(k) — bounded at k rows."""
+        from pyspark.sql import Window, functions as F
+
+        from tools.audit_plans import single_partition_violations
+
+        top = (
+            spark.range(1000)
+            .orderBy("id")
+            .limit(5)
+            .withColumn("rank", F.row_number().over(Window.orderBy("id")))
+        )
+        assert single_partition_violations(self._formatted(top)) == []
 
     def test_allows_global_aggregate_and_limit(self, spark):
         from pyspark.sql import functions as F
