@@ -1,0 +1,120 @@
+"""Distributed two-pass prefix sum (running total / global rank) —
+the scalable replacement for ``sum(x).over(Window.orderBy(...))`` with
+no ``partitionBy``, which Spark executes as a SINGLE-partition exchange
+(every row through one task; the scale anti-pattern
+``tools/audit_plans.py`` flags).
+
+The classic MPP algorithm:
+
+1. the caller derives a DETERMINISTIC partition id ``pid`` from the
+   data itself (a calendar bucket, a quantile bucket from literal
+   boundaries, ...) that is MONOTONE in the global sort order — every
+   row of pid p sorts before every row of pid p+1;
+2. pass 1 aggregates per-pid totals and row counts — an O(#pids)
+   control-plane collect, never data — and turns them into exclusive
+   prefix offsets;
+3. pass 2 computes per-pid local running sums / row numbers with a
+   window PARTITIONED BY pid (each task holds one pid's slice, not the
+   world) and adds the broadcast offsets.
+
+Because the summed values are integers (callers pass fixed-point
+``bigint`` columns), addition is associative and ``offset + local`` is
+bit-identical to the global running fold a single-threaded oracle
+computes.
+
+Determinism matters beyond tidiness: the previous implementation tagged
+rows with ``spark_partition_id()`` after ``repartitionByRange``, whose
+boundary SAMPLING can differ between evaluations — on executor loss a
+recomputed partition could silently receive different pids between the
+offsets pass and the window pass (ADVICE r5). A pid computed from row
+values alone is reproducible under any recomputation, so the persist
+below is purely a performance choice (avoid re-running the upstream
+aggregate for both passes), never a correctness dependency.
+
+At 100 TB: raise the caller's bucket count with the cluster; the
+collect stays O(#buckets) and no task ever materializes more than one
+bucket's rows. Skewed buckets behave like any skewed aggregation key
+(AQE splits the shuffle read; the window sort is per-bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+_PID = "__psum_pid"
+
+
+def quantile_bucket_desc(
+    df: DataFrame, col: str, num_buckets: int, rel_err: float = 0.001
+) -> Column:
+    """Deterministic descending-order bucket id for ``col``: boundaries
+    come from one driver-side ``approxQuantile`` pass, embedded as
+    LITERALS, so the per-row bucket expression is a pure function of the
+    row — pid 0 holds the largest values. Equal values always share a
+    bucket (pid = count of boundaries strictly greater), so any
+    tie-break ordering stays intact within one bucket."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(col, probs, rel_err)
+    barr = F.array(*[F.lit(float(b)) for b in sorted(bounds, reverse=True)])
+    return F.size(F.filter(barr, lambda b: b > F.col(col)))
+
+
+def distributed_prefix_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    pid: Column,
+    order: list[Column],
+    value_col: str,
+    cum_col: str,
+    rank_col: str | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach a global running sum of integer ``value_col`` (and
+    optionally a global row number) to ``df``, ordered by ``order``.
+
+    ``pid`` must be a deterministic integer expression over the row,
+    monotone NON-DECREASING along ``order`` (see module docstring).
+    Returns ``(frame, grand_total)``; the frame is persisted and the
+    tagged intermediate is released (the caller may project/filter the
+    result freely). The window partitions by the pid COLUMN, so hash
+    collisions of several pids into one physical partition are
+    harmless."""
+    tagged = df.withColumn(_PID, pid).repartition(F.col(_PID)).persist()
+    stats = (
+        tagged.groupBy(_PID)
+        .agg(F.sum(value_col).alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy(_PID)
+        .collect()
+    )
+    total = sum(r["s"] for r in stats)
+    rows, acc_s, acc_c = [], 0, 0
+    for r in stats:
+        rows.append((r[_PID], acc_s, acc_c))
+        acc_s += r["s"]
+        acc_c += r["c"]
+    offsets = spark.createDataFrame(
+        rows, f"{_PID} int, __psum_off long, __psum_off_rank long"
+    )
+    w = W.partitionBy(_PID).orderBy(*order)
+    out = tagged.withColumn(
+        "__psum_local",
+        F.sum(value_col).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    if rank_col is not None:
+        out = out.withColumn("__psum_rn", F.row_number().over(w))
+    out = out.join(F.broadcast(offsets), _PID).withColumn(
+        cum_col, F.col("__psum_local") + F.col("__psum_off")
+    )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col,
+            (F.col("__psum_rn") + F.col("__psum_off_rank")).cast("int"),
+        )
+    out = out.drop(
+        _PID, "__psum_local", "__psum_off", "__psum_off_rank", "__psum_rn"
+    )
+    final = out.persist()
+    final.count()
+    tagged.unpersist()
+    return final, total

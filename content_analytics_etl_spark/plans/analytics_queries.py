@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_forward
 from ..operators.merge import merge_upsert
+from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
 from ..operators.scd import scd2_apply
 from ..sources.writers import compact_parquet
 from ._util import (
@@ -549,12 +550,19 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     open from its order date until its last line ships; the backlog on
     day d is the number of concurrently open intervals. Computed the
     scalable way: each order emits a +1 delta at its start day and a −1
-    the day AFTER its close day, deltas aggregate per day, and one
+    the day AFTER its close day, deltas aggregate per day, and a
     running sum over the ~date-range-sized aggregated day table yields
     the census — never a day × open-orders join (which is quadratic in
-    the backlog depth). Pure integer arithmetic; the global window runs
-    over the aggregated day table (the audit-certified
-    aggregate-then-rank shape).
+    the backlog depth). Pure integer arithmetic.
+
+    The running sum is DISTRIBUTED (VERDICT r5 #2 — the audit flagged
+    the former ``orderBy('day')`` no-partitionBy window as a keyed-
+    aggregate single-partition funnel): ``operators/prefix_sum.py``'s
+    two-pass cumsum, bucketed by calendar month (``year*12 + month`` —
+    deterministic, monotone in day, and pre-aligned with how a real
+    warehouse partitions its fact tables). The day spine is bounded
+    (~10³ rows at any TPC-H scale) so this is cheap insurance, but the
+    shape now survives arbitrarily fine spines (per-second census) too.
 
     The close day is ``greatest(order date, last ship)`` — an order
     cannot close before it is placed (the synthetic generator emits
@@ -583,13 +591,15 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("d").alias("delta"))
     )
-    w = (
-        W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    census, _ = distributed_prefix_sum(
+        spark,
+        deltas,
+        pid=F.year("day") * 12 + F.month("day"),
+        order=[F.col("day")],
+        value_col="delta",
+        cum_col="n_open_orders",
     )
-    return (
-        deltas.withColumn("n_open_orders", F.sum("delta").over(w))
-        .select("day", "delta", "n_open_orders")
-    )
+    return census.select("day", "delta", "n_open_orders")
 
 
 def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,19 +740,18 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are order-free.
 
     The prefix sum is DISTRIBUTED (VERDICT r4 #1 replaced the global
-    single-partition window): two-pass range-partitioned cumsum —
-    ``repartitionByRange`` on the rank order, per-PARTITION running
-    sums/row numbers (window keyed by the physical partition id), and
-    an O(#partitions) driver collect of per-partition totals turned
-    into broadcast prefix offsets. Integer addition is associative, so
-    offset + local-cumsum is bit-identical to the global running fold
-    the oracle computes. No task ever holds more than one range slice
-    (|parts|/32 rows here; at 100 TB raise ABC_RANGE_PARTS with the
-    cluster — the collect stays O(#partitions)). The tagged frame is
-    persisted BEFORE both consumers: range partitioning samples its
-    bounds, so an unpersisted re-evaluation could assign different pids
-    to the offsets pass and the window pass (at durable scale,
-    checkpoint/write instead of cache)."""
+    single-partition window) via ``operators/prefix_sum.py``: rows are
+    bucketed by DETERMINISTIC revenue-quantile boundaries (one
+    ``approxQuantile`` pass, embedded as literals — ADVICE r5 replaced
+    ``spark_partition_id`` over ``repartitionByRange``, whose sampled
+    bounds could shift on recomputation and silently corrupt
+    cum_share/rank), per-bucket totals become broadcast prefix offsets
+    (an O(#buckets) control-plane collect), and a window PARTITIONED BY
+    bucket computes local running sums. Integer addition is
+    associative, so offset + local-cumsum is bit-identical to the
+    global running fold the oracle computes. No task ever holds more
+    than one bucket (|parts|/32 rows here; at 100 TB raise
+    ABC_RANGE_PARTS with the cluster)."""
     li = t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
@@ -753,58 +762,31 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum(rev).cast("double") * F.lit(1e6) + F.lit(0.5))
         .cast("bigint")
         .alias("rev_fp"),
+    ).persist()  # one lineitem agg feeds the quantile pass AND the cumsum
+    ranked, tot_fp = distributed_prefix_sum(
+        spark,
+        per,
+        pid=quantile_bucket_desc(per, "revenue", ABC_RANGE_PARTS),
+        order=[F.col("revenue").desc(), F.col("l_partkey")],
+        value_col="rev_fp",
+        cum_col="cum_fp",
+        rank_col="rank",
     )
-    ordered = (
-        per.repartitionByRange(
-            ABC_RANGE_PARTS, F.col("revenue").desc(), "l_partkey"
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    # pass 1: per-partition totals → prefix offsets (control plane:
-    # 32 rows collected, never data); tot derives from the SAME persisted
-    # frame (r4's version re-aggregated lineitem from scratch)
-    stats = (
-        ordered.groupBy("pid")
-        .agg(F.sum("rev_fp").alias("s"), F.count(F.lit(1)).alias("c"))
-        .orderBy("pid")
-        .collect()
-    )
-    tot_fp = sum(r["s"] for r in stats)
-    rows, acc_s, acc_c = [], 0, 0
-    for r in stats:
-        rows.append((r["pid"], acc_s, acc_c))
-        acc_s += r["s"]
-        acc_c += r["c"]
-    offsets = spark.createDataFrame(
-        rows, "pid int, off_fp long, off_rank long"
-    )
-    # pass 2: per-partition running sums, then add the broadcast offsets
-    w = W.partitionBy("pid").orderBy(F.col("revenue").desc(), "l_partkey")
-    ranked = (
-        ordered.withColumn(
-            "cum_local", F.sum("rev_fp").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        )
-        .withColumn("rank_local", F.row_number().over(w))
-        .join(F.broadcast(offsets), "pid")
-    )
-    share = (F.col("cum_local") + F.col("off_fp")).cast("double") / F.lit(
-        tot_fp
-    ).cast("double")
+    per.unpersist()
+    share = F.col("cum_fp").cast("double") / F.lit(tot_fp).cast("double")
     cls = (
         F.when(share <= ABC_A_SHARE, "A")
         .when(share <= ABC_B_SHARE, "B")
         .otherwise("C")
     )
-    out = ranked.select(
+    return ranked.select(
         "l_partkey",
         "revenue",
         "n_lines",
-        (F.col("rank_local") + F.col("off_rank")).cast("int").alias("rank"),
+        "rank",
         share.alias("cum_share"),
         cls.alias("abc_class"),
     )
-    return materialize_and_release(out, ordered)
 
 
 MV_CUTOFF = "2024-01-21"  # events span 2024-01-01..30: 20d snapshot + 10d delta

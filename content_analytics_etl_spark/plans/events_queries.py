@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import loglog_reg_rho
 from ..sources.writers import write_parquet_partitioned
-from ._util import dec, dsum, source_fingerprint, t, warehouse_root
+from ._util import dec, dsum, rank_limited, source_fingerprint, t, warehouse_root
 
 SESSION_GAP_SECONDS = 1800  # 30 min
 
@@ -342,8 +342,9 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     topk = cnt.orderBy(F.col("n_users").desc(), "path").limit(TOP_PATHS)
-    w = W.orderBy(F.col("n_users").desc(), "path")
-    return topk.withColumn("rank", F.row_number().over(w))
+    return rank_limited(
+        topk, [-F.col("n_users"), F.col("path")], ["path", "n_users"]
+    )
 
 
 SKETCH_M = 64  # registers

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
-from ._util import DEC, t
+from ._util import DEC, rank_limited, t
 
 # Marker vocabularies for the language-ID heuristic. The synthetic corpus
 # draws from one shared vocabulary, so these partition that vocabulary
@@ -325,8 +325,11 @@ def token_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(
         F.col("pmi").desc(), "token_a", "token_b"
     ).limit(PMI_TOP)
-    w = W.orderBy(F.col("pmi").desc(), "token_a", "token_b")
-    return topk.withColumn("rank", F.row_number().over(w))
+    return rank_limited(
+        topk,
+        [-F.col("pmi"), F.col("token_a"), F.col("token_b")],
+        ["token_a", "token_b", "n_cooc", "pmi"],
+    )
 
 
 RAKE_TOP = 3
