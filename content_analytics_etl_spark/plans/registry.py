@@ -57,94 +57,80 @@ _MODULES = [
 
 # The first 50 names the driver will hash.  One line per family block.
 #
-# Round-4 rotation, FINAL (VERDICT r3 #1, extended mid-round): after
-# r03's all-green window, 33 of the then-134 queries had never been
-# inside the window; round 4 kept ALL 33 and gave every
-# family-representative slot to a round-4 addition (17 of them).
-# When CORRECTNESS_r04 lands green, lifetime driver coverage =
-# 101 (r01-r03) + 50 (this window) = 151 of the 168 now registered.
-# Dropping the representatives is safe: all 17 are lifetime-green
-# (r01-r03) and the full registry is re-verified each round by the
-# local driver-mimic sweep (same pandas canonicalization as the
-# driver; see PERF.md — this round: 168/168 at sf0.01 AND sf0.1).
+# Round-6 rotation (VERDICT r5 #1 — round-4's rotation was skipped, so
+# r05 re-hashed r04's window): the first 20 slots are EVERY query
+# without a lifetime driver verdict (the registry-minus-
+# tools/lifetime_driver_verified.json set; tests/test_driver_window.py
+# enforces this at test time so a skipped rotation can never recur).
+# When CORRECTNESS_r06 lands green, lifetime driver coverage =
+# 151 (r01-r05) + 20 = 171/171 — every registered query driver-hashed
+# at least once.  part_revenue_abc / orders_open_backlog /
+# token_pmi_cooccurrence / events_top_paths enter in their ROUND-6
+# form (distributed prefix sum, windowless top-k rank), so the plans
+# the driver hashes are the plans that ship.
 #
-# Round-5 rotation candidates — the 17 round-4 queries still without a
-# lifetime driver verdict (each also mimic-green at sf0.01 and sf0.1;
-# the 33 r4-windowed-once slots can rotate out, so all 17 fit with
-# room to spare): dedup_containment, events_markov_transitions,
-# graph_common_neighbors (verified-empty audit), events_attribution,
-# events_active_streaks, multimodal_gif_decode, events_daily_mv_refresh
-# (oracle IS the full recompute), events_ema_smoothing,
-# embedding_power_iteration, sim_mmr_diversify, doc_rake_keywords,
-# events_seasonal_naive_eval, part_revenue_abc,
-# corpus_training_manifest, events_peak_detection,
-# doc_dup_aware_sampling, events_multitouch_attribution,
-# orders_open_backlog (interval counting via delta events),
-# token_pmi_cooccurrence (collocation mining, positional band join).
+# The remaining 30 slots re-verify the OLDEST verdicts (r01-r02 era:
+# the full TPC-H 22 + the reference-fidelity battery) plus
+# events_top_paths, whose plan changed this round.
 #
-# Round-3 rotation note kept for the audit trail: 10 double-green slots
-# were swapped for 10 never-verified queries (VERDICT r2 #6); no query
-# has ever failed a driver verdict and stayed failed.
+# Round-5 note kept for the audit trail: the r05 window re-pinned the
+# r04 set (17 round-4 additions + 33 round-3 gaps), all green twice.
+# No query has ever failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    # round-4 additions (17 of 20; the other 3 queued for round 5)
-    "doc_lm_perplexity",           # unigram-LM quality filter
-    "doc_winnow_overlap",          # cross-doc shared spans
-    "sim_ann_recall_audit",        # recall@k of all three ANN paths
-    "join_bloom_prefilter",        # explicit runtime-filter semi-join
-    "dedup_minhash_estimate_audit",  # MinHash estimate vs exact Jaccard
-    "events_mad_outliers",         # median/MAD robust outliers
-    "lang_id_confusion",           # classifier-accuracy audit
-    "multimodal_png_decode",       # DEFLATE codec round-trip
-    "bpe_first_merges",            # first BPE training step
-    "customer_rfm_segments",       # RFM percentile-threshold binning
-    "part_affinity",               # market-basket lift
-    "sim_semdedup",                # SemDeDup clustered semantic dedup
-    "dedup_edit_distance",         # blocked Levenshtein fuzzy dedup
-    "corpus_mix_rebalance",        # training-mix weights/epochs
-    "doc_char_entropy",            # char-entropy quality gate
-    "events_top_paths",            # early-journey path analysis
-    "events_distinct_sketch_rollup",  # mergeable LogLog registers
-    # never-driver-verified queries (33) — every remaining r3 lifetime gap
-    # relational / window extensions
-    "window_extras",
-    "agg_stats",
-    "lineitem_unpivot",
-    # events: value-distribution battery + derived rollups
-    "events_zscore_outliers",
-    "events_trailing_window",
-    "events_value_percentiles",
-    "events_value_distribution",
-    "events_value_histogram",
-    "events_approx_percentile_bound",
-    "events_daily_from_hourly",
-    "events_type_hourly_pivot",
-    # text: round-3 additions + never-windowed battery members
-    "doc_ngram_scrub",
-    "doc_chunk",
-    "doc_winnow",
-    "doc_token_novelty",
-    "token_cms_heavy_hitters",
-    "doc_quality_gates",
-    "doc_repetition",
-    "doc_sample_stratified",
-    "doc_rolling_hash",
-    "doc_fingerprint",
-    "token_frequency",
-    "bigram_frequency",
-    # dedup extensions
-    "dedup_exact_flags",
-    "dedup_ngram_jaccard",
-    "dedup_keep_best",
-    # curation integration showcase
-    "corpus_curation_manifest",
-    "corpus_curation_funnel",
-    # similarity extensions
-    "sim_semantic_decontaminate",
-    "sim_neardup_exact",
-    # multimodal round-3 additions
-    "multimodal_image_resize",
-    "multimodal_frame_decode",
-    "multimodal_audio_windows",
+    # --- the 20 never-driver-verified (lifetime gap, closes this round)
+    "part_revenue_abc",            # distributed two-pass Pareto cumsum
+    "orders_open_backlog",         # interval census, distributed cumsum
+    "token_pmi_cooccurrence",      # collocation mining, windowless rank
+    "graph_common_neighbors",      # link prediction (verified-empty)
+    "graph_common_neighbors_pruned",  # non-clique pruned, non-vacuous
+    "embedding_power_iteration",   # top principal direction
+    "sim_mmr_diversify",           # maximal-marginal-relevance rerank
+    "doc_rake_keywords",           # RAKE phrase extraction
+    "doc_dup_aware_sampling",      # 1/k duplicate-family weights
+    "corpus_training_manifest",    # end-to-end training-set manifest
+    "dedup_containment",           # asymmetric sub-doc duplication
+    "multimodal_gif_decode",       # from-scratch LZW decoder
+    "events_markov_transitions",   # first-order journey chain
+    "events_active_streaks",       # gaps-and-islands streaks
+    "events_daily_mv_refresh",     # incremental MV ≡ recompute proof
+    "events_ema_smoothing",        # exponential moving average
+    "events_seasonal_naive_eval",  # lag-24h forecast baseline
+    "events_peak_detection",       # local-maximum prominence
+    "events_attribution",          # last-touch attribution
+    "events_multitouch_attribution",  # position-weighted attribution
+    # --- plan changed this round (lifetime-green, re-verify new shape)
+    "events_top_paths",            # windowless top-k rank (r6)
+    # --- oldest verdicts (r01-r02): full TPC-H sweep
+    "tpch_q1_pricing_summary",
+    "tpch_q2_best_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_volume",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # --- oldest verdicts (r01): reference-fidelity battery
+    "flagship_profile",
+    "sentinel_filter_3vl",
+    "category_recode",
+    "pivot_explicit",
+    "pivot_nulls",
+    "union_strategy2",
+    "device_count_distinct",
 ]
 
 

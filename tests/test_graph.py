@@ -56,3 +56,17 @@ def test_graph_common_neighbors_empty_on_clique_corpus(spark):
     )
 
     assert graph_common_neighbors(spark, "/root/testdata/sf0.001").count() == 0
+
+
+def test_graph_common_neighbors_pruned_is_nonvacuous(spark):
+    """ADVICE r5: the pruned companion exists precisely so the driver
+    hash compares non-empty link-prediction rows — pin a row-count
+    floor so a prune-rule tweak can never silently regress it back to
+    the vacuous empty frame. (Mod-2 pruning, the obvious 'more
+    aggressive' variant, drops so many edges that every wedge dies —
+    measured 0 rows at sf0.001 and sf0.01 — so mod-3 is load-bearing.)"""
+    from content_analytics_etl_spark.plans.graph_queries import (
+        graph_common_neighbors_pruned,
+    )
+
+    assert graph_common_neighbors_pruned(spark, "/root/testdata/sf0.001").count() >= 4
