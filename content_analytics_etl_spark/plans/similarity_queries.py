@@ -658,41 +658,62 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(dim) — 64 doubles, never rows. The oracle is three chained CTEs
     computing the identical IEEE sequence.
 
-    Scale shape per iteration: one broadcast of the 64-float direction
-    into the row-local dot, one posexplode to (dim, contribution)
-    pairs, one 64-group aggregation — linear in corpus size with
-    map-side combine, nothing quadratic, no global sort. (The
-    64-conditional-sum single-row alternative measured SLOWER — see
-    the inline note and PERF 30.)"""
+    Scale shape per iteration: an Arrow-batched ``mapInPandas``
+    per-partition reduction — numpy computes each row's left-fold dot
+    (the SAME op sequence as the codegen'd fold, so IEEE-bit-equal),
+    quantizes every x_d·dot cell to fixed point and column-sums to ONE
+    64-long partial vector per partition; a 64-group aggregation merges
+    the partials. Linear in corpus size, shuffle payload O(64 ×
+    #partitions) longs. Replaced the posexplode + 64-group aggregation
+    form at VERDICT r5 #5: pushing 64·N exploded rows through the
+    aggregate was the suite's sf1 hotspot (17 s), the numpy column
+    reduction does the identical integer arithmetic in-batch (measured
+    sf0.1 3.2→<2 s, sf1 15→<6 s with the repartition below; the even
+    older 64-conditional-sum single-row form was slower still, PERF
+    30). The reduction integers are unchanged: multiply/add/floor are
+    single IEEE ops in both numpy and the JVM, and the per-element
+    quantize-then-BIGINT-sum is associative across batches."""
     import math
 
+    import numpy as np
+    import pandas as pd
+
     # persist once: each of the 3 iterations re-references the decoded
-    # corpus (PERF 27), and the frame is (id, 64 doubles) — tiny
+    # corpus (PERF 27). The explicit repartition matters at scale: the
+    # sf1 parquet arrives as 2 input splits, so without it every
+    # iteration ran 2 tasks on a 32-core box (PERF: parallelism
+    # starvation dominated the 17 s, not arithmetic).
     e = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", to_double_array("embedding").alias("x"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
     v = [PCA_SEED] * DIM
     w = []
     for _ in range(PCA_ITERS):
-        vlit = F.array(*[F.lit(float(c)) for c in v])
-        dot = dot_product(F.col("x"), vlit)
-        # posexplode to (dim, contribution) + 64-group aggregation —
-        # measured FASTER than the 64-conditional-sum single-row form
-        # (4.2-4.8 s vs 3.3 s at sf0.1): 64 wide aggregate expressions
-        # explode the codegen'd plan (compile cost per iteration, each
-        # iteration's literals forcing a fresh compilation), while the
-        # explode keeps every expression tiny. The reduction integers
-        # are identical either way (PERF 30).
-        contrib = e.select(
-            F.posexplode(F.transform("x", lambda xi: xi * dot)).alias(
-                "d", "val"
-            )
-        )
-        q = F.floor(F.col("val") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
-        w_df = contrib.groupBy("d").agg(
-            (F.sum(q).cast("double") / F.lit(1e9)).alias("w")
+        varr = np.asarray(v, dtype=np.float64)
+
+        def partials(batches, varr=varr):
+            tot = np.zeros(DIM, dtype=np.int64)
+            for pdf in batches:
+                X = np.vstack(pdf["x"].to_numpy())
+                # left fold d-ascending: acc ← acc + (x_d · v_d), the
+                # exact op sequence of functions/vectors.dot_product —
+                # NOT X @ v (pairwise/SIMD summation associates
+                # differently and breaks the fixed-point hash)
+                acc = np.zeros(len(X), dtype=np.float64)
+                for d in range(DIM):
+                    acc = acc + X[:, d] * varr[d]
+                for d in range(DIM):
+                    q = np.floor(X[:, d] * acc * 1e9 + 0.5).astype(np.int64)
+                    tot[d] += q.sum()
+            yield pd.DataFrame({"d": np.arange(DIM, dtype=np.int32), "p": tot})
+
+        w_df = (
+            e.mapInPandas(partials, "d int, p long")
+            .groupBy("d")
+            .agg((F.sum("p").cast("double") / F.lit(1e9)).alias("w"))
         )
         w = [r["w"] for r in w_df.orderBy("d").collect()]
         s = 0.0
