@@ -122,6 +122,10 @@ HEADLINE = [
     "events_multitouch_attribution",
     "orders_open_backlog",
     "token_pmi_cooccurrence",
+    # r6: non-vacuous pruned link prediction + CUSUM join the swept set
+    "graph_common_neighbors_pruned",
+    "events_cusum_drift",
+    "doc_perplexity_buckets",
 ]
 
 

@@ -628,6 +628,57 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_H_MULT = 3  # drift alarm when S_t exceeds 3x the series mean
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on the daily count series per
+    event type — the classic sequential change-point monitor behind
+    'did traffic permanently shift upward?': S_t = max(0, S_{t-1} +
+    (x_t − μ)), alarm when S_t > h = 3μ. The recursion LOOKS
+    sequential, but the standard identity S_t = C_t − min(0, min_{i≤t}
+    C_i) with C_t = Σ_{j≤t}(x_j − μ) turns it into a prefix sum plus a
+    prefix min — both keyed windows partitioned by event_type, fully
+    parallel across types at any scale (the per-type series length is
+    the day count, bounded).
+
+    EXACT integer arithmetic throughout: μ = total/n is rational, so
+    everything is scaled by n — C'_t = Σ(n·x_j − total) is a BIGINT
+    running sum, the prefix min and the clamp stay integer, and the
+    single double division S'/n happens per row at read-out. The alarm
+    S_t > 3μ becomes S'_t > 3·total. No float reduction anywhere, so
+    the hash matches the oracle regardless of partitioning. Per-type
+    (n, total) is a |types|-row broadcast join. The series uses
+    OBSERVED days only (the synthetic stream has no gaps; a production
+    deployment would spine-fill with events_gapfill_locf first)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("total")
+    )
+    j = daily.join(F.broadcast(per_type), "event_type")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cp = F.sum(
+        F.col("n_events") * F.col("n") - F.col("total")
+    ).over(w)
+    c = j.withColumn("cp", cp)
+    sp = F.col("cp") - F.least(F.lit(0).cast("bigint"), F.min("cp").over(w))
+    s = c.withColumn("sp", sp)
+    return s.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("sp").cast("double") / F.col("n")).alias("cusum"),
+        (F.col("sp") > CUSUM_H_MULT * F.col("total")).alias("drift"),
+    )
+
+
 SEASON_LAG_HOURS = 24  # seasonal-naive horizon: same hour yesterday
 
 
@@ -874,6 +925,7 @@ QUERIES = {
     "events_seasonal_naive_eval": events_seasonal_naive_eval,
     "part_revenue_abc": part_revenue_abc,
     "events_peak_detection": events_peak_detection,
+    "events_cusum_drift": events_cusum_drift,
     "orders_open_backlog": orders_open_backlog,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "events_asof_forward": events_asof_forward,
@@ -1286,6 +1338,40 @@ ORACLES["events_peak_detection"] = """
     SELECT event_type, hour, n AS n_events,
            n - greatest(prev, nxt) AS prominence
     FROM h WHERE n > prev AND n > nxt
+"""
+
+# Mirror of events_cusum_drift's scaled-integer identity: C' running
+# sum, prefix-min clamp, one double division at read-out. The window
+# sums stay BIGINT (cast pinned) so the hash is partition-independent.
+ORACLES["events_cusum_drift"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    per_type AS (
+      SELECT event_type, count(1) AS n,
+             CAST(sum(n_events) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    c AS (
+      SELECT d.event_type, d.day, d.n_events, p.n, p.total,
+             CAST(SUM(d.n_events * p.n - p.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cp
+      FROM daily d JOIN per_type p USING (event_type)
+    ),
+    s AS (
+      SELECT *, cp - least(CAST(0 AS BIGINT), MIN(cp) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS sp
+      FROM c
+    )
+    SELECT event_type, day, n_events,
+           CAST(sp AS DOUBLE) / n AS cusum,
+           sp > 3 * total AS drift
+    FROM s
 """
 
 # Mirror of orders_open_backlog: same +1/-1 delta events (close day + 1

@@ -98,6 +98,9 @@ DRIVER_WINDOW: list[str] = [
     "events_peak_detection",       # local-maximum prominence
     "events_attribution",          # last-touch attribution
     "events_multitouch_attribution",  # position-weighted attribution
+    # --- new this round (no driver verdict yet — guard test forces this)
+    "events_cusum_drift",          # CUSUM change-point monitor (r6)
+    "doc_perplexity_buckets",      # CCNet terciles, distributed rank (r6)
     # --- plan changed this round (lifetime-green, re-verify new shape)
     "events_top_paths",            # windowless top-k rank (r6)
     # --- oldest verdicts (r01-r02): full TPC-H sweep
@@ -128,9 +131,7 @@ DRIVER_WINDOW: list[str] = [
     "sentinel_filter_3vl",
     "category_recode",
     "pivot_explicit",
-    "pivot_nulls",
     "union_strategy2",
-    "device_count_distinct",
 ]
 
 

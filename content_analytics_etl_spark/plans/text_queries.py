@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
+from ..operators.prefix_sum import distributed_prefix_sum
 from ._util import DEC, rank_limited, t
 
 # Marker vocabularies for the language-ID heuristic. The synthetic corpus
@@ -1127,9 +1128,100 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_BUCKETS = 3  # CCNet head / middle / tail
+PPL_RANK_PARTS = 8  # per-lang rank buckets for the distributed rank
+_PPL_BUCKET_NAMES = ["head", "middle", "tail"]
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity split: within each language,
+    documents are ranked by LM perplexity (``doc_lm_perplexity``) and
+    cut into equal-count head / middle / tail terciles — head (lowest
+    perplexity) is what CCNet keeps for training, tail is reviewed or
+    dropped. Reports per (lang, bucket) the doc count and the exact
+    min / mean / max perplexity.
+
+    The interesting part is the rank: ``row_number() OVER (PARTITION BY
+    lang ...)`` puts an ENTIRE language in one task — with ~5 languages
+    over a 100 TB corpus that is a handful of tasks sorting terabytes
+    each. Instead the per-lang rank is DISTRIBUTED: one control-plane
+    pass collects per-lang approx perplexity boundaries (|langs| ×
+    PPL_RANK_PARTS literals) + per-lang counts, rows get a
+    deterministic pid = lang_index·PARTS + quantile-bucket (monotone in
+    (lang, perplexity) order), ``operators/prefix_sum.py`` turns
+    per-pid row numbers + broadcast offsets into the GLOBAL rank over
+    (lang, perplexity, doc_id), and rank − lang_offset is the exact
+    per-lang rank — identical integers to the oracle's keyed
+    row_number, with no task ever holding more than one bucket.
+    Tercile assignment floor(3·(rank−1)/n) is integer-derived (the
+    double division cannot misround below 2^53 — n·m = k exactly or
+    the quotient is >1/n away from the next integer).
+
+    Mean perplexity uses the decimal-exact sum policy (`_util`):
+    perplexity is already 6 dp-rounded, so DECIMAL(18,6) is lossless."""
+    ppl = doc_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = ppl.join(d, "doc_id").persist()
+    probs = [i / PPL_RANK_PARTS for i in range(1, PPL_RANK_PARTS)]
+    qrows = (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.percentile_approx("perplexity", probs, 10000).alias("qs"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    pid = None
+    off_rows, off = [], 0
+    for i, r in enumerate(qrows):
+        barr = F.array(*[F.lit(float(b)) for b in r["qs"]])
+        bucket = F.size(F.filter(barr, lambda b: b < F.col("perplexity")))
+        branch = F.lit(i * PPL_RANK_PARTS) + bucket
+        cond = F.col("lang") == r["lang"]
+        pid = F.when(cond, branch) if pid is None else pid.when(cond, branch)
+        off_rows.append((r["lang"], off, r["c"]))
+        off += r["c"]
+    lang_off = spark.createDataFrame(
+        off_rows, "lang string, lang_off long, n_lang long"
+    )
+    ranked, _ = distributed_prefix_sum(
+        spark,
+        scored.withColumn("one", F.lit(1).cast("bigint")),
+        pid=pid,
+        order=[F.col("lang"), F.col("perplexity"), F.col("doc_id")],
+        value_col="one",
+        cum_col="_cum",
+        rank_col="rank",
+    )
+    scored.unpersist()
+    rk = F.col("rank") - F.col("lang_off")
+    bucket_ix = F.floor(
+        F.lit(PPL_BUCKETS) * (rk - 1) / F.col("n_lang")
+    ).cast("int")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _PPL_BUCKET_NAMES]), bucket_ix + 1
+    )
+    return (
+        ranked.join(F.broadcast(lang_off), "lang")
+        .withColumn("bucket", name)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("perplexity").alias("min_ppl"),
+            (
+                F.sum(F.col("perplexity").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_ppl"),
+            F.max("perplexity").alias("max_ppl"),
+        )
+    )
+
+
 QUERIES = {
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_ngram_scrub": doc_ngram_scrub,
     "doc_chunk": doc_chunk,
     "doc_winnow": doc_winnow,
@@ -1738,6 +1830,39 @@ ORACLES = {
 
 # Composed after the dict to reuse the lang_id oracle verbatim (nested
 # WITH inside a CTE body — same pattern as the curation manifest).
+# The oracle ranks with the keyed row_number the Spark side deliberately
+# avoids (fine at oracle scale); identical integers by construction.
+ORACLES["doc_perplexity_buckets"] = f"""
+    WITH ppl AS MATERIALIZED ({{PPL}}),
+    scored AS (
+      SELECT p.doc_id, p.perplexity, d.lang
+      FROM ppl p JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY perplexity, doc_id) AS rk,
+             count(1) OVER (PARTITION BY lang) AS n
+      FROM scored
+    ),
+    b AS (
+      SELECT lang, perplexity,
+             ['head','middle','tail'][
+               CAST(floor({PPL_BUCKETS} * (rk - 1) / n) AS INT) + 1
+             ] AS bucket
+      FROM r
+    )
+    SELECT lang, bucket, count(1) AS n_docs,
+           min(perplexity) AS min_ppl,
+           CAST(SUM(CAST(perplexity AS DECIMAL(18,6))) AS DOUBLE)
+             / count(1) AS mean_ppl,
+           max(perplexity) AS max_ppl
+    FROM b GROUP BY 1, 2
+"""
+ORACLES["doc_perplexity_buckets"] = ORACLES["doc_perplexity_buckets"].replace(
+    "{PPL}", ORACLES["doc_lm_perplexity"]
+)
+
 ORACLES["lang_id_confusion"] = f"""
     WITH preds AS MATERIALIZED ({ORACLES["lang_id"]}),
     cm AS (SELECT lang, lang_pred, count(1) AS n FROM preds GROUP BY 1, 2),
