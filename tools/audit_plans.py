@@ -54,6 +54,8 @@ ALLOW_NESTED_LOOP = {
     "(merged-register sum x exact total) for the all-days row",
     "token_pmi_cooccurrence": "1-row pair-total aggregate broadcast onto "
     "the pair table",
+    "doc_perplexity_buckets": "inherits doc_lm_perplexity's 1-row "
+    "(n_total, vocab) model-size aggregate broadcast",
 }
 
 
