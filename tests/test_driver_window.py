@@ -1,35 +1,39 @@
-"""DRIVER_WINDOW rotation guard (VERDICT r5 #7).
+"""DRIVER_WINDOW rotation guard (VERDICT r5 #7, staleness policy r6 #1).
 
 The external driver hashes only the first 50 ``queries()`` names per
-round; ``tools/lifetime_driver_verified.json`` records every query that
-has EVER received a green driver verdict (updated each round when
-CORRECTNESS_r0N lands). Rounds 4 and 5 both shipped the same window,
-wasting a full driver budget re-hashing double-green names while 20
-queries sat unverified — these tests make that failure mode a red test
-instead of a judge finding.
+round; ``tools/lifetime_driver_verified.json`` records, for every query,
+the most recent round in which it received a green driver verdict
+(``{name: last_green_round}`` since round 7).  Rounds 4 and 5 shipped
+the same window, wasting a full driver budget re-hashing double-green
+names while 20 queries sat unverified — and once lifetime coverage hit
+173/173 in round 6, the "every unverified name must be in the window"
+rule constrained nothing.  These tests enforce the full canonical
+policy from ``tools/rotate_window.py``:
 
-Round bookkeeping: when CORRECTNESS_r0N.json arrives green, append the
-window's names to the JSON (``python tools/update_lifetime.py``-style
-one-liner in PERF.md); when a NEW query is registered it must not be
-added to the JSON until a driver verdict exists, which forces it into
-the next window here.
+1. never-driver-verified queries first (new queries always enter the
+   next window),
+2. remaining slots filled oldest-verdict-first (ties by name),
+
+so every query is re-hashed against the drifting tree every ~3-4
+rounds and a skipped rotation is a red test instead of a judge finding.
+
+Round bookkeeping: when CORRECTNESS_r0N.json arrives green, run
+``python tools/update_lifetime.py CORRECTNESS_r0N.json`` then rewrite
+DRIVER_WINDOW from ``python tools/rotate_window.py``.
 """
 
 from __future__ import annotations
 
-import json
 import os
+import sys
 
 from content_analytics_etl_spark.plans import all_queries
 from content_analytics_etl_spark.plans.registry import DRIVER_WINDOW
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_LIFETIME = os.path.join(_HERE, "tools", "lifetime_driver_verified.json")
+sys.path.insert(0, os.path.join(_HERE, "tools"))
 
-
-def _lifetime() -> set[str]:
-    with open(_LIFETIME) as f:
-        return set(json.load(f))
+from rotate_window import canonical_window, lifetime_rounds  # noqa: E402
 
 
 def test_window_is_driver_sized():
@@ -40,30 +44,22 @@ def test_window_is_driver_sized():
 def test_lifetime_names_are_registered():
     """A renamed/removed query must be pruned from the lifetime record
     (otherwise coverage arithmetic silently overcounts)."""
-    stale = _lifetime() - set(all_queries().keys())
+    stale = set(lifetime_rounds()) - set(all_queries().keys())
     assert not stale, f"lifetime record has unregistered names: {sorted(stale)}"
 
 
-def test_every_unverified_query_is_in_the_window():
-    """THE rotation guard: while never-driver-verified queries exist,
-    the window must contain all of them (or be entirely composed of
-    them when there are more than 50). A window pinning already-verified
-    names while gaps remain is exactly the r04/r05 waste."""
-    unverified = sorted(set(all_queries().keys()) - _lifetime())
-    window = set(DRIVER_WINDOW)
-    if len(unverified) <= 50:
-        missing = [n for n in unverified if n not in window]
-        assert not missing, (
-            f"never-driver-verified queries left out of DRIVER_WINDOW: "
-            f"{missing} — rotate the window (registry.py) or record their "
-            f"verdict in tools/lifetime_driver_verified.json"
-        )
-    else:
-        verified_in_window = sorted(window & _lifetime())
-        assert not verified_in_window, (
-            f"{len(unverified)} unverified queries exist but the window "
-            f"spends slots on verified ones: {verified_in_window}"
-        )
+def test_window_is_canonical():
+    """THE rotation guard: the window must equal tools/rotate_window.py's
+    computation — unverified names first, then oldest-verdict fill.
+    Set equality (not order): the driver hashes all 50 regardless of
+    position within the prefix."""
+    want = canonical_window(list(all_queries().keys()))
+    extra = sorted(set(DRIVER_WINDOW) - set(want))
+    missing = sorted(set(want) - set(DRIVER_WINDOW))
+    assert not extra and not missing, (
+        f"DRIVER_WINDOW is stale — regenerate from tools/rotate_window.py."
+        f"\n  drop: {extra}\n  add:  {missing}"
+    )
 
 
 def test_window_queries_front_of_registry():

@@ -1,19 +1,24 @@
 """Record a green driver round into tools/lifetime_driver_verified.json.
 
 Usage:
-    python tools/update_lifetime.py CORRECTNESS_r06.json
+    python tools/update_lifetime.py CORRECTNESS_r07.json
 
-Reads the round's correctness record, adds every query whose driver
-verdict is green to the lifetime list, and rewrites the JSON sorted.
-Run at the START of the round after a green CORRECTNESS_r0N lands, then
-rotate DRIVER_WINDOW (tests/test_driver_window.py fails until every
-still-unverified query is in the window).
+Reads the round's correctness record, and for every query with a green
+driver verdict sets ``lifetime[name] = round`` (the round number is
+parsed from the filename).  Since round 7 the lifetime record is a dict
+``{name: last_green_round}`` — the staleness rotation
+(``tools/rotate_window.py``) sorts on these rounds to pick the next
+DRIVER_WINDOW.  Run at the START of the round after a green
+CORRECTNESS_r0N lands, then rotate DRIVER_WINDOW
+(``python tools/rotate_window.py`` prints the canonical 50;
+tests/test_driver_window.py fails until registry.py matches).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -46,19 +51,26 @@ def green_names(record: dict) -> list[str]:
 def main() -> None:
     if len(sys.argv) != 2:
         sys.exit(__doc__)
+    m = re.search(r"r(\d+)", os.path.basename(sys.argv[1]))
+    if not m:
+        sys.exit("cannot parse round number from filename")
+    rnd = int(m.group(1))
     with open(sys.argv[1]) as f:
         record = json.load(f)
     fresh = green_names(record)
     if not fresh:
         sys.exit(f"no green verdicts found in {sys.argv[1]} — check its shape")
     with open(LIFETIME) as f:
-        lifetime = set(json.load(f))
-    added = sorted(set(fresh) - lifetime)
-    lifetime |= set(fresh)
+        lifetime = json.load(f)
+    if isinstance(lifetime, list):  # migrate pre-round-7 flat list
+        lifetime = {n: 0 for n in lifetime}
+    added = sorted(n for n in fresh if n not in lifetime)
+    for n in fresh:
+        lifetime[n] = max(rnd, lifetime.get(n, 0))
     with open(LIFETIME, "w") as f:
-        json.dump(sorted(lifetime), f, indent=0)
+        json.dump(dict(sorted(lifetime.items())), f, indent=0)
         f.write("\n")
-    print(f"added {len(added)}: {added}")
+    print(f"round {rnd}: {len(fresh)} green, {len(added)} new: {added}")
     print(f"lifetime total: {len(lifetime)}")
 
 
