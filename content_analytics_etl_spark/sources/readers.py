@@ -72,6 +72,18 @@ def parquet_ts_unit(path: str) -> str | None:
 
 SCAN_LAYOUT_MIN_ROWS = 2_000  # below this a single scan task is fine
 
+# Rows one scan task should hold to amortize file-open + task-launch
+# (~10-30 ms each) against per-row work.  Scan-stage per-row cost is
+# ~100× higher for document/embedding payloads (tokenization, n-gram
+# explode, binary decode, vector math run in the scan stage) than for
+# scalar star-schema rows, so those tables split at a far lower target.
+# Derivation (PERF 36): a flat cores-way split doubled five MB-scale
+# sf0.1 queries (events 100k rows / 32 files = 3k rows/file — pure
+# per-file overhead) while the same split was a 3.5× win on sf1
+# documents (heavy rows).  ways = min(cores, ceil(rows / target)).
+SCAN_ROWS_PER_TASK: dict[str, int] = {"documents": 1_000, "embeddings": 1_000}
+SCAN_ROWS_PER_TASK_DEFAULT = 20_000
+
 
 @lru_cache(maxsize=256)
 def _layout_stats_cached(path: str, mtime_ns: int) -> tuple[int, int]:
@@ -83,9 +95,11 @@ def _layout_stats_cached(path: str, mtime_ns: int) -> tuple[int, int]:
     return m.num_rows, m.num_row_groups
 
 
-def _scan_parallel_dir(spark: SparkSession, path: str, name: str) -> str | None:
-    """Path of a multi-file copy of ``path`` when the source layout
-    cannot feed the session's cores, else None.
+def _scan_parallel_dir(
+    spark: SparkSession, path: str, name: str
+) -> tuple[str, int] | None:
+    """``(dir, ways)`` for a multi-file copy of ``path`` when the source
+    layout cannot feed the work it carries, else None.
 
     Spark's parquet split granularity is the ROW GROUP: the testdata
     generator writes each table as ONE file with ~1M-row row groups, so
@@ -94,10 +108,17 @@ def _scan_parallel_dir(spark: SparkSession, path: str, name: str) -> str | None:
     explode — in ONE task on a 32-core session, whatever
     ``maxPartitionBytes`` says. Production data arrives as many files
     and never trips this; when a source CAN'T parallelize, the engine
-    materializes a cores-way copy once per content fingerprint (the
+    materializes a size-adaptive copy once per content fingerprint (the
     same write-once-per-fingerprint discipline as the date-partitioned
-    and bucketed layouts) and scans that. Kill switch:
-    ``SPARK_GRAFT_SCAN_LAYOUT=off``."""
+    and bucketed layouts) and scans that.  ``ways`` is
+    ``min(cores, ceil(rows / rows_per_task))`` (SCAN_ROWS_PER_TASK) —
+    a flat cores-way split is pure per-file overhead on MB-scale
+    tables (PERF 36). Kill switch: ``SPARK_GRAFT_SCAN_LAYOUT=off``.
+
+    Cache key = source (path, size, mtime) + declared schema + ways, so
+    a testdata regen, a STAR_SCHEMAS change, or a different session
+    parallelism never reads a stale copy; older copies for the same
+    source path are pruned when a new one is written."""
     if os.environ.get("SPARK_GRAFT_SCAN_LAYOUT", "on") == "off":
         return None
     if not os.path.isfile(path):
@@ -105,15 +126,19 @@ def _scan_parallel_dir(spark: SparkSession, path: str, name: str) -> str | None:
     st = os.stat(path)
     rows, rgs = _layout_stats_cached(path, st.st_mtime_ns)
     cores = spark.sparkContext.defaultParallelism
-    if rows < SCAN_LAYOUT_MIN_ROWS or rgs >= max(2, cores // 2):
+    target = SCAN_ROWS_PER_TASK.get(name, SCAN_ROWS_PER_TASK_DEFAULT)
+    ways = min(cores, -(-rows // target))
+    if rows < SCAN_LAYOUT_MIN_ROWS or ways < 2 or rgs >= ways:
         return None
     wh = spark.conf.get("spark.sql.warehouse.dir")
     if wh.startswith("file:"):
         wh = "/" + wh[len("file:"):].lstrip("/")
+    src_tag = hashlib.md5(path.encode()).hexdigest()[:8]
     key = hashlib.md5(
-        f"{path}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{st.st_size}:{st.st_mtime_ns}:{ways}:"
+        f"{STAR_SCHEMAS[name].simpleString()}".encode()
     ).hexdigest()[:12]
-    return os.path.join(wh, f"scan_parallel_{name}_{key}")
+    return os.path.join(wh, f"scan_parallel_{name}_{src_tag}_{key}"), ways
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -156,23 +181,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ).select(*[f.name for f in schema.fields])
         return spark.read.schema(schema).parquet(path)
 
-    par = _scan_parallel_dir(spark, path, name)
-    if par is None:
+    layout = _scan_parallel_dir(spark, path, name)
+    if layout is None:
         return _source()
+    par, ways = layout
     if not os.path.exists(os.path.join(par, "_SUCCESS")):
         tmp = f"{par}.tmp-{os.getpid()}"
-        (
-            _source()
-            .repartition(spark.sparkContext.defaultParallelism)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        _source().repartition(ways).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, par)
         except OSError:  # concurrent writer won the rename — use theirs
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(par, "_SUCCESS")):
+                raise  # rename failed for a real reason (perms, EXDEV)
+        # prune superseded copies for this source path (testdata regen,
+        # schema change, different session width) — each strands a dir
+        prefix = os.path.basename(par).rsplit("_", 1)[0] + "_"
+        parent = os.path.dirname(par)
+        for d in os.listdir(parent):
+            if (
+                d.startswith(prefix)
+                and ".tmp-" not in d  # a concurrent writer's live dir
+                and os.path.join(parent, d) != par
+            ):
+                import shutil
+
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     return spark.read.schema(schema).parquet(par)
 
 
