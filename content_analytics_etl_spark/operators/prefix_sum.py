@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..cache import materialize_and_release
+
 _PID = "__psum_pid"
 
 
@@ -75,9 +77,15 @@ def distributed_prefix_sum(
 
     ``pid`` must be a deterministic integer expression over the row,
     monotone NON-DECREASING along ``order`` (see module docstring).
-    Returns ``(frame, grand_total)``; the frame is persisted and the
-    tagged intermediate is released (the caller may project/filter the
-    result freely). The window partitions by the pid COLUMN, so hash
+    Returns ``(frame, grand_total)``; the frame is returned through
+    ``materialize_and_release`` (persisted, with the tagged intermediate
+    released), so the only pinned storage is the small result, which the
+    ContextCleaner reclaims once the caller's DataFrame is
+    garbage-collected — repeated calls in one session (bench /
+    correctness sweeps) do not accumulate caches. ``rank_col`` is a
+    BIGINT global row number (a 32-bit rank overflows past ~2.1B rows —
+    well inside a 100 TB corpus); callers whose domain is provably small
+    may downcast. The window partitions by the pid COLUMN, so hash
     collisions of several pids into one physical partition are
     harmless."""
     tagged = df.withColumn(_PID, pid).repartition(F.col(_PID)).persist()
@@ -108,13 +116,9 @@ def distributed_prefix_sum(
     )
     if rank_col is not None:
         out = out.withColumn(
-            rank_col,
-            (F.col("__psum_rn") + F.col("__psum_off_rank")).cast("int"),
+            rank_col, F.col("__psum_rn") + F.col("__psum_off_rank")
         )
     out = out.drop(
         _PID, "__psum_local", "__psum_off", "__psum_off_rank", "__psum_rn"
     )
-    final = out.persist()
-    final.count()
-    tagged.unpersist()
-    return final, total
+    return materialize_and_release(out, tagged), total

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import materialize_and_release  # noqa: F401  (re-export)
 from ..sources.readers import load_table
 
 __all__ = [
@@ -107,20 +108,9 @@ def rank_limited(
     )
 
 
-def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
-    """Blocking materialize-then-unpersist: force ``result`` into its own
-    (small) cache, then drop the large intermediate caches it was derived
-    from. Iterative plans persist a working set that every unrolled round
-    references; without this, each invocation leaks that cache for the
-    session lifetime (bench/correctness sweeps run all queries in one
-    session). After this call the only pinned storage is the final
-    result, which the ContextCleaner reclaims once the DataFrame is
-    garbage-collected."""
-    out = result.persist()
-    out.count()
-    for df in intermediates:
-        df.unpersist()
-    return out
+# materialize_and_release moved to ..cache (package root) so operators
+# can share the cache-lifetime discipline without a circular import;
+# re-exported here for the plan modules.
 
 
 def warehouse_root(spark: SparkSession) -> str:

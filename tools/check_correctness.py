@@ -53,6 +53,14 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
+# Queries that MUST return at least this many rows at any sf: a query
+# whose oracle is also empty/trivial would "pass" while testing nothing
+# (VERDICT r5/r6: graph_common_neighbors is legitimately empty at small
+# sf, which is why the _pruned variant exists — so the harness must fail
+# loudly if the pruned variant ever regresses to vacuous too).
+MIN_ROWS = {"graph_common_neighbors_pruned": 1}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -98,6 +106,10 @@ def main() -> int:
             continue
 
         problems = []
+        if len(srows) < MIN_ROWS.get(qname, 0):
+            problems.append(
+                f"non-vacuity floor: {len(srows)} rows < {MIN_ROWS[qname]}"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
