@@ -29,10 +29,12 @@ from .dedup_queries import (
 from pyspark.sql import Window as W
 
 from ..functions.text_metrics import tokens
+from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
 from .text_queries import (
     ORACLES as T_ORACLES,
     PACK_CONTEXT,
     _TOKS_SQL,
+    doc_quality,
     doc_quality_gates,
     doc_split_assign,
 )
@@ -199,10 +201,70 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET_PER_SOURCE = 800  # tokens the recipe allots to each source
+BUDGET_QUALITY_PARTS = 8  # quality buckets per source for the prefix sum
+
+
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget selection — the data-mix primitive
+    'take the best documents from each source until its token budget is
+    spent': documents are ordered quality-first within their source and
+    admitted while the tokens consumed BEFORE them stay under
+    ``TOKEN_BUDGET_PER_SOURCE`` (the admitting document may overshoot —
+    greedy truncation semantics, like sequence packing).
+
+    Scale shape: the within-source running token total uses
+    ``operators/prefix_sum.py`` with a composite value-derived pid
+    (source index × quality bucket — the ``doc_perplexity_buckets``
+    per-group pattern), NEVER a per-source window, which would pin one
+    task per source while sources are few and huge at 100 TB. The two
+    driver collects are O(#sources) control-plane; per-source prefix
+    offsets broadcast back."""
+    dq = doc_quality(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        d.join(dq, "doc_id")
+        .withColumn("ntl", F.col("n_tokens").cast("bigint"))
+        .persist()  # feeds the quantile pass, source totals, and cumsum
+    )
+    srcs = sorted(r["source"] for r in scored.select("source").distinct().collect())
+    totals = {
+        r["source"]: r["tot"]
+        for r in scored.groupBy("source").agg(F.sum("ntl").alias("tot")).collect()
+    }
+    six = None
+    for i, s in enumerate(srcs):
+        cond = F.col("source") == s
+        six = F.when(cond, i) if six is None else six.when(cond, i)
+    qb = quantile_bucket_desc(scored, "quality_score", BUDGET_QUALITY_PARTS)
+    ranked, _ = distributed_prefix_sum(
+        spark,
+        scored,
+        pid=six * BUDGET_QUALITY_PARTS + qb,
+        order=[F.col("source"), F.col("quality_score").desc(), F.col("doc_id")],
+        value_col="ntl",
+        cum_col="cum_global",
+    )
+    off_rows, off = [], 0
+    for s in srcs:
+        off_rows.append((s, off))
+        off += totals[s]
+    offs = spark.createDataFrame(off_rows, "source string, src_off long")
+    scored.unpersist()
+    cum = F.col("cum_global") - F.col("src_off")
+    return (
+        ranked.join(F.broadcast(offs), "source")
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col("ntl") < TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
 QUERIES = {
     "corpus_curation_manifest": corpus_curation_manifest,
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_training_manifest": corpus_training_manifest,
+    "corpus_token_budget_sample": corpus_token_budget_sample,
 }
 
 ORACLES = {
@@ -281,4 +343,27 @@ ORACLES["corpus_training_manifest"] = f"""
              / CAST(SUM(n_tokens) OVER (PARTITION BY split) AS DOUBLE)
              AS split_token_share
     FROM per
+"""
+
+# Mirror of corpus_token_budget_sample: quality from doc_quality's own
+# oracle; the within-source running total is a plain partitioned window
+# here (the oracle is single-node — the distributed prefix sum is the
+# Spark-side scale shape, not different semantics).
+ORACLES["corpus_token_budget_sample"] = f"""
+    WITH dq AS ({T_ORACLES["doc_quality"]}),
+    j AS (
+      SELECT d.doc_id, d.source, q.n_tokens, q.quality_score
+      FROM documents d JOIN dq q ON d.doc_id = q.doc_id
+    ),
+    c AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+      FROM j
+    )
+    SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
 """

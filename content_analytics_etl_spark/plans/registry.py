@@ -79,6 +79,11 @@ _MODULES = [
 # Audit trail: r06 closed the 20-name lifetime gap (all green, zero
 # errors); no query has ever failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    # --- never driver-verified (new this round)
+    "corpus_token_budget_sample",
+    "doc_source_distinctive_terms",
+    "embedding_label_outliers",
+    "sim_hard_negatives",
     # --- last driver verdict: round 1
     "agg_conditional",
     "agg_cube",
@@ -128,10 +133,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_quality",
     "doc_source_mix",
     "doc_split_assign",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "embedding_kmeans",
-    "embedding_quantize",
 ]
 
 

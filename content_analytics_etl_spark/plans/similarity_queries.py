@@ -861,8 +861,115 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for representation training: per bounded
+    query vector, the most similar SAME-label candidate (positive) and
+    the most similar DIFFERENT-label candidate (the hard negative — the
+    example a contrastive loss learns the most from), plus the margin
+    between them. Queries whose label has no second member are dropped
+    (both anchors required).
+
+    Scale shape: the ≤20-row query side broadcasts (module scale
+    contract), the corpus never shuffles, and the per-class argmax is a
+    HASH AGGREGATION with map-side partials — ``max(struct(cosine,
+    -cand_id, cand_id))`` — never a window over corpus-sized groups.
+    Tie order (higher cosine, then lower cand_id) matches the oracle's
+    ``ORDER BY cosine DESC, cand_id``."""
+    e = t(spark, sf_dir, "embeddings")
+    c = (
+        e.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            to_double_array("embedding").alias("cvec"),
+        )
+        .withColumn("cnorm", l2_norm(F.col("cvec")))
+    )
+    q = (
+        e.filter(_query_side())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            to_double_array("embedding").alias("qvec"),
+        )
+        .withColumn("qnorm", l2_norm(F.col("qvec")))
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        (F.col("cand_label") == F.col("query_label")).alias("same"),
+        "cand_id",
+        (
+            dot_product(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cosine"),
+    )
+    best = F.struct(F.col("cosine"), (-F.col("cand_id")).alias("tb"), F.col("cand_id"))
+    agg = scored.groupBy("query_id").agg(
+        F.max(F.when(F.col("same"), best)).alias("pos"),
+        F.max(F.when(~F.col("same"), best)).alias("neg"),
+    )
+    return agg.filter(
+        F.col("pos").isNotNull() & F.col("neg").isNotNull()
+    ).select(
+        "query_id",
+        F.col("pos.cand_id").alias("pos_id"),
+        F.col("pos.cosine").alias("pos_cosine"),
+        F.col("neg.cand_id").alias("neg_id"),
+        F.col("neg.cosine").alias("neg_cosine"),
+        (F.col("pos.cosine") - F.col("neg.cosine")).alias("margin"),
+    )
+
+
+LABEL_OUTLIER_COSINE = 0.0  # below ⇒ pointing away from its class mean
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise pruning for a labeled training set: cosine of every
+    vector to its LABEL CENTROID, with vectors whose cosine falls below
+    ``LABEL_OUTLIER_COSINE`` flagged as outliers (likely mislabeled —
+    the cheap centroid-distance filter run before training a probe).
+
+    Scale shape: centroids via posexplode → (label, pos) decimal-exact
+    means (one keyed aggregation, the ``kmeans_fit`` update pattern),
+    re-assembled into a #labels-row array relation that BROADCASTS back
+    onto the corpus; cosine is the order-deterministic array fold used
+    by every sim_* query. No corpus shuffle, no window."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cv")
+    )
+    joined = e.join(F.broadcast(cent), "label")
+    cosine = dot_product(F.col("v"), F.col("cv")) / (
+        l2_norm(F.col("v")) * l2_norm(F.col("cv"))
+    )
+    return joined.select(
+        "vec_id",
+        "label",
+        cosine.alias("centroid_cosine"),
+        (cosine < LABEL_OUTLIER_COSINE).alias("is_outlier"),
+    )
+
+
 QUERIES = {
     "sim_ann_recall_audit": sim_ann_recall_audit,
+    "sim_hard_negatives": sim_hard_negatives,
+    "embedding_label_outliers": embedding_label_outliers,
     "sim_brute_topk": sim_brute_topk,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_semantic_decontaminate": sim_semantic_decontaminate,
@@ -1029,6 +1136,55 @@ def _km_oracle(iters: int = 3) -> str:
 
 
 ORACLES = {
+    "sim_hard_negatives": f"""
+        WITH e AS (
+          SELECT vec_id, label, {_V} AS v,
+                 sqrt({_DOT(d=DIM, a=_V, b=_V)}) AS nrm
+          FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE {_Q_SIDE}),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 c.label = q.label AS same,
+                 {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm) AS cosine
+          FROM e c JOIN q ON c.vec_id <> q.vec_id
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id, same
+                      ORDER BY cosine DESC, cand_id) AS rn
+          FROM scored
+        )
+        SELECT p.query_id, p.cand_id AS pos_id, p.cosine AS pos_cosine,
+               n.cand_id AS neg_id, n.cosine AS neg_cosine,
+               p.cosine - n.cosine AS margin
+        FROM r p JOIN r n ON p.query_id = n.query_id
+        WHERE p.rn = 1 AND p.same AND n.rn = 1 AND NOT n.same
+    """,
+    "embedding_label_outliers": f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, label, {_V} AS v FROM embeddings
+        ),
+        ex AS (
+          SELECT label, CAST(pos AS INTEGER) AS pos, v[pos + 1] AS x
+          FROM e, range(0, {DIM}) r(pos)
+        ),
+        md AS (
+          SELECT label, pos,
+                 CAST(SUM({_DEC12("x")}) AS DOUBLE) / COUNT(*) AS m
+          FROM ex GROUP BY label, pos
+        ),
+        c AS (SELECT label, list(m ORDER BY pos) AS cv FROM md GROUP BY label)
+        SELECT e.vec_id, e.label,
+               {_DOT(d=DIM, a="e.v", b="c.cv")}
+                 / (sqrt({_DOT(d=DIM, a="e.v", b="e.v")})
+                    * sqrt({_DOT(d=DIM, a="c.cv", b="c.cv")}))
+                 AS centroid_cosine,
+               {_DOT(d=DIM, a="e.v", b="c.cv")}
+                 / (sqrt({_DOT(d=DIM, a="e.v", b="e.v")})
+                    * sqrt({_DOT(d=DIM, a="c.cv", b="c.cv")}))
+                 < {LABEL_OUTLIER_COSINE} AS is_outlier
+        FROM e JOIN c USING (label)
+    """,
     "sim_brute_topk": f"""
         WITH e AS ({_E_CTE}),
         q AS (SELECT * FROM e WHERE {_Q_SIDE}),

@@ -1218,7 +1218,51 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DISTINCTIVE_TOPK = 5
+DISTINCTIVE_MIN_COUNT = 5
+
+
+def doc_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary by log-lift: terms whose
+    within-source relative frequency most exceeds their corpus-wide
+    relative frequency (lift = (c_st/n_s)/(c_t/N)), top
+    ``DISTINCTIVE_TOPK`` per source with a ``DISTINCTIVE_MIN_COUNT``
+    support floor — the source-characterization report a data-mix
+    review reads next to ``doc_source_mix``.
+
+    Scale shape: one tokenize+explode, then keyed aggregations on
+    (source, term), term, and source; the 1-row corpus total broadcasts
+    via crossJoin (the ``doc_tfidf_top_terms`` pattern). The final
+    rank's per-source groups hold the SUPPORT-FILTERED vocabulary of
+    one source — sublinear in corpus size (Heap's law) and further cut
+    by the count floor, unlike a per-source rank over *documents*
+    (which is why ``doc_perplexity_buckets`` uses the distributed
+    prefix sum instead)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n_total = st.agg(F.sum("c_st").alias("n_corpus"))
+    lift = (F.col("c_st").cast("double") / F.col("n_s").cast("double")) / (
+        F.col("c_t").cast("double") / F.col("n_corpus").cast("double")
+    )
+    scored = (
+        st.filter(F.col("c_st") >= DISTINCTIVE_MIN_COUNT)
+        .join(s_tot, "source")
+        .join(t_tot, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select("source", "term", "c_st", lift.alias("lift"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("lift").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DISTINCTIVE_TOPK)
+    )
+
+
 QUERIES = {
+    "doc_source_distinctive_terms": doc_source_distinctive_terms,
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -1888,4 +1932,26 @@ ORACLES["bpe_first_merges"] = f"""
     SELECT pair, CAST(SUM(wf) AS BIGINT) AS n
     FROM pairs GROUP BY 1
     ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_MERGES}
+"""
+
+ORACLES["doc_source_distinctive_terms"] = f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    st AS (SELECT source, term, count(1) AS c_st FROM tok GROUP BY 1, 2),
+    s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+    t_tot AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_corpus FROM st),
+    scored AS (
+      SELECT st.source, st.term, st.c_st,
+             (CAST(st.c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+               / (CAST(c_t AS DOUBLE) / CAST(n_corpus AS DOUBLE)) AS lift
+      FROM st JOIN s_tot USING (source) JOIN t_tot USING (term) CROSS JOIN tot
+      WHERE st.c_st >= {DISTINCTIVE_MIN_COUNT}
+    )
+    SELECT source, term, c_st, lift, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY lift DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= {DISTINCTIVE_TOPK}
 """
