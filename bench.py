@@ -151,6 +151,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("bench")
+    # harness-only: WARN-level JVM log noise (CacheManager re-persist
+    # notices on repeated invocations of self-persisting queries) would
+    # otherwise fill the driver's captured tail; engine behavior is
+    # untouched
+    spark.sparkContext.setLogLevel("ERROR")
 
     # warm page cache + JIT + codegen: every table scanned, every
     # headline plan compiled and executed once, untimed

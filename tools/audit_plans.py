@@ -56,6 +56,10 @@ ALLOW_NESTED_LOOP = {
     "the pair table",
     "doc_perplexity_buckets": "inherits doc_lm_perplexity's 1-row "
     "(n_total, vocab) model-size aggregate broadcast",
+    "sim_hard_negatives": "bounded (≤20-row) broadcast query side, "
+    "non-equi self-exclusion predicate (sim_brute_topk shape)",
+    "doc_source_distinctive_terms": "1-row corpus-token-total aggregate "
+    "broadcast onto the (source, term) table",
 }
 
 
