@@ -904,9 +904,104 @@ def events_daily_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the nightly
+    data-quality report every warehouse runs: per relationship, total
+    fact rows, orphan count (fact keys with no dimension row), orphan
+    rate, and the smallest orphan key for debugging. The first four
+    relationships audit the real tables (this corpus is intact — the
+    zeros are the VERIFIED claim, like a passing constraint check); the
+    fifth re-audits orders against a deliberately DEGRADED customer
+    dimension (every 10th key dropped — a lost dim partition) to prove
+    non-vacuously that the probe detects orphans and reports the right
+    rate and sample key.
+
+    Scale shape: each relationship is one LEFT equi-join (AQE chooses
+    broadcast vs shuffle per dim size) + one hash aggregation; the
+    union is of 1-row frames."""
+
+    def audit(rel: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        miss = F.col("__pk").isNull()
+        return (
+            fact.select(F.col(fk).alias("__fk"))
+            .join(
+                dim.select(F.col(pk).alias("__pk")).distinct(),
+                F.col("__fk") == F.col("__pk"),
+                "left",
+            )
+            .agg(
+                F.lit(rel).alias("relationship"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(miss, 1).otherwise(0)).alias("n_orphans"),
+                (
+                    F.sum(F.when(miss, 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("orphan_rate"),
+                F.min(F.when(miss, F.col("__fk"))).alias("min_orphan_key"),
+            )
+        )
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    e = t(spark, sf_dir, "events")
+    degraded = c.filter(F.col("c_custkey") % 10 != 0)
+    return (
+        audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(audit("events.user_id->customer", e, "user_id", c, "c_custkey"))
+        .unionByName(
+            audit(
+                "orders.o_custkey->customer[degraded]",
+                o,
+                "o_custkey",
+                degraded,
+                "c_custkey",
+            )
+        )
+    )
+
+
+def warehouse_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — the engine's second columnar format
+    (Spark ships an ORC reader/writer with the same predicate-pushdown /
+    column-pruning contract as parquet): orders is materialized ONCE per
+    source-content fingerprint as an ORC table, read back with a
+    declared schema, and aggregated. The oracle computes the identical
+    aggregate from the parquet source, so the hash match proves the
+    ORC write+read is lossless row-for-row and value-for-value (the
+    ``warehouse_compact_roundtrip`` proof shape, pointed at a format)."""
+    key = source_fingerprint(sf_dir, "orders")
+    root = warehouse_root(spark)
+    orc_dir = os.path.join(root, f"orders_orc_{key}")
+    if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice")
+            .write.mode("overwrite")
+            .orc(orc_dir)
+        )
+    schema = "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    return (
+        spark.read.schema(schema)
+        .orc(orc_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     "orders_merge_upsert": orders_merge_upsert,
     "warehouse_compact_roundtrip": warehouse_compact_roundtrip,
+    "warehouse_orc_roundtrip": warehouse_orc_roundtrip,
+    "star_fk_integrity": star_fk_integrity,
     "events_gapfill_locf": events_gapfill_locf,
     "dim_scd2_upsert": dim_scd2_upsert,
     "events_approx_percentile_bound": events_approx_percentile_bound,
@@ -931,7 +1026,56 @@ QUERIES = {
     "events_asof_forward": events_asof_forward,
 }
 
+def _fk_audit_sql(rel: str, fact: str, fk: str, dim: str, pk: str) -> str:
+    return f"""
+        SELECT '{rel}' AS relationship,
+               count(1) AS n_rows,
+               CAST(SUM(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_orphans,
+               CAST(SUM(CASE WHEN d.{pk} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(1) AS DOUBLE) AS orphan_rate,
+               min(CASE WHEN d.{pk} IS NULL THEN f.{fk} END) AS min_orphan_key
+        FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d
+          ON f.{fk} = d.{pk}
+    """
+
+
 ORACLES = {
+    "star_fk_integrity": " UNION ALL ".join(
+        [
+            _fk_audit_sql(
+                "orders.o_custkey->customer",
+                "orders", "o_custkey", "customer", "c_custkey",
+            ),
+            _fk_audit_sql(
+                "lineitem.l_orderkey->orders",
+                "lineitem", "l_orderkey", "orders", "o_orderkey",
+            ),
+            _fk_audit_sql(
+                "lineitem.l_partkey->part",
+                "lineitem", "l_partkey", "part", "p_partkey",
+            ),
+            _fk_audit_sql(
+                "events.user_id->customer",
+                "events", "user_id", "customer", "c_custkey",
+            ),
+            _fk_audit_sql(
+                "orders.o_custkey->customer[degraded]",
+                "orders", "o_custkey",
+                "(SELECT * FROM customer WHERE c_custkey % 10 <> 0)",
+                "c_custkey",
+            ),
+        ]
+    ),
+    "warehouse_orc_roundtrip": """
+        SELECT o_orderpriority,
+               count(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM orders GROUP BY 1
+    """,
     "warehouse_compact_roundtrip": """
         SELECT o_orderstatus,
                count(1) AS n_orders,

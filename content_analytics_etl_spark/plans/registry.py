@@ -84,6 +84,8 @@ DRIVER_WINDOW: list[str] = [
     "doc_source_distinctive_terms",
     "embedding_label_outliers",
     "sim_hard_negatives",
+    "star_fk_integrity",
+    "warehouse_orc_roundtrip",
     # --- last driver verdict: round 1
     "agg_conditional",
     "agg_cube",
@@ -131,8 +133,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_pack_sequences",
     "doc_pii_scrub",
     "doc_quality",
-    "doc_source_mix",
-    "doc_split_assign",
 ]
 
 
