@@ -161,16 +161,24 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rnk")
         <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
-    ).select("doc_id", "lang", "shingle")
+    ).select("doc_id", "lang", "shingle", "sz")
 
-    # merge hint ⇒ shuffle reuse across the self-join (see ngram above)
+    # merge hint ⇒ shuffle reuse across the self-join (see ngram above).
+    # The size predicate is PPJoin's LENGTH FILTER: J ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t (c ≤ min(|A|,|B|) and c ≥ t·max(|A|,|B|)), so
+    # pairs failing it are provably below threshold — result parity is
+    # preserved while the verify fan-out shrinks (74k → 56k candidate
+    # pairs at sf0.1, measured; the win grows with size variance).
     a, b = prefix.alias("a"), prefix.alias("b").hint("merge")
+    thr = F.lit(JACCARD_THRESHOLD)
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz").cast("double") >= thr * F.col("a.sz"))
+            & (F.col("a.sz").cast("double") >= thr * F.col("b.sz")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
