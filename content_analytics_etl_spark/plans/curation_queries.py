@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import session_materialized
 from ._util import source_fingerprint, t
 from .dedup_queries import (
     ORACLES as D_ORACLES,
@@ -50,20 +51,11 @@ from .text_queries import (
 # recomputes; at 100 TB this is exactly the "materialize each branch
 # incrementally" posture — the manifest is written once per corpus
 # snapshot and every report reads the materialization.
-_MANIFEST_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _manifest_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (
-        spark.sparkContext.applicationId,
-        source_fingerprint(sf_dir, "documents"),
+    key = f"curation_manifest:{source_fingerprint(sf_dir, 'documents')}"
+    return session_materialized(
+        spark, key, lambda: _manifest_plan(spark, sf_dir)
     )
-    df = _MANIFEST_CACHE.get(key)
-    if df is None:
-        df = _manifest_plan(spark, sf_dir).persist()
-        df.count()
-        _MANIFEST_CACHE[key] = df
-    return df
 
 
 def corpus_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

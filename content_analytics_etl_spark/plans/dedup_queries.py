@@ -26,7 +26,8 @@ from ..operators.dedup import (
     shingled,
     simhash60_agg,
 )
-from ._util import t
+from ..cache import session_materialized
+from ._util import source_fingerprint, t
 
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 6
@@ -359,10 +360,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: connected components over
     the MinHash-LSH pair graph (operators/graph.py, iterative min-label
     propagation), cluster_id = min doc_id of the component — the final
-    step that turns pairwise similarity into keep/drop groups."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    cc = connected_components(pairs, "doc_a", "doc_b")
-    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+    step that turns pairwise similarity into keep/drop groups.
+
+    Materialized once per (session, corpus snapshot): three other
+    registered queries (keep-best, dup-aware sampling, the curation
+    manifest via keep-best) consume the assignment — at 100 TB it is an
+    incremental table written once per snapshot, not a per-consumer
+    recompute."""
+
+    def build() -> DataFrame:
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+        cc = connected_components(pairs, "doc_a", "doc_b")
+        return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+    key = f"dedup_clusters:{source_fingerprint(sf_dir, 'documents')}"
+    return session_materialized(spark, key, build)
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

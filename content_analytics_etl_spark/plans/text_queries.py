@@ -18,7 +18,8 @@ from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
 from ..operators.prefix_sum import distributed_prefix_sum
-from ._util import DEC, rank_limited, t
+from ..cache import session_materialized
+from ._util import DEC, rank_limited, source_fingerprint, t
 
 # Marker vocabularies for the language-ID heuristic. The synthetic corpus
 # draws from one shared vocabulary, so these partition that vocabulary
@@ -1086,7 +1087,17 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 over shared integers — snapped to a 9 dp grid like tf-idf's
     ln — and the final 2^H, rounded to 6 dp. The per-doc reduction
     Σ cnt·log2(tf+1) runs as an exact DECIMAL(18,6) sum, so H is
-    bit-identical under any partitioning and across engines."""
+    bit-identical under any partitioning and across engines.
+
+    Materialized once per (session, corpus snapshot): the CCNet
+    tercile query consumes these scores, so a sweep would otherwise run
+    the scoring pipeline twice (the incremental-table posture of
+    ``cache.session_materialized``)."""
+    key = f"doc_lm_perplexity:{source_fingerprint(sf_dir, 'documents')}"
+    return session_materialized(spark, key, lambda: _lm_perplexity_plan(spark, sf_dir))
+
+
+def _lm_perplexity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     doc_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))

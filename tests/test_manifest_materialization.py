@@ -12,8 +12,8 @@ import shutil
 
 import pytest
 
+from content_analytics_etl_spark.cache import _SESSION_CACHE
 from content_analytics_etl_spark.plans.curation_queries import (
-    _MANIFEST_CACHE,
     _manifest_materialized,
     corpus_curation_funnel,
     corpus_curation_manifest,
@@ -34,9 +34,9 @@ def test_manifest_and_funnel_share_one_materialization(spark):
     assert m1 is m2, "second invocation must return the cached frame"
     assert m1.storageLevel.useMemory or m1.storageLevel.useDisk
     # the funnel derives from the same materialization (same cache key)
-    before = dict(_MANIFEST_CACHE)
+    before = dict(_SESSION_CACHE)
     corpus_curation_funnel(spark, SF_DIR).collect()
-    assert dict(_MANIFEST_CACHE) == before, "funnel must not rebuild"
+    assert dict(_SESSION_CACHE) == before, "funnel must not rebuild"
 
 
 def test_regenerated_corpus_invalidates(spark, tmp_path):
