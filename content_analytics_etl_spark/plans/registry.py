@@ -74,65 +74,65 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# This round's window: the 21 r01-era relational/window basics, the 12
-# r02-era extension seeds, and 17 of the r03 batch (alphabetical fill).
-# Audit trail: r06 closed the 20-name lifetime gap (all green, zero
-# errors); no query has ever failed a driver verdict and stayed failed.
+# Round-8 rotation: no never-verified queries remain (lifetime 179/179
+# after the r07 update), so the window is pure staleness fill — the 30
+# remaining round-3-verdict names plus the 20 alphabetically-first
+# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# (six first-time queries included); no query has ever failed a driver
+# verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-verified (new this round)
-    "corpus_token_budget_sample",
-    "doc_source_distinctive_terms",
-    "embedding_label_outliers",
-    "sim_hard_negatives",
-    "star_fk_integrity",
-    "warehouse_orc_roundtrip",
-    # --- last driver verdict: round 1
-    "agg_conditional",
-    "agg_cube",
-    "agg_family",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "date_funcs",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_left",
-    "join_semi",
-    "join_theta",
-    "monthly_revenue",
-    "order_limit",
-    "setops_distinct",
-    "setops_except",
-    "setops_intersect",
-    "string_funcs",
-    "topk_per_group",
-    "window_lag",
-    "window_rank",
-    # --- last driver verdict: round 2
-    "dedup_exact",
-    "doc_subword_counts",
-    "events_approx_distinct",
-    "events_asof_forward",
-    "events_sliding",
-    "events_tumbling",
-    "join_inner",
-    "kmeans_assign",
-    "multimodal_frame_plan",
-    "pivot_nulls",
-    "sim_brute_topk",
-    "window_running",
-    # --- last driver verdict: round 3
-    "dedup_clusters",
-    "dedup_decontaminate",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
-    "device_count_distinct",
-    "device_count_rows",
-    "dim_scd2_upsert",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality",
+    # --- last driver verdict: round 3 (30 names)
+    "doc_source_mix",
+    "doc_split_assign",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "embedding_kmeans",
+    "embedding_quantize",
+    "events_asof_join",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_json_props",
+    "events_partition_pruned",
+    "events_range_join",
+    "events_session",
+    "events_zorder_layout",
+    "graph_pagerank",
+    "graph_triangles",
+    "join_bucketed",
+    "join_salted",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_video_decode",
+    "orders_merge_upsert",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_pq_adc",
+    "sim_neardup_pairs",
+    "warehouse_compact_roundtrip",
+    # --- last driver verdict: round 5 (20 names, alphabetical fill)
+    "agg_stats",
+    "bigram_frequency",
+    "bpe_first_merges",
+    "corpus_curation_funnel",
+    "corpus_curation_manifest",
+    "corpus_mix_rebalance",
+    "customer_rfm_segments",
+    "dedup_edit_distance",
+    "dedup_exact_flags",
+    "dedup_keep_best",
+    "dedup_minhash_estimate_audit",
+    "dedup_ngram_jaccard",
+    "doc_char_entropy",
+    "doc_chunk",
+    "doc_fingerprint",
+    "doc_lm_perplexity",
+    "doc_ngram_scrub",
+    "doc_quality_gates",
+    "doc_repetition",
+    "doc_rolling_hash",
 ]
 
 
