@@ -31,6 +31,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from content_analytics_etl_spark import cache  # noqa: E402
 from content_analytics_etl_spark.plans import all_queries  # noqa: E402
 from content_analytics_etl_spark.schemas import TABLE_NAMES  # noqa: E402
 from content_analytics_etl_spark.session import get_spark  # noqa: E402
@@ -181,6 +182,7 @@ def main() -> None:
     # perf regression in the iterative/expensive families visible round
     # over round). Skippable for quick local iterations.
     extended: dict[str, float] = {}
+    ext_min3: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "on") != "off":
         ext_names = [n for n in queries if n not in set(HEADLINE)]
         for name in ext_names:
@@ -189,6 +191,15 @@ def main() -> None:
             t0 = time.time()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             extended[name] = round(time.time() - t0, 3)
+        # promote the slow tail to the headline's 3-pass MIN policy — a
+        # single pass on a multi-second query is exactly the
+        # noise-hostage shape PERF 14 killed (VERDICT r7 #7)
+        ext_min3 = sorted(n for n, v in extended.items() if v >= 2.0)
+        for _ in range(2):
+            for name in ext_min3:
+                t0 = time.time()
+                queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                extended[name] = round(min(extended[name], time.time() - t0), 3)
 
     full = {
         "metric": "headline_suite_wall_seconds",
@@ -198,10 +209,18 @@ def main() -> None:
         "headline": sorted(HEADLINE),
         "sf": sf,
         "passes": passes,
-        "aggregation": "per-query min (headline); single timed pass "
-        "after warm (extended tier)",
+        "aggregation": "per-query min (headline); extended tier is a "
+        "single timed pass after warm, except entries in extended_min3 "
+        "(first-pass >= 2s) which are min-of-3",
         "extended_wall_seconds": round(sum(extended.values()), 3),
         "n_extended": len(extended),
+        "extended_min3": ext_min3,
+        # wall-seconds of the ACTUAL producer-pipeline builds (manifest,
+        # dedup clusters, per-doc LM scores...), which run once in the
+        # untimed warm pass and are served from the session cache in
+        # every timed pass — without this a regression in the build
+        # itself is invisible (VERDICT r7 #3 / ADVICE r7)
+        "producer_build_seconds": dict(sorted(cache.BUILD_SECONDS.items())),
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -212,6 +231,7 @@ def main() -> None:
     # stdout stays under ~1 KB so the driver's capture parses it whole
     compact = dict(full)
     compact.pop("headline", None)
+    compact.pop("extended_min3", None)  # full map lives in BENCH_FULL.json
     compact["queries"] = {
         n: timings[n] for n in STDOUT_QUERIES if n in timings
     }

@@ -7,11 +7,13 @@ the full query registry (a circular import from ``operators/*``).
 
 from __future__ import annotations
 
+import threading
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["materialize_and_release", "session_materialized"]
+__all__ = ["materialize_and_release", "session_materialized", "BUILD_SECONDS"]
 
 
 def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
@@ -39,17 +41,48 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
 # in the key so regenerated data recomputes; entries die with the
 # application (keyed by applicationId).
 _SESSION_CACHE: dict[tuple[str, str], DataFrame] = {}
+# RLock, not Lock: producer pipelines NEST (the curation manifest build
+# calls dedup_keep_best, itself session-materialized), so the building
+# thread re-enters while holding the lock.
+_LOCK = threading.RLock()
+
+# Wall-seconds of each ACTUAL pipeline build, keyed by the logical key
+# (the part before the fingerprint).  The session cache makes every
+# later invocation a cache read, so without this a regression in the
+# producer pipeline itself is invisible to the bench — bench.py emits
+# it as ``producer_build_seconds`` (VERDICT r7 #3).
+BUILD_SECONDS: dict[str, float] = {}
 
 
 def session_materialized(
     spark: SparkSession, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return the session's materialization of ``build()`` for ``key``,
-    building + persisting + counting it on first use."""
-    k = (spark.sparkContext.applicationId, key)
-    df = _SESSION_CACHE.get(k)
-    if df is None:
-        df = build().persist()
-        df.count()
-        _SESSION_CACHE[k] = df
+    building + persisting + counting it on first use.
+
+    Keys are ``logical_name:corpus_fingerprint``.  Guarded by one lock —
+    two concurrent callers can't double-build/persist the same key
+    (the build runs inside the lock; first-touch builds are rare,
+    once per session per key, so serializing them is the simple safe
+    choice).  Materializing a NEW fingerprint of a logical key evicts
+    (unpersists + deletes) superseded snapshots of the same logical key
+    for this application — a session sweeping several sf_dirs would
+    otherwise pin one persisted frame per corpus snapshot until exit."""
+    app = spark.sparkContext.applicationId
+    k = (app, key)
+    logical = key.split(":", 1)[0]
+    with _LOCK:
+        df = _SESSION_CACHE.get(k)
+        if df is None:
+            for old in [
+                x
+                for x in _SESSION_CACHE
+                if x[0] == app and x[1].split(":", 1)[0] == logical
+            ]:
+                _SESSION_CACHE.pop(old).unpersist()
+            t0 = time.time()
+            df = build().persist()
+            df.count()
+            BUILD_SECONDS[logical] = round(time.time() - t0, 3)
+            _SESSION_CACHE[k] = df
     return df

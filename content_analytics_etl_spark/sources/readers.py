@@ -115,10 +115,12 @@ def _scan_parallel_dir(
     a flat cores-way split is pure per-file overhead on MB-scale
     tables (PERF 36). Kill switch: ``SPARK_GRAFT_SCAN_LAYOUT=off``.
 
-    Cache key = source (path, size, mtime) + declared schema + ways, so
-    a testdata regen, a STAR_SCHEMAS change, or a different session
-    parallelism never reads a stale copy; older copies for the same
-    source path are pruned when a new one is written."""
+    Dir name = source tag + content key (size, mtime, declared schema)
+    + ``w{ways}``, so a testdata regen or a STAR_SCHEMAS change never
+    reads a stale copy. The content key and the split width are SEPARATE
+    name components: pruning removes only dirs whose content key is
+    stale, never a same-content copy with a different ``ways`` that a
+    concurrent session with a different parallelism may be mid-read."""
     if os.environ.get("SPARK_GRAFT_SCAN_LAYOUT", "on") == "off":
         return None
     if not os.path.isfile(path):
@@ -135,10 +137,13 @@ def _scan_parallel_dir(
         wh = "/" + wh[len("file:"):].lstrip("/")
     src_tag = hashlib.md5(path.encode()).hexdigest()[:8]
     key = hashlib.md5(
-        f"{st.st_size}:{st.st_mtime_ns}:{ways}:"
+        f"{st.st_size}:{st.st_mtime_ns}:"
         f"{STAR_SCHEMAS[name].simpleString()}".encode()
     ).hexdigest()[:12]
-    return os.path.join(wh, f"scan_parallel_{name}_{src_tag}_{key}"), ways
+    return (
+        os.path.join(wh, f"scan_parallel_{name}_{src_tag}_{key}_w{ways}"),
+        ways,
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -197,14 +202,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if not os.path.exists(os.path.join(par, "_SUCCESS")):
                 raise  # rename failed for a real reason (perms, EXDEV)
         # prune superseded copies for this source path (testdata regen,
-        # schema change, different session width) — each strands a dir
-        prefix = os.path.basename(par).rsplit("_", 1)[0] + "_"
+        # schema change) — each strands a dir.  Copies sharing the
+        # CONTENT key but differing in ``ways`` are kept: a concurrent
+        # session with a different defaultParallelism may be mid-read of
+        # its own width, and deleting it would fail that session's
+        # in-flight scans with missing-file errors.
+        base = os.path.basename(par)          # ..._{key}_w{ways}
+        prefix = base.rsplit("_", 2)[0] + "_"  # scan_parallel_{name}_{src}_
+        live_key = base.rsplit("_", 2)[1]      # content fingerprint
         parent = os.path.dirname(par)
         for d in os.listdir(parent):
             if (
                 d.startswith(prefix)
                 and ".tmp-" not in d  # a concurrent writer's live dir
-                and os.path.join(parent, d) != par
+                and d.rsplit("_", 2)[1] != live_key  # stale content only
             ):
                 import shutil
 

@@ -108,6 +108,25 @@ def test_superseded_copy_pruned_and_key_rotates(spark, tmp_path):
     assert not os.path.exists(par1), "superseded layout copy not pruned"
 
 
+def test_same_content_other_width_copy_survives_prune(spark, tmp_path):
+    """A concurrent session with a different defaultParallelism keeps a
+    same-content copy at a different ``ways``; our prune must leave it
+    intact (deleting it would fail that session's in-flight scans with
+    missing-file errors — ADVICE r7), while stale-CONTENT dirs still go."""
+    n = SCAN_ROWS_PER_TASK_DEFAULT * 2 + 500
+    _write_customer(tmp_path, n)
+    src = str(tmp_path / "customer.parquet")
+    par, ways = _scan_parallel_dir(spark, src, "customer")
+    other_width = par.rsplit("_", 1)[0] + f"_w{ways + 1}"
+    stale = par.rsplit("_", 2)[0] + "_deadbeef0000_w2"
+    for d in (other_width, stale):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    load_table(spark, str(tmp_path), "customer").count()  # write + prune
+    assert os.path.exists(other_width), "live other-width copy was pruned"
+    assert not os.path.exists(stale), "stale-content copy not pruned"
+
+
 def test_kill_switch(spark, tmp_path, monkeypatch):
     _write_customer(tmp_path, SCAN_ROWS_PER_TASK_DEFAULT * 2)
     monkeypatch.setenv("SPARK_GRAFT_SCAN_LAYOUT", "off")
