@@ -13,6 +13,7 @@ results hash-match the DuckDB oracle regardless of partitioning.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -977,12 +978,31 @@ def warehouse_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = warehouse_root(spark)
     orc_dir = os.path.join(root, f"orders_orc_{key}")
     if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+        # same write-once discipline as the scan-parallel layout
+        # (sources/readers.py): write to a pid-suffixed tmp dir, rename
+        # into place tolerating a concurrent winner, then prune ORC
+        # copies of superseded source fingerprints (testdata regen
+        # strands one dir per old snapshot otherwise).
+        tmp = f"{orc_dir}.tmp-{os.getpid()}"
         (
             t(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderpriority", "o_totalprice")
             .write.mode("overwrite")
-            .orc(orc_dir)
+            .orc(tmp)
         )
+        try:
+            os.rename(tmp, orc_dir)
+        except OSError:  # concurrent writer won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(orc_dir, "_SUCCESS")):
+                raise  # rename failed for a real reason (perms, EXDEV)
+        for d in os.listdir(root):
+            if (
+                d.startswith("orders_orc_")
+                and ".tmp-" not in d
+                and d != f"orders_orc_{key}"
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     schema = "o_orderkey bigint, o_orderpriority string, o_totalprice double"
     return (
         spark.read.schema(schema)

@@ -117,3 +117,54 @@ def test_mv_refresh_snapshot_reused_and_equals_full(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the delta side's cutoff reaches the events scan as a pushed filter
     assert "GreaterThanOrEqual(ts,2024-01-21" in plan
+
+
+def test_warehouse_orc_roundtrip_write_once_and_prune(spark, sf_dir):
+    """The ORC materialization follows the scan-layout discipline: the
+    live fingerprint dir is written once (stable _SUCCESS mtime on a
+    second call), stale-fingerprint dirs for the same source are
+    pruned, and a concurrent writer's live ``.tmp-`` dir survives."""
+    import time
+
+    from content_analytics_etl_spark.plans._util import (
+        source_fingerprint,
+        warehouse_root,
+    )
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        warehouse_orc_roundtrip,
+    )
+
+    root = warehouse_root(spark)
+    stale = os.path.join(root, "orders_orc_deadbeef0000")
+    live_tmp = os.path.join(root, "orders_orc_deadbeef0000.tmp-99999")
+    # force a (re)write so the prune branch runs even if a prior test
+    # session already materialized the live dir
+    key = source_fingerprint(sf_dir, "orders")
+    live = os.path.join(root, f"orders_orc_{key}")
+    import shutil
+
+    shutil.rmtree(live, ignore_errors=True)
+    for d in (stale, live_tmp):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    got = {r["o_orderpriority"]: r for r in warehouse_orc_roundtrip(spark, sf_dir).collect()}
+    assert not os.path.exists(stale), "stale-fingerprint ORC dir not pruned"
+    assert os.path.exists(live_tmp), "concurrent writer's tmp dir was pruned"
+    shutil.rmtree(live_tmp, ignore_errors=True)
+
+    direct = {
+        r["o_orderpriority"]: r
+        for r in spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for pri, r in got.items():
+        assert r["n_orders"] == direct[pri]["count"]
+
+    mtime = os.path.getmtime(os.path.join(live, "_SUCCESS"))
+    time.sleep(0.05)
+    warehouse_orc_roundtrip(spark, sf_dir).collect()
+    assert os.path.getmtime(os.path.join(live, "_SUCCESS")) == mtime
