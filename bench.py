@@ -222,7 +222,9 @@ def main() -> None:
         # itself is invisible (VERDICT r7 #3 / ADVICE r7)
         "producer_build_seconds": dict(sorted(cache.BUILD_SECONDS.items())),
     }
-    full_path = os.path.join(
+    # SPARK_GRAFT_BENCH_OUT redirects the full map (e.g. BENCH_SF1.json
+    # for the one-off sf1 scaling capture) — default stays BENCH_FULL.json
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     with open(full_path, "w") as fh:

@@ -570,9 +570,117 @@ def doc_dup_aware_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCK_N = 10  # tokens per exact-dedup block (full blocks only)
+# owner key packs (doc_id, block_idx) into one orderable bigint;
+# block_idx < 2^20 (docs are far shorter), doc_id << 2^43 → exact
+_BLOCK_SHIFT = 1 << 20
+
+
+def dedup_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup at fixed token-block granularity — the
+    C4 / "Deduplicating Training Data Makes LMs Better" posture where
+    the dedup unit is a span, not the whole document: every full
+    ``BLOCK_N``-token block is fingerprinted, the corpus-wide first
+    occurrence (min packed (doc_id, block_idx)) is canonical, and each
+    document reports how much of it is removable as repeated spans.
+
+    Shape: per-row block explode (no shuffle), one groupBy on the block
+    fingerprint (map-side combine), an equi-join back on the
+    fingerprint, and a per-doc agg — all linear, AQE handles the skew of
+    stop-blocks. At 100 TB this is exactly the span-dedup pass that runs
+    after document-level dedup."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split(norm_text("text"), " ").alias("toks"))
+    n_blocks = F.floor(F.size("toks") / F.lit(BLOCK_N)).cast("int")
+    blocks = (
+        base.withColumn("n_blocks", n_blocks)
+        .filter(F.col("n_blocks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_blocks") - 1)).alias(
+                "block_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "block_idx",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        F.col("block_idx") * BLOCK_N + 1,
+                        BLOCK_N,
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+            (F.col("doc_id") * _BLOCK_SHIFT + F.col("block_idx")).alias(
+                "pos_key"
+            ),
+        )
+    )
+    owners = blocks.groupBy("fp").agg(F.min("pos_key").alias("owner_key"))
+    return (
+        blocks.join(owners, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(
+                (F.col("pos_key") > F.col("owner_key")).cast("bigint")
+            ).alias("n_dup_blocks"),
+        )
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup — the steady-state production
+    shape: a newly ingested batch (here the deterministic slice
+    ``doc_id % 4 = 3``) is deduplicated against the existing corpus
+    snapshot AND within itself, without ever re-fingerprinting the
+    snapshot's survivors. Per (source, status) rollup with
+    status ∈ {dup_of_base, dup_in_batch, new}.
+
+    Shape: base side reduces to distinct fingerprints (one groupBy);
+    batch classifies via one LEFT equi-join on the fingerprint plus a
+    batch-local min-doc_id agg — at 100 TB the base fingerprint set is
+    the incremental dedup index (bucketed by fp), and each batch joins
+    against it instead of the full corpus."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        md5_fingerprint(norm_text("text")).alias("fp"),
+    )
+    is_batch = F.pmod(F.col("doc_id"), F.lit(4)) == 3
+    batch = d.filter(is_batch)
+    base_fps = (
+        d.filter(~is_batch)
+        .select("fp")
+        .distinct()
+        .withColumn("in_base", F.lit(True))
+    )
+    first_in_batch = batch.groupBy("fp").agg(
+        F.min("doc_id").alias("first_batch_id")
+    )
+    status = (
+        F.when(F.col("in_base"), F.lit("dup_of_base"))
+        .when(F.col("doc_id") > F.col("first_batch_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        batch.join(base_fps, "fp", "left")
+        .join(first_in_batch, "fp")
+        .select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_flags": dedup_exact_flags,
+    "dedup_block_exact": dedup_block_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_prefix": dedup_ngram_jaccard_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -829,4 +937,61 @@ ORACLES["doc_dup_aware_sampling"] = f"""
            CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE)
              AS sample_weight
     FROM s
+"""
+
+# Mirror of dedup_block_exact: full BLOCK_N-token blocks, md5 over the
+# space-joined slice, min packed (doc_id, block_idx) owner per fp.
+ORACLES["dedup_block_exact"] = f"""
+    WITH blocks AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, n_blocks)) AS INT) AS block_idx,
+             unnest(list_transform(range(0, n_blocks),
+               b -> md5(array_to_string(
+                      list_slice(toks, b * {BLOCK_N} + 1,
+                                 b * {BLOCK_N} + {BLOCK_N}), ' '))))
+               AS fp
+      FROM (
+        SELECT doc_id, {_TOKS} AS toks,
+               CAST(floor(len({_TOKS}) / {BLOCK_N}.0) AS INT) AS n_blocks
+        FROM documents
+      )
+      WHERE n_blocks > 0
+    ),
+    keyed AS (
+      SELECT doc_id, fp,
+             doc_id * {_BLOCK_SHIFT} + block_idx AS pos_key
+      FROM blocks
+    ),
+    owners AS (
+      SELECT fp, min(pos_key) AS owner_key FROM keyed GROUP BY fp
+    )
+    SELECT doc_id, count(1) AS n_blocks,
+           CAST(sum(CASE WHEN pos_key > owner_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_blocks
+    FROM keyed JOIN owners USING (fp)
+    GROUP BY doc_id
+"""
+
+# Mirror of dedup_incremental: batch slice doc_id % 4 = 3, base fps
+# distinct, LEFT join + batch-local first occurrence.
+ORACLES["dedup_incremental"] = f"""
+    WITH d AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+    ),
+    base_fps AS (
+      SELECT DISTINCT fp FROM d WHERE doc_id % 4 <> 3
+    ),
+    batch AS (
+      SELECT * FROM d WHERE doc_id % 4 = 3
+    ),
+    first_in_batch AS (
+      SELECT fp, min(doc_id) AS first_batch_id FROM batch GROUP BY fp
+    )
+    SELECT source,
+           CASE WHEN b.fp IN (SELECT fp FROM base_fps) THEN 'dup_of_base'
+                WHEN b.doc_id > f.first_batch_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           count(1) AS n_docs
+    FROM batch b JOIN first_in_batch f ON b.fp = f.fp
+    GROUP BY 1, 2
 """

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
-from ..operators.prefix_sum import distributed_prefix_sum
+from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
 from ..cache import session_materialized
 from ._util import DEC, rank_limited, source_fingerprint, t
 
@@ -165,6 +165,50 @@ def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+VOCAB_CUTOFFS = [4, 16, 64, 256, 1024]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer merge-table sizing: what share of all corpus bigram
+    occurrences do the top-K most frequent bigrams cover, for K in
+    ``VOCAB_CUTOFFS``? This is the coverage curve a BPE vocab budget is
+    read off of (the knee says when bigger merge tables stop paying).
+
+    The global frequency rank uses the distributed prefix-sum operator
+    (deterministic quantile buckets → per-bucket window + broadcast
+    offsets), never a corpus-wide single-partition window; the cutoff
+    table is a 5-row literal frame, so the rank ≤ K theta join is a
+    broadcast of the tiny side against the vocab-sized ranked frame.
+    At 100 TB the ranked frame is vocab-sized (millions), not
+    corpus-sized — every stage stays keyed/bounded."""
+    bg = bigram_frequency(spark, sf_dir).persist()
+    ranked, total = distributed_prefix_sum(
+        spark,
+        bg,
+        pid=quantile_bucket_desc(bg, "n", 32),
+        order=[F.col("n").desc(), F.col("bigram")],
+        value_col="n",
+        cum_col="cum",
+        rank_col="rank",
+    )
+    bg.unpersist()
+    cuts = spark.createDataFrame(
+        [(c,) for c in VOCAB_CUTOFFS], "cutoff int"
+    )
+    return (
+        ranked.join(F.broadcast(cuts), F.col("rank") <= F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(
+            F.max("rank").alias("n_types"),
+            F.max("cum").alias("covered_occurrences"),
+            F.lit(int(total)).cast("bigint").alias("total_occurrences"),
+            (F.max("cum").cast("double") / F.lit(float(total))).alias(
+                "coverage"
+            ),
+        )
     )
 
 
@@ -1303,6 +1347,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_frequency": token_frequency,
     "bigram_frequency": bigram_frequency,
+    "vocab_coverage_curve": vocab_coverage_curve,
 }
 
 _HITS = {
@@ -1882,6 +1927,27 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+# Mirror of vocab_coverage_curve: same bigram counts, row_number rank
+# by (n DESC, bigram), covered = running sum at the last rank <= K.
+ORACLES["vocab_coverage_curve"] = f"""
+    WITH bg AS ({ORACLES["bigram_frequency"]}),
+    r AS (
+      SELECT bigram, n,
+             row_number() OVER (ORDER BY n DESC, bigram) AS rnk
+      FROM bg
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bg)
+    SELECT c.cutoff,
+           CAST(max(r.rnk) AS BIGINT) AS n_types,
+           CAST(sum(r.n) AS BIGINT) AS covered_occurrences,
+           (SELECT t FROM tot) AS total_occurrences,
+           CAST(sum(r.n) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+             AS coverage
+    FROM (VALUES {", ".join(f"({c})" for c in VOCAB_CUTOFFS)}) c(cutoff)
+    JOIN r ON r.rnk <= c.cutoff
+    GROUP BY 1
+"""
 
 # Composed after the dict to reuse the lang_id oracle verbatim (nested
 # WITH inside a CTE body — same pattern as the curation manifest).

@@ -60,6 +60,8 @@ ALLOW_NESTED_LOOP = {
     "non-equi self-exclusion predicate (sim_brute_topk shape)",
     "doc_source_distinctive_terms": "1-row corpus-token-total aggregate "
     "broadcast onto the (source, term) table",
+    "vocab_coverage_curve": "5-row literal cutoff table broadcast theta "
+    "join (rank <= K) against the vocab-sized ranked frame",
 }
 
 
