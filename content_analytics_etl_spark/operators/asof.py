@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join_backward", "asof_join_forward"]
+__all__ = ["asof_join_backward", "asof_join_forward", "asof_join_nearest"]
 
 
 def asof_join_backward(
@@ -113,4 +113,75 @@ def asof_join_forward(
     return filled.filter(F.col("_side") == 1).select(
         *left.columns,
         *[F.col(f"_asof.{c}").alias(c) for c in right_value_cols],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    right_tiebreak: str,
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """Attach to each ``left`` row the ``right`` values whose timestamp
+    is NEAREST (either direction) per ``on`` group; backward wins exact
+    distance ties (pandas ``merge_asof(direction='nearest')``
+    semantics). ``matched_ts_col``, when given, also emits the matched
+    right row's timestamp (callers derive match direction from it).
+
+    One union, ONE shuffle on the join keys, TWO window passes over the
+    same partitioning (ascending for the backward candidate, descending
+    for the forward candidate — the second window needs only a re-sort,
+    never a second exchange; both frames are O(n) running
+    unbounded-preceding, not the O(n²) unbounded-following form). The
+    matched right timestamp rides inside the packed struct, so the
+    distance comparison and every value column are row-atomic."""
+    r = right.select(
+        *on,
+        ts_col,
+        F.col(right_tiebreak).alias("_tb"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts_col).alias("_rts"),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("_rv"),
+    )
+    l = left.select("*", F.lit(None).cast("long").alias("_tb"), F.lit(1).alias("_side"))
+    u = l.unionByName(r, allowMissingColumns=True)
+    wb = (
+        W.partitionBy(*on)
+        .orderBy(ts_col, "_side", F.col("_tb").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*on)
+        .orderBy(F.col(ts_col).desc(), "_side", F.col("_tb").desc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.select(
+        "*",
+        F.last("_rv", ignorenulls=True).over(wb).alias("_b"),
+        F.last("_rv", ignorenulls=True).over(wf).alias("_f"),
+    )
+    d_back = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_b._rts"))
+    d_fwd = F.unix_micros(F.col("_f._rts")) - F.unix_micros(F.col(ts_col))
+    pick = (
+        F.when(F.col("_f").isNull(), F.col("_b"))
+        .when(F.col("_b").isNull(), F.col("_f"))
+        .when(d_back <= d_fwd, F.col("_b"))
+        .otherwise(F.col("_f"))
+    )
+    out = filled.filter(F.col("_side") == 1).select(
+        *left.columns,
+        pick.alias("_asof"),
+    )
+    extra = (
+        [F.col("_asof._rts").alias(matched_ts_col)] if matched_ts_col else []
+    )
+    return out.select(
+        *left.columns,
+        *[F.col(f"_asof.{c}").alias(c) for c in right_value_cols],
+        *extra,
     )

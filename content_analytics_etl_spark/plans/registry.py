@@ -74,17 +74,18 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the three queries added this round (block-level
-# exact dedup, incremental snapshot dedup, vocab coverage curve) have
-# no lifetime verdict and enter first; the fill is the 30 remaining
-# round-3-verdict names plus the 17 alphabetically-first
-# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# Round-8 rotation: the four queries added this round (block-level
+# exact dedup, incremental snapshot dedup, nearest as-of join, vocab
+# coverage curve) have no lifetime verdict and enter first; the fill is
+# the 30 remaining round-3-verdict names plus the 16
+# alphabetically-first round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-verified (new in round 8)
     "dedup_block_exact",
     "dedup_incremental",
+    "events_asof_nearest",
     "vocab_coverage_curve",
     # --- last driver verdict: round 3 (30 names)
     "doc_source_mix",
@@ -117,7 +118,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (17 names, alphabetical fill)
+    # --- last driver verdict: round 5 (16 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
     "bpe_first_merges",
@@ -134,7 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_chunk",
     "doc_fingerprint",
     "doc_lm_perplexity",
-    "doc_ngram_scrub",
 ]
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join_backward
+from ..operators.asof import asof_join_backward, asof_join_nearest
 from ._util import t
 
 RANGE_WINDOW_US = 600_000_000  # 10 minutes, microseconds
@@ -184,8 +184,48 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the same user's NEAREST error event in either
+    direction (the incident-correlation probe: was a failure adjacent to
+    this purchase?) with the signed direction and microsecond distance.
+    Backward wins exact-distance ties (pandas merge_asof 'nearest'
+    semantics). One shuffle on user_id, two window passes over the same
+    partitioning (operators/asof.py: asof_join_nearest)."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.col("value").alias("near_error_value")
+    )
+    res = asof_join_nearest(
+        purchases,
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["near_error_value"],
+        right_tiebreak="event_id",
+        matched_ts_col="_mts",
+    )
+    delta = F.abs(F.unix_micros("ts") - F.unix_micros("_mts"))
+    direction = (
+        F.when(F.col("_mts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_mts") <= F.col("ts"), F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "near_error_value",
+        delta.alias("delta_us"),
+        direction.alias("direction"),
+    )
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
+    "events_asof_nearest": events_asof_nearest,
     "events_range_join": events_range_join,
     "events_attribution": events_attribution,
     "events_multitouch_attribution": events_multitouch_attribution,
@@ -288,4 +328,28 @@ ORACLES["events_multitouch_attribution"] = f"""
            count(DISTINCT purchase_id) AS n_purchases_influenced,
            CAST(sum(credit_fp) AS DOUBLE) / 1000000000.0 AS total_credit
     FROM credited GROUP BY 1
+"""
+
+# Mirror of events_asof_nearest: per purchase, lateral pick of the
+# minimal |Δts| error row — backward preferred on exact-distance ties,
+# then the operator's per-direction tiebreak (backward: latest ts wins
+# via max event_id at equal ts; forward: min event_id at equal ts).
+ORACLES["events_asof_nearest"] = """
+    SELECT v.event_id, v.user_id, v.ts,
+           x.near_error_value, x.delta_us, x.direction
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') v
+    LEFT JOIN LATERAL (
+      SELECT value AS near_error_value,
+             abs(epoch_us(e.ts) - epoch_us(v.ts)) AS delta_us,
+             CASE WHEN e.ts <= v.ts THEN 'backward'
+                  ELSE 'forward' END AS direction
+      FROM events e
+      WHERE e.event_type = 'error' AND e.user_id = v.user_id
+      ORDER BY abs(epoch_us(e.ts) - epoch_us(v.ts)),
+               (e.ts > v.ts),
+               CASE WHEN e.ts <= v.ts THEN -e.event_id
+                    ELSE e.event_id END
+      LIMIT 1
+    ) x ON TRUE
 """

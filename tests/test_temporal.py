@@ -144,3 +144,73 @@ def test_asof_forward_row_atomic_null_fields(spark):
     ).collect()[0]
     assert row["tag"] == "first"
     assert row["v"] is None  # NOT 7.0 pulled forward from the later row
+
+
+def test_asof_nearest_picks_closer_and_backward_wins_ties(spark):
+    from content_analytics_etl_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01T00:10:00")),  # back 10min, fwd 5min → fwd
+            (2, 2, _ts("2024-01-01T00:10:00")),  # back 5min = fwd 5min → back
+            (3, 3, _ts("2024-01-01T00:10:00")),  # only backward exists
+            (4, 4, _ts("2024-01-01T00:10:00")),  # no right rows at all
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 11, 1.0),
+            (1, _ts("2024-01-01T00:15:00"), 12, 2.0),
+            (2, _ts("2024-01-01T00:05:00"), 21, 3.0),
+            (2, _ts("2024-01-01T00:15:00"), 22, 4.0),
+            (3, _ts("2024-01-01T00:00:00"), 31, 5.0),
+        ],
+        "user_id long, ts timestamp, rid long, v double",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in asof_join_nearest(
+            left, right, on=["user_id"], ts_col="ts",
+            right_value_cols=["v"], right_tiebreak="rid",
+            matched_ts_col="mts",
+        ).collect()
+    }
+    assert rows[1]["v"] == 2.0  # forward is closer
+    assert rows[2]["v"] == 3.0  # tie → backward wins
+    assert rows[3]["v"] == 5.0  # only backward
+    assert rows[4]["v"] is None and rows[4]["mts"] is None
+
+
+def test_asof_nearest_equal_ts_tiebreaks_per_direction(spark):
+    from content_analytics_etl_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T00:10:00"))], ["event_id", "user_id", "ts"]
+    )
+    # two right rows tied at the SAME backward ts → largest rid wins
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:05:00"), 11, 1.0),
+            (1, _ts("2024-01-01T00:05:00"), 12, 2.0),
+        ],
+        "user_id long, ts timestamp, rid long, v double",
+    )
+    row = asof_join_nearest(
+        left, right, on=["user_id"], ts_col="ts",
+        right_value_cols=["v"], right_tiebreak="rid",
+    ).collect()[0]
+    assert row["v"] == 2.0
+    # two right rows tied at the SAME forward ts → smallest rid wins
+    right_f = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:15:00"), 11, 1.0),
+            (1, _ts("2024-01-01T00:15:00"), 12, 2.0),
+        ],
+        "user_id long, ts timestamp, rid long, v double",
+    )
+    row = asof_join_nearest(
+        left, right_f, on=["user_id"], ts_col="ts",
+        right_value_cols=["v"], right_tiebreak="rid",
+    ).collect()[0]
+    assert row["v"] == 1.0
