@@ -62,6 +62,20 @@ def quantile_bucket_desc(
     return F.size(F.filter(barr, lambda b: b > F.col(col)))
 
 
+def quantile_bucket_asc(
+    df: DataFrame, col: str, num_buckets: int, rel_err: float = 0.001
+) -> Column:
+    """Ascending twin of :func:`quantile_bucket_desc`: pid 0 holds the
+    SMALLEST values (pid = count of boundaries strictly below the row's
+    value), monotone non-decreasing along ``col`` ascending — the pid
+    contract for prefix sums ordered low→high (Gini / Lorenz-curve
+    shapes). Equal values always share a bucket."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.stat.approxQuantile(col, probs, rel_err)
+    barr = F.array(*[F.lit(float(b)) for b in sorted(bounds)])
+    return F.size(F.filter(barr, lambda b: b < F.col(col)))
+
+
 def distributed_prefix_sum(
     spark: SparkSession,
     df: DataFrame,

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import loglog_reg_rho
+from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_asc
 from ..sources.writers import write_parquet_partitioned
 from ._util import dec, dsum, rank_limited, source_fingerprint, t, warehouse_root
 
@@ -415,7 +416,72 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_day.unionByName(total)
 
 
+SKEW_PCTS = (0.5, 0.9, 0.99)
+
+
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over ``events.user_id`` — the diagnostic a
+    100 TB pipeline runs BEFORE choosing salt factors / AQE skew
+    thresholds for a user-keyed join: per-key row counts summarized as
+    exact count percentiles (p50/p90/p99 of the key-count distribution),
+    the hottest key's share, and the Gini coefficient of rows over keys
+    (0 = uniform, →1 = one key owns the table).
+
+    Exact, not sampled: one groupBy on the key, then the distributed
+    prefix-sum operator ranks keys by count ASCENDING (deterministic
+    quantile buckets — ``quantile_bucket_asc``), giving the global rank
+    every statistic needs. Gini comes from integer arithmetic
+    (2·Σ rank·cnt − (n+1)·Σcnt) / (n·Σcnt) — exact BIGINTs until one
+    final double division, so the number is partitioning-independent.
+    The only driver-side data are the operator's O(#buckets) offsets
+    and two 1-row aggregates (allowlisted broadcasts)."""
+    c = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()  # feeds the quantile boundary pass AND the cumsum
+    ranked, total_rows = distributed_prefix_sum(
+        spark,
+        c,
+        pid=quantile_bucket_asc(c, "cnt", 32),
+        order=[F.col("cnt").asc(), F.col("user_id")],
+        value_col="cnt",
+        cum_col="_cum",
+        rank_col="rnk",
+    )
+    c.unpersist()
+    stats = ranked.agg(
+        F.max("rnk").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("rnk") * F.col("cnt")).alias("_a"),
+    )
+    j = ranked.crossJoin(F.broadcast(stats))
+    pct_cols = []
+    for p in SKEW_PCTS:
+        r = F.ceil(F.lit(p) * F.col("n_keys").cast("double"))
+        pct_cols.append(
+            F.max(F.when(F.col("rnk") == r, F.col("cnt"))).alias(
+                f"p{int(p * 100)}_cnt"
+            )
+        )
+    tot = F.lit(int(total_rows)).cast("bigint")
+    return j.groupBy().agg(
+        F.max("n_keys").alias("n_keys"),
+        tot.alias("total_rows"),
+        F.max("max_cnt").alias("max_cnt"),
+        *pct_cols,
+        (F.max("max_cnt").cast("double") / tot.cast("double")).alias(
+            "top1_share"
+        ),
+        (
+            (
+                2 * F.max("_a") - (F.max("n_keys") + 1) * tot
+            ).cast("double")
+            / (F.max("n_keys") * tot).cast("double")
+        ).alias("gini"),
+    )
+
+
 QUERIES = {
+    "events_key_skew_profile": events_key_skew_profile,
     "events_partition_pruned": events_partition_pruned,
     "events_zorder_layout": events_zorder_layout,
     "events_tumbling": events_tumbling,
@@ -438,6 +504,39 @@ _Z_SQL = " + ".join(
 )
 
 ORACLES = {
+    # Mirror of events_key_skew_profile: exact per-key counts, global
+    # ascending rank, integer Gini numerator, one final double division.
+    "events_key_skew_profile": """
+        WITH c AS (
+          SELECT user_id, count(1) AS cnt FROM events GROUP BY 1
+        ),
+        r AS (
+          SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rnk
+          FROM c
+        ),
+        s AS (
+          SELECT max(rnk) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 max(cnt) AS max_cnt,
+                 sum(rnk * cnt) AS a
+          FROM r
+        )
+        SELECT max(s.n_keys) AS n_keys,
+               max(s.total_rows) AS total_rows,
+               max(s.max_cnt) AS max_cnt,
+               max(CASE WHEN r.rnk = CAST(ceil(0.5 * CAST(s.n_keys AS DOUBLE)) AS BIGINT)
+                        THEN r.cnt END) AS p50_cnt,
+               max(CASE WHEN r.rnk = CAST(ceil(0.9 * CAST(s.n_keys AS DOUBLE)) AS BIGINT)
+                        THEN r.cnt END) AS p90_cnt,
+               max(CASE WHEN r.rnk = CAST(ceil(0.99 * CAST(s.n_keys AS DOUBLE)) AS BIGINT)
+                        THEN r.cnt END) AS p99_cnt,
+               CAST(max(s.max_cnt) AS DOUBLE)
+                 / CAST(max(s.total_rows) AS DOUBLE) AS top1_share,
+               CAST(2 * max(s.a) - (max(s.n_keys) + 1) * max(s.total_rows)
+                    AS DOUBLE)
+                 / CAST(max(s.n_keys) * max(s.total_rows) AS DOUBLE) AS gini
+        FROM r CROSS JOIN s
+    """,
     # Same bit interleave as the Spark plan (integer shifts are exact in
     # both engines); floor-then-cast keeps DuckDB's rounding double→int
     # cast out of the key derivation.

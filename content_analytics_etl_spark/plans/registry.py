@@ -74,11 +74,11 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the four queries added this round (block-level
-# exact dedup, incremental snapshot dedup, nearest as-of join, vocab
-# coverage curve) have no lifetime verdict and enter first; the fill is
-# the 30 remaining round-3-verdict names plus the 16
-# alphabetically-first round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# Round-8 rotation: the five queries added this round (block-level
+# exact dedup, incremental snapshot dedup, nearest as-of join, join-key
+# skew profile, vocab coverage curve) have no lifetime verdict and
+# enter first; the fill is the 30 remaining round-3-verdict names plus
+# the 15 alphabetically-first round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -86,6 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_block_exact",
     "dedup_incremental",
     "events_asof_nearest",
+    "events_key_skew_profile",
     "vocab_coverage_curve",
     # --- last driver verdict: round 3 (30 names)
     "doc_source_mix",
@@ -118,7 +119,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (16 names, alphabetical fill)
+    # --- last driver verdict: round 5 (15 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
     "bpe_first_merges",
@@ -134,7 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_char_entropy",
     "doc_chunk",
     "doc_fingerprint",
-    "doc_lm_perplexity",
 ]
 
 

@@ -116,3 +116,36 @@ def test_vocab_coverage_curve_matches_python(spark, sf_dir):
     # the curve is monotone non-decreasing in K
     covs = [want[k][3] for k in VOCAB_CUTOFFS]
     assert covs == sorted(covs)
+
+
+def test_events_key_skew_profile_matches_python(spark, sf_dir):
+    import math
+
+    from content_analytics_etl_spark.plans.events_queries import (
+        events_key_skew_profile,
+    )
+
+    counts = Counter(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT user_id FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    xs = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    tot = sum(c for _, c in xs)
+    a = sum((i + 1) * c for i, (_, c) in enumerate(xs))
+    gini = (2 * a - (n + 1) * tot) / (n * tot)
+    pct = {p: xs[math.ceil(p * n) - 1][1] for p in (0.5, 0.9, 0.99)}
+    row = events_key_skew_profile(spark, sf_dir).collect()[0]
+    assert row["n_keys"] == n
+    assert row["total_rows"] == tot
+    assert row["max_cnt"] == xs[-1][1]
+    assert (row["p50_cnt"], row["p90_cnt"], row["p99_cnt"]) == (
+        pct[0.5],
+        pct[0.9],
+        pct[0.99],
+    )
+    assert row["top1_share"] == xs[-1][1] / tot
+    assert row["gini"] == gini
+    assert 0.0 <= row["gini"] < 1.0

@@ -62,6 +62,8 @@ ALLOW_NESTED_LOOP = {
     "broadcast onto the (source, term) table",
     "vocab_coverage_curve": "5-row literal cutoff table broadcast theta "
     "join (rank <= K) against the vocab-sized ranked frame",
+    "events_key_skew_profile": "1-row (n_keys, max_cnt, gini-numerator) "
+    "aggregate broadcast back onto the key-count ranked frame",
 }
 
 
