@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import session_materialized
+from ..functions.hashing import DUCKDB_HASH64, portable_hash64
 from ._util import source_fingerprint, t
 from .dedup_queries import (
     ORACLES as D_ORACLES,
@@ -252,7 +253,40 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = "epoch-0"
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the data-ordering step between a
+    curated corpus and a training job: every document gets a seeded
+    pseudo-random sort key (portable 60-bit md5 hash of
+    ``SHUFFLE_SEED | doc_id``), a shard assignment (key mod
+    ``SHUFFLE_SHARDS``), and its position within the shard. A new seed
+    reshuffles the whole corpus reproducibly; the same seed replays the
+    exact order after a failure — which is why training pipelines hash
+    rather than ``rand()``.
+
+    One scan + one window partitioned by shard. The shard count IS the
+    parallelism: at 100 TB you size SHUFFLE_SHARDS to the trainer's
+    file count (hundreds-thousands), so per-shard windows stay bounded
+    and the write is one file per shard, already in read order."""
+    d = t(spark, sf_dir, "documents")
+    key = portable_hash64(F.col("doc_id").cast("string"), seed=SHUFFLE_SEED)
+    keyed = d.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(SHUFFLE_SHARDS)).cast("int")
+    )
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "shuffle_key",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
 QUERIES = {
+    "corpus_epoch_shuffle": corpus_epoch_shuffle,
     "corpus_curation_manifest": corpus_curation_manifest,
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_training_manifest": corpus_training_manifest,
@@ -358,4 +392,21 @@ ORACLES["corpus_token_budget_sample"] = f"""
     SELECT doc_id, source, n_tokens, quality_score, cum_tokens
     FROM c
     WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+# Mirror of corpus_epoch_shuffle: same portable md5-derived 60-bit key
+# (seeded), same shard mod, row_number within shard by (key, doc_id).
+_SHUF_KEY = DUCKDB_HASH64.format(
+    expr=f"'{SHUFFLE_SEED}|' || CAST(doc_id AS VARCHAR)"
+)
+ORACLES["corpus_epoch_shuffle"] = f"""
+    SELECT doc_id, shard, shuffle_key,
+           CAST(row_number() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) AS INT) AS pos
+    FROM (
+      SELECT doc_id, {_SHUF_KEY} AS shuffle_key,
+             CAST({_SHUF_KEY} % {SHUFFLE_SHARDS} AS INT) AS shard
+      FROM documents
+    )
 """

@@ -74,17 +74,20 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the five queries added this round (block-level
-# exact dedup, incremental snapshot dedup, nearest as-of join, join-key
-# skew profile, vocab coverage curve) have no lifetime verdict and
-# enter first; the fill is the 30 remaining round-3-verdict names plus
-# the 15 alphabetically-first round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# Round-8 rotation: the seven queries added this round (epoch shuffle,
+# block-level exact dedup, incremental snapshot dedup, blocklist gate,
+# nearest as-of join, join-key skew profile, vocab coverage curve) have
+# no lifetime verdict and enter first; the fill is the 30 remaining
+# round-3-verdict names plus the 13 alphabetically-first
+# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-verified (new in round 8)
+    "corpus_epoch_shuffle",
     "dedup_block_exact",
     "dedup_incremental",
+    "doc_blocklist_filter",
     "events_asof_nearest",
     "events_key_skew_profile",
     "vocab_coverage_curve",
@@ -119,7 +122,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (15 names, alphabetical fill)
+    # --- last driver verdict: round 5 (13 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
     "bpe_first_merges",
@@ -133,8 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_estimate_audit",
     "dedup_ngram_jaccard",
     "doc_char_entropy",
-    "doc_chunk",
-    "doc_fingerprint",
 ]
 
 

@@ -168,6 +168,32 @@ def bigram_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST = ("dup", "slow", "small")  # stand-in badwords lexicon
+BLOCK_RATIO_MAX = 0.05  # soft gate: tolerate < 5% blocked tokens
+
+
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon blocklist gate — the C4 "bad words" filter posture: per
+    document, the count and ratio of tokens in a blocklist, the strict
+    C4 verdict (ANY hit drops the page) and the soft ratio gate modern
+    pipelines prefer (tolerate incidental mentions below
+    ``BLOCK_RATIO_MAX``). Pure per-row expression work over one scan —
+    the filter any 100 TB ingest runs first because it is free."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    hits = marker_hits(toks, BLOCKLIST)
+    ratio = hits.cast("double") / n.cast("double")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        hits.alias("n_blocked"),
+        ratio.alias("blocked_ratio"),
+        (hits == 0).alias("keep_strict"),
+        (ratio < BLOCK_RATIO_MAX).alias("keep_soft"),
+    )
+
+
 VOCAB_CUTOFFS = [4, 16, 64, 256, 1024]
 
 
@@ -1348,6 +1374,7 @@ QUERIES = {
     "token_frequency": token_frequency,
     "bigram_frequency": bigram_frequency,
     "vocab_coverage_curve": vocab_coverage_curve,
+    "doc_blocklist_filter": doc_blocklist_filter,
 }
 
 _HITS = {
@@ -1927,6 +1954,22 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+# Mirror of doc_blocklist_filter: list_filter hit count, double ratio.
+ORACLES["doc_blocklist_filter"] = f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, x -> x IN {_in_list(BLOCKLIST)}))
+             AS n_blocked,
+           CAST(len(list_filter(toks, x -> x IN {_in_list(BLOCKLIST)}))
+                AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS blocked_ratio,
+           len(list_filter(toks, x -> x IN {_in_list(BLOCKLIST)})) = 0
+             AS keep_strict,
+           CAST(len(list_filter(toks, x -> x IN {_in_list(BLOCKLIST)}))
+                AS DOUBLE) / CAST(len(toks) AS DOUBLE) < {BLOCK_RATIO_MAX}
+             AS keep_soft
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
 
 # Mirror of vocab_coverage_curve: same bigram counts, row_number rank
 # by (n DESC, bigram), covered = running sum at the last rank <= K.

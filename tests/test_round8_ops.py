@@ -149,3 +149,63 @@ def test_events_key_skew_profile_matches_python(spark, sf_dir):
     assert row["top1_share"] == xs[-1][1] / tot
     assert row["gini"] == gini
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_doc_blocklist_filter_matches_python(spark, sf_dir):
+    from content_analytics_etl_spark.plans.text_queries import (
+        BLOCK_RATIO_MAX,
+        BLOCKLIST,
+        doc_blocklist_filter,
+    )
+
+    want = {}
+    for doc_id, _src, text in _docs(sf_dir):
+        toks = _toks(text)
+        hits = sum(1 for x in toks if x in BLOCKLIST)
+        ratio = hits / len(toks)
+        want[doc_id] = (len(toks), hits, ratio, hits == 0, ratio < BLOCK_RATIO_MAX)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_blocked"],
+            r["blocked_ratio"],
+            r["keep_strict"],
+            r["keep_soft"],
+        )
+        for r in doc_blocklist_filter(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the gates must actually discriminate on the fixture corpus
+    assert any(not v[3] for v in want.values())
+    assert any(v[3] for v in want.values())
+
+
+def test_corpus_epoch_shuffle_matches_python_and_balances(spark, sf_dir):
+    from content_analytics_etl_spark.plans.curation_queries import (
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+        corpus_epoch_shuffle,
+    )
+
+    def key(doc_id: int) -> int:
+        h = hashlib.md5(f"{SHUFFLE_SEED}|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    ids = [doc_id for doc_id, _s, _t in _docs(sf_dir)]
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for doc_id in ids:
+        k = key(doc_id)
+        shards.setdefault(k % SHUFFLE_SHARDS, []).append((k, doc_id))
+    want = {}
+    for sh, members in shards.items():
+        for pos, (k, doc_id) in enumerate(sorted(members), start=1):
+            want[doc_id] = (sh, k, pos)
+    got = {
+        r["doc_id"]: (r["shard"], r["shuffle_key"], r["pos"])
+        for r in corpus_epoch_shuffle(spark, sf_dir).collect()
+    }
+    assert got == want
+    # seeded md5 keys spread the fixture corpus over every shard
+    sizes = [len(m) for m in shards.values()]
+    assert len(sizes) == SHUFFLE_SHARDS
+    assert max(sizes) <= 3 * min(sizes)
