@@ -416,6 +416,70 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_day.unionByName(total)
 
 
+QSKETCH_BINS = 64
+QSKETCH_WIDTH = 8.0  # covers value ∈ [0, 512); last bin absorbs the tail
+QSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def events_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the 100 TB percentile pattern: each
+    partition (here: each day) reduces to a fixed 64-bin histogram, the
+    per-partition sketches MERGE by vector addition (an ordinary keyed
+    sum — associative, so rollup order and partitioning are free), and
+    quantiles invert from the merged sketch with a guaranteed
+    ±bin-width bound. Per q: the covering bin, its [lo, hi) value
+    bounds (the true percentile provably lies inside), and the exact
+    mass at-or-below it.
+
+    Every frame after the first aggregation is bounded by the BIN
+    COUNT, not the data: the cumulative mass is a 64×64 bounded
+    self-join (never a corpus-wide window), the inversion is a 3-row
+    quantile table against 64 rows. This is what
+    ``events_value_percentiles``' exact sort-based form trades away at
+    scale; the sketch costs one keyed agg regardless of data size."""
+    e = t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.lit(QSKETCH_BINS - 1),
+        F.floor(F.col("value") / F.lit(QSKETCH_WIDTH)),
+    ).cast("int")
+    daily = (
+        e.select(F.date_trunc("day", "ts").alias("day"), bin_.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bins = daily.groupBy("bin").agg(F.sum("c").alias("c"))
+    a, b = bins.alias("a"), bins.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.c").alias("cum"))
+    )
+    tot = bins.agg(F.sum("c").alias("total_rows"))
+    qs = spark.createDataFrame([(q,) for q in QSKETCH_QS], "q double")
+    target = F.ceil(F.col("q") * F.col("total_rows").cast("double")).cast(
+        "bigint"
+    )
+    picked = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cum), F.col("cum") >= target)
+        .groupBy("q", "total_rows")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        picked.join(F.broadcast(cum), "bin")
+        .select(
+            "q",
+            "bin",
+            (F.col("bin").cast("double") * QSKETCH_WIDTH).alias("est_lo"),
+            ((F.col("bin") + 1).cast("double") * QSKETCH_WIDTH).alias(
+                "est_hi"
+            ),
+            F.col("cum").alias("n_at_or_below"),
+            "total_rows",
+        )
+    )
+
+
 SKEW_PCTS = (0.5, 0.9, 0.99)
 
 
@@ -482,6 +546,7 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_key_skew_profile": events_key_skew_profile,
+    "events_quantile_sketch_rollup": events_quantile_sketch_rollup,
     "events_partition_pruned": events_partition_pruned,
     "events_zorder_layout": events_zorder_layout,
     "events_tumbling": events_tumbling,
@@ -536,6 +601,38 @@ ORACLES = {
                     AS DOUBLE)
                  / CAST(max(s.n_keys) * max(s.total_rows) AS DOUBLE) AS gini
         FROM r CROSS JOIN s
+    """,
+    # Mirror of events_quantile_sketch_rollup: same fixed bins, same
+    # per-day → merged rollup, same 64×64 cumulative self-join + 3-row
+    # inversion. Integer masses; the only doubles are bin-edge products.
+    "events_quantile_sketch_rollup": f"""
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day,
+                 CAST(least({QSKETCH_BINS - 1},
+                            floor(value / {QSKETCH_WIDTH})) AS INT) AS bin,
+                 count(1) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        bins AS (SELECT bin, sum(c) AS c FROM daily GROUP BY 1),
+        cum AS (
+          SELECT a.bin, CAST(sum(b.c) AS BIGINT) AS cum
+          FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_rows FROM bins),
+        qs AS (SELECT CAST(unnest(ARRAY{list(QSKETCH_QS)}) AS DOUBLE) AS q),
+        picked AS (
+          SELECT q, total_rows, min(bin) AS bin
+          FROM qs CROSS JOIN tot
+          JOIN cum ON cum.cum >= CAST(ceil(q * CAST(total_rows AS DOUBLE))
+                                      AS BIGINT)
+          GROUP BY 1, 2
+        )
+        SELECT q, p.bin,
+               CAST(p.bin AS DOUBLE) * {QSKETCH_WIDTH} AS est_lo,
+               CAST(p.bin + 1 AS DOUBLE) * {QSKETCH_WIDTH} AS est_hi,
+               c.cum AS n_at_or_below,
+               p.total_rows
+        FROM picked p JOIN cum c ON p.bin = c.bin
     """,
     # Same bit interleave as the Spark plan (integer shifts are exact in
     # both engines); floor-then-cast keeps DuckDB's rounding double→int

@@ -74,12 +74,12 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the seven queries added this round (epoch shuffle,
+# Round-8 rotation: the eight queries added this round (epoch shuffle,
 # block-level exact dedup, incremental snapshot dedup, blocklist gate,
-# nearest as-of join, join-key skew profile, vocab coverage curve) have
-# no lifetime verdict and enter first; the fill is the 30 remaining
-# round-3-verdict names plus the 13 alphabetically-first
-# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# nearest as-of join, join-key skew profile, mergeable quantile-sketch
+# rollup, vocab coverage curve) have no lifetime verdict and enter
+# first; the fill is the 30 remaining round-3-verdict names plus the
+# 12 alphabetically-first round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -90,6 +90,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_blocklist_filter",
     "events_asof_nearest",
     "events_key_skew_profile",
+    "events_quantile_sketch_rollup",
     "vocab_coverage_curve",
     # --- last driver verdict: round 3 (30 names)
     "doc_source_mix",
@@ -122,7 +123,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (13 names, alphabetical fill)
+    # --- last driver verdict: round 5 (12 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
     "bpe_first_merges",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_keep_best",
     "dedup_minhash_estimate_audit",
     "dedup_ngram_jaccard",
-    "doc_char_entropy",
 ]
 
 

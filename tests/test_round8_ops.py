@@ -209,3 +209,32 @@ def test_corpus_epoch_shuffle_matches_python_and_balances(spark, sf_dir):
     sizes = [len(m) for m in shards.values()]
     assert len(sizes) == SHUFFLE_SHARDS
     assert max(sizes) <= 3 * min(sizes)
+
+
+def test_quantile_sketch_brackets_true_percentile(spark, sf_dir):
+    """The merged-sketch inversion must bracket the exact (python)
+    percentile within its bin bounds, and the reported masses must be
+    exact — the mergeability guarantee the 100 TB path relies on."""
+    from content_analytics_etl_spark.plans.events_queries import (
+        QSKETCH_QS,
+        events_quantile_sketch_rollup,
+    )
+
+    vals = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT value FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    rows = {
+        r["q"]: r for r in events_quantile_sketch_rollup(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(QSKETCH_QS)
+    import math
+
+    for q, r in rows.items():
+        true_pq = vals[math.ceil(q * n) - 1]  # lower exact q-quantile
+        assert r["est_lo"] <= true_pq < r["est_hi"]
+        assert r["total_rows"] == n
+        assert r["n_at_or_below"] == sum(1 for v in vals if v < r["est_hi"])

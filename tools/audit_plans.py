@@ -64,6 +64,8 @@ ALLOW_NESTED_LOOP = {
     "join (rank <= K) against the vocab-sized ranked frame",
     "events_key_skew_profile": "1-row (n_keys, max_cnt, gini-numerator) "
     "aggregate broadcast back onto the key-count ranked frame",
+    "events_quantile_sketch_rollup": "64-row fixed-bin sketch: bounded "
+    "64x64 cumulative self-join + 3-row quantile inversion broadcasts",
 }
 
 
