@@ -1017,8 +1017,106 @@ def warehouse_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _idiv(a, b):
+    """Exact integer floor-division for non-negative operands on both
+    engines: subtract the remainder first so the double division is of
+    an exactly-divisible numerator (no rounding hazard for data-
+    dependent divisors), then truncate."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def _spread_bits(x):
+    """Interleave-ready bit spread of an 8-bit value into the even bit
+    positions of 16 bits (the classic Morton-code magic-mask ladder —
+    pure integer ops, identical on any engine)."""
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555))
+    return x
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-clustering layout audit — the multi-
+    dimensional file-clustering technique behind Delta/Iceberg Z-ORDER.
+
+    Each lineitem row is binned to an 8-bit bucket on BOTH l_partkey
+    and l_suppkey (fixed-width range bins over the observed min/max —
+    a 1-row bounds broadcast), the two bucket codes are bit-interleaved
+    into a 16-bit Morton code, and rows are assigned to 16 files by the
+    code's top 4 bits. A 'linear' layout (sort by partkey alone) is
+    produced from the SAME scan via an exploded 2-struct array — one
+    scan, one shuffle for both layouts. The per-(layout, file) min/max
+    key ranges and normalized span fractions show why z-order wins at
+    100 TB: the zorder layout bounds BOTH dimensions per file (every
+    file prunable on either predicate column), while the linear layout
+    bounds only its sort key and each file spans the full suppkey
+    domain. At scale this is the table-maintenance OPTIMIZE job; the
+    audit output is the min/max index a scan planner would prune with.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )  # 1-row bounds frame (allowlisted broadcast)
+    b = li.crossJoin(F.broadcast(bounds))
+    pspan = F.col("pmax") - F.col("pmin") + 1
+    sspan = F.col("smax") - F.col("smin") + 1
+    pb = _idiv((F.col("l_partkey") - F.col("pmin")) * 256, pspan)
+    sb = _idiv((F.col("l_suppkey") - F.col("smin")) * 256, sspan)
+    z = _spread_bits(pb).bitwiseOR(F.shiftleft(_spread_bits(sb), 1))
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.lit("zorder").alias("layout"),
+                _idiv(z, F.lit(4096)).alias("file_id"),
+            ),
+            F.struct(
+                F.lit("linear").alias("layout"),
+                _idiv(pb, F.lit(16)).alias("file_id"),
+            ),
+        )
+    )
+    return (
+        b.select("l_partkey", "l_suppkey", "pmax", "pmin", "smax", "smin",
+                 pair.alias("lf"))
+        .groupBy(F.col("lf.layout").alias("layout"),
+                 F.col("lf.file_id").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+            F.min("pmin").alias("_pmin"),
+            F.min("pmax").alias("_pmax"),
+            F.min("smin").alias("_smin"),
+            F.min("smax").alias("_smax"),
+        )
+        .select(
+            "layout",
+            "file_id",
+            "n_rows",
+            "p_min",
+            "p_max",
+            "s_min",
+            "s_max",
+            (
+                (F.col("p_max") - F.col("p_min") + 1).cast("double")
+                / (F.col("_pmax") - F.col("_pmin") + 1).cast("double")
+            ).alias("p_span_frac"),
+            (
+                (F.col("s_max") - F.col("s_min") + 1).cast("double")
+                / (F.col("_smax") - F.col("_smin") + 1).cast("double")
+            ).alias("s_span_frac"),
+        )
+    )
+
+
 QUERIES = {
     "orders_merge_upsert": orders_merge_upsert,
+    "lineitem_zorder_layout": lineitem_zorder_layout,
     "warehouse_compact_roundtrip": warehouse_compact_roundtrip,
     "warehouse_orc_roundtrip": warehouse_orc_roundtrip,
     "star_fk_integrity": star_fk_integrity,
@@ -1562,4 +1660,48 @@ ORACLES["orders_open_backlog"] = """
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS n_open_orders
     FROM deltas
+"""
+
+
+def _spread_sql(e: str) -> str:
+    """DuckDB twin of _spread_bits: the Morton magic-mask ladder."""
+    s1 = f"(({e} | ({e} << 4)) & 3855)"
+    s2 = f"(({s1} | ({s1} << 2)) & 13107)"
+    return f"(({s2} | ({s2} << 1)) & 21845)"
+
+
+# Mirror of lineitem_zorder_layout: same range bins (integer floor
+# division), same bit-interleave ladder, UNION ALL for the two layouts.
+ORACLES["lineitem_zorder_layout"] = f"""
+    WITH bounds AS (
+      SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+             min(l_suppkey) AS smin, max(l_suppkey) AS smax
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_partkey, l_suppkey, pmin, pmax, smin, smax,
+             ((l_partkey - pmin) * 256) // (pmax - pmin + 1) AS pb,
+             ((l_suppkey - smin) * 256) // (smax - smin + 1) AS sb
+      FROM lineitem CROSS JOIN bounds
+    ),
+    coded AS (
+      SELECT *,
+             ({_spread_sql("pb")} | ({_spread_sql("sb")} << 1)) AS z
+      FROM b
+    ),
+    pairs AS (
+      SELECT 'zorder' AS layout, z // 4096 AS file_id, * FROM coded
+      UNION ALL
+      SELECT 'linear' AS layout, pb // 16 AS file_id, * FROM coded
+    )
+    SELECT layout, file_id,
+           count(1) AS n_rows,
+           min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+           min(l_suppkey) AS s_min, max(l_suppkey) AS s_max,
+           CAST(max(l_partkey) - min(l_partkey) + 1 AS DOUBLE)
+             / CAST(min(pmax) - min(pmin) + 1 AS DOUBLE) AS p_span_frac,
+           CAST(max(l_suppkey) - min(l_suppkey) + 1 AS DOUBLE)
+             / CAST(min(smax) - min(smin) + 1 AS DOUBLE) AS s_span_frac
+    FROM pairs
+    GROUP BY 1, 2
 """

@@ -32,6 +32,7 @@ from . import (
     events_queries,
     reference_queries,
     relational_queries,
+    selection_queries,
     similarity_queries,
     temporal_queries,
     text_queries,
@@ -50,6 +51,7 @@ _MODULES = [
     text_queries,
     dedup_queries,
     curation_queries,
+    selection_queries,
     similarity_queries,
     multimodal_queries,
     graph_queries,
@@ -74,12 +76,14 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the eight queries added this round (epoch shuffle,
+# Round-8 rotation: the eleven queries added this round (epoch shuffle,
 # block-level exact dedup, incremental snapshot dedup, blocklist gate,
-# nearest as-of join, join-key skew profile, mergeable quantile-sketch
-# rollup, vocab coverage curve) have no lifetime verdict and enter
-# first; the fill is the 30 remaining round-3-verdict names plus the
-# 12 alphabetically-first round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# DSIR importance weights, hashed linear quality classifier, nearest
+# as-of join, join-key skew profile, mergeable quantile-sketch rollup,
+# z-order layout audit, vocab coverage curve) have no lifetime verdict
+# and enter first; the fill is the 30 remaining round-3-verdict names
+# plus the 9 alphabetically-first round-5-verdict names.  Audit trail:
+# CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -88,9 +92,12 @@ DRIVER_WINDOW: list[str] = [
     "dedup_block_exact",
     "dedup_incremental",
     "doc_blocklist_filter",
+    "doc_dsir_importance",
+    "doc_quality_classifier",
     "events_asof_nearest",
     "events_key_skew_profile",
     "events_quantile_sketch_rollup",
+    "lineitem_zorder_layout",
     "vocab_coverage_curve",
     # --- last driver verdict: round 3 (30 names)
     "doc_source_mix",
@@ -133,9 +140,6 @@ DRIVER_WINDOW: list[str] = [
     "customer_rfm_segments",
     "dedup_edit_distance",
     "dedup_exact_flags",
-    "dedup_keep_best",
-    "dedup_minhash_estimate_audit",
-    "dedup_ngram_jaccard",
 ]
 
 

@@ -1,0 +1,267 @@
+"""Model-light data-selection operators (BASELINE extension, training-
+data curation family): the two standard "score every document against a
+target distribution" shapes a pre-training pipeline runs between raw
+crawl and the token-budget sampler.
+
+``doc_dsir_importance`` — Data Selection via Importance Resampling
+(Xie et al. 2023, public): per-document log importance weight of a
+hashed-bigram unigram model of the TARGET distribution (here: the
+corpus's English slice) against the RAW distribution (the whole
+corpus), with add-one smoothing over B=256 feature buckets.  Plan
+shape: one bigram explode → (doc, bucket) counts → join with the
+256-row bucket-statistics table (broadcast) → per-doc fixed-point sum
+→ one 1-row totals broadcast for the normalizer.  Everything after the
+explode is keyed aggregation on doc_id — linear shuffle, no corpus
+window, survives 100×.
+
+``doc_quality_classifier`` — fastText-style linear quality classifier
+over hashed token features (the "model-based quality filter" stage of
+GPT-3/LLaMA-class pipelines), with the weight vector derived
+deterministically from the bucket hash so both engines share it without
+a side channel.  Deliberately SHUFFLE-FREE: the margin is computed with
+``F.aggregate`` over the token array inside the scan projection (no
+explode, no groupBy) — per-doc scoring is embarrassingly parallel and
+the plan is a single WholeStageCodegen scan at any scale.
+
+Float determinism: log2 only over SHARED integers, snapped to the 9 dp
+grid, products summed in fixed-point BIGINT (the doc_char_entropy
+pattern, plans/_util.py policy); the classifier is pure integer
+arithmetic until one final int/int double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import DUCKDB_HASH64
+from ..functions.text_metrics import tokens
+from ._util import t
+from .text_queries import _TOKS_SQL
+
+# Feature-hash width for both operators. 256 buckets is the sf-scaled
+# stand-in for DSIR's 10k-bucket hashed bigram space; the bucket table
+# stays a broadcast at ANY corpus size because its cardinality is this
+# constant, not the vocabulary.
+N_BUCKETS = 256
+# Classifier weights live on a milli grid: w_b ∈ {-1000..1000}/1000.
+W_SPAN = 2001
+TARGET_LANG = "en"
+
+
+def _h64(prefix: str, col: Column) -> Column:
+    """portable_hash64 with a literal prefix (engine-portable md5 path)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _l2(col: Column) -> Column:
+    """Grid-snapped log2 of a shared integer (9 dp policy)."""
+    return F.round(F.log2(col.cast("double")), 9)
+
+
+def _bigrams(toks: Column) -> Column:
+    # sequence(1, 0) counts DOWN in Spark — single-token docs must map
+    # to an empty list explicitly (same guard as bigram_frequency).
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weight per document.
+
+    logw(d) = Σ_b x_b·(log2(ct_b+1) − log2(cr_b+1))
+              − n_d·(log2(Tt+B) − log2(Tr+B))
+
+    where x_b is doc d's count in hashed-bigram bucket b, ct/cr the
+    target/raw bucket totals, Tt/Tr the corpus totals, B the add-one
+    mass. ``selected`` = logw > 0 (more target-like than raw-like).
+    Docs with no bigrams carry logw = 0 and are not selected.
+    """
+    d = t(spark, sf_dir, "documents")
+    db = d.select(
+        "doc_id",
+        "lang",
+        F.explode(_bigrams(tokens("text"))).alias("bg"),
+    ).withColumn("b", F.pmod(_h64("dsir|", F.col("bg")), F.lit(N_BUCKETS)))
+
+    x = db.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("x"))
+    stats = db.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ct"),
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )  # 1-row normalizer frame (allowlisted broadcast)
+
+    # Per-(doc, bucket) fixed-point contribution: x·Δlog2 on the 1e-9
+    # grid as a BIGINT, so the per-doc reduction is order-independent.
+    diff = _l2(F.col("ct") + 1) - _l2(F.col("cr") + 1)
+    contrib = F.floor(
+        F.col("x").cast("double") * diff * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+
+    per_doc = (
+        x.join(F.broadcast(stats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("x").alias("n_bigrams"),
+            F.sum(contrib).alias("_s"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (
+                F.col("_s").cast("double") / F.lit(1e9)
+                - F.col("n_bigrams").cast("double")
+                * (
+                    _l2(F.col("tt") + N_BUCKETS)
+                    - _l2(F.col("tr") + N_BUCKETS)
+                )
+            ).alias("logw"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+            (F.coalesce("logw", F.lit(0.0)) > 0).alias("selected"),
+        )
+    )
+
+
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed token features, shuffle-free.
+
+    Each token hashes to one of ``N_BUCKETS`` feature buckets; bucket b
+    carries a fixed milli-weight w_b = hash(b) % 2001 − 1000 (derived
+    from the hash itself, so no weight table ships anywhere). The doc
+    margin Σ w is folded JVM-side over the token array with
+    ``F.aggregate`` — no explode, no groupBy, no exchange; score =
+    margin / (1000·n_tokens) is one exact int/int double division.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def w(tok: Column) -> Column:
+        bucket = F.pmod(_h64("qcls|", tok), F.lit(N_BUCKETS))
+        return F.pmod(
+            _h64("qclsw|", bucket.cast("string")), F.lit(W_SPAN)
+        ) - F.lit(1000)
+
+    margin = F.aggregate(
+        F.transform(toks, w),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n = F.size(toks).cast("bigint")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        margin.alias("margin_milli"),
+        (
+            margin.cast("double") / (n * 1000).cast("double")
+        ).alias("score"),
+        (margin > 0).alias("keep"),
+    )
+
+
+QUERIES = {
+    "doc_dsir_importance": doc_dsir_importance,
+    "doc_quality_classifier": doc_quality_classifier,
+}
+
+_H64_SQL = DUCKDB_HASH64  # format with {expr}
+
+_BG_SQL = (
+    f"unnest(list_transform(range(1, len({_TOKS_SQL})),"
+    f" i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))"
+)
+
+_BUCKET_SQL = _H64_SQL.format(expr="'dsir|' || bg") + f" % {N_BUCKETS}"
+
+_QW_SQL = (
+    _H64_SQL.format(
+        expr="'qclsw|' || CAST("
+        + _H64_SQL.format(expr="'qcls|' || x")
+        + f" % {N_BUCKETS} AS VARCHAR)"
+    )
+    + f" % {W_SPAN} - 1000"
+)
+
+ORACLES = {
+    "doc_dsir_importance": f"""
+        WITH db AS (
+          SELECT doc_id, lang, {_BUCKET_SQL} AS b
+          FROM (SELECT doc_id, lang, {_BG_SQL} AS bg FROM documents)
+        ),
+        x AS (SELECT doc_id, b, count(1) AS x FROM db GROUP BY 1, 2),
+        stats AS (
+          SELECT b, count(1) AS cr,
+                 CAST(sum(CASE WHEN lang = '{TARGET_LANG}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ct
+          FROM db GROUP BY 1
+        ),
+        totals AS (
+          SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                 CAST(sum(ct) AS BIGINT) AS tt
+          FROM stats
+        ),
+        per AS (
+          SELECT x.doc_id,
+                 CAST(sum(x.x) AS BIGINT) AS n_bigrams,
+                 CAST(sum(CAST(floor(
+                     CAST(x.x AS DOUBLE)
+                     * (round(log2(CAST(s.ct + 1 AS DOUBLE)), 9)
+                        - round(log2(CAST(s.cr + 1 AS DOUBLE)), 9))
+                     * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS _s
+          FROM x JOIN stats s USING (b)
+          GROUP BY 1
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               COALESCE(
+                 CAST(p._s AS DOUBLE) / 1000000000.0
+                 - CAST(p.n_bigrams AS DOUBLE)
+                 * (round(log2(CAST(t.tt + {N_BUCKETS} AS DOUBLE)), 9)
+                    - round(log2(CAST(t.tr + {N_BUCKETS} AS DOUBLE)), 9)),
+                 0.0) AS logw,
+               COALESCE(
+                 CAST(p._s AS DOUBLE) / 1000000000.0
+                 - CAST(p.n_bigrams AS DOUBLE)
+                 * (round(log2(CAST(t.tt + {N_BUCKETS} AS DOUBLE)), 9)
+                    - round(log2(CAST(t.tr + {N_BUCKETS} AS DOUBLE)), 9)),
+                 0.0) > 0 AS selected
+        FROM documents d
+        LEFT JOIN per p ON d.doc_id = p.doc_id
+        CROSS JOIN totals t
+    """,
+    "doc_quality_classifier": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                 CAST(list_sum(list_transform({_TOKS_SQL},
+                      x -> {_QW_SQL})) AS BIGINT) AS margin_milli
+          FROM documents
+        )
+        SELECT doc_id, n_tokens, margin_milli,
+               CAST(margin_milli AS DOUBLE)
+                 / CAST(n_tokens * 1000 AS DOUBLE) AS score,
+               margin_milli > 0 AS keep
+        FROM base
+    """,
+}

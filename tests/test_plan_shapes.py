@@ -40,6 +40,8 @@ MAX_SHUFFLES = {
     "multimodal_decode": 0,
     "multimodal_frame_decode": 0,
     "doc_pack_sequences": 1,
+    "doc_quality_classifier": 0,  # margin folds inside the scan projection
+    "lineitem_zorder_layout": 1,  # one keyed agg over the exploded pair
 }
 
 _EXCHANGE = re.compile(

@@ -66,6 +66,10 @@ ALLOW_NESTED_LOOP = {
     "aggregate broadcast back onto the key-count ranked frame",
     "events_quantile_sketch_rollup": "64-row fixed-bin sketch: bounded "
     "64x64 cumulative self-join + 3-row quantile inversion broadcasts",
+    "doc_dsir_importance": "1-row corpus bigram-total aggregate broadcast "
+    "(DSIR normalizer) onto the per-doc aggs",
+    "lineitem_zorder_layout": "1-row min/max bounds aggregate broadcast "
+    "(range-bin scaling) onto the scan",
 }
 
 
