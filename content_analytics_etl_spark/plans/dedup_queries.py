@@ -676,8 +676,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental NEAR-dup dedup — the MinHash-LSH twin of
+    ``dedup_incremental``: a newly ingested batch (the deterministic
+    slice ``doc_id % 4 = 3``) probes the base snapshot's band index and
+    itself, never re-pairing base docs against each other. Per
+    (source, status) rollup with status ∈ {neardup_of_base,
+    neardup_in_batch, new}; a batch doc is ``neardup_in_batch`` only if
+    a SMALLER-id batch partner verifies (the first copy stays new, the
+    same first-occurrence rule as the exact twin).
+
+    Scale shape: at 100 TB the base band table IS the persistent LSH
+    index (bucketed by band key); each ingest batch computes signatures
+    for its own docs only and equi-joins the index — candidate fan-out
+    is per-batch, verification joins pull only the candidate shingle
+    arrays, and base×base pairs are never re-examined."""
+    d = t(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(4)) == 3
+    rows = shingle_rows(d, ["doc_id"], distinct=False)
+    sig = minhash_signature_agg(
+        shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16
+    )
+    bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
+    base_bands = bands.filter(~is_batch)
+    batch_bands = bands.filter(is_batch)
+
+    arrs = shingled(d, ["doc_id"])
+    sa = arrs.select(F.col("doc_id").alias("doc"), F.col("shingles").alias("sh_a"))
+    sb = arrs.select(
+        F.col("doc_id").alias("other"), F.col("shingles").alias("sh_b")
+    )
+
+    def verified(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(sa, "doc")
+            .join(sb, "other")
+            .filter(jaccard("sh_a", "sh_b") >= JACCARD_THRESHOLD)
+            .select("doc")
+            .distinct()
+        )
+
+    cand_base = (
+        batch_bands.alias("nb")
+        .join(
+            base_bands.alias("ob").hint("merge"),
+            (F.col("nb.band_idx") == F.col("ob.band_idx"))
+            & (F.col("nb.band_key") == F.col("ob.band_key")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("doc"), F.col("ob.doc_id").alias("other")
+        )
+        .distinct()
+    )
+    cand_batch = (
+        batch_bands.alias("ba")
+        .join(
+            batch_bands.alias("bb").hint("merge"),
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("bb.doc_id") < F.col("ba.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc"), F.col("bb.doc_id").alias("other")
+        )
+        .distinct()
+    )
+    of_base = verified(cand_base).withColumn("of_base", F.lit(True))
+    in_batch = verified(cand_batch).withColumn("in_batch", F.lit(True))
+    status = (
+        F.when(F.col("of_base"), F.lit("neardup_of_base"))
+        .when(F.col("in_batch"), F.lit("neardup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        d.filter(is_batch)
+        .select(F.col("doc_id").alias("doc"), "source")
+        .join(of_base, "doc", "left")
+        .join(in_batch, "doc", "left")
+        .select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_lsh_incremental": dedup_lsh_incremental,
     "dedup_exact_flags": dedup_exact_flags,
     "dedup_block_exact": dedup_block_exact,
     "dedup_incremental": dedup_incremental,
@@ -994,4 +1078,60 @@ ORACLES["dedup_incremental"] = f"""
            count(1) AS n_docs
     FROM batch b JOIN first_in_batch f ON b.fp = f.fp
     GROUP BY 1, 2
+"""
+
+# Mirror of dedup_lsh_incremental: same signatures/bands CTEs as the
+# minhash oracle, batch/base split on doc_id % 4, first-occurrence rule
+# via the smaller-id in-batch partner.
+_J_SQL = (
+    "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+    " AS DOUBLE)"
+)
+ORACLES["dedup_lsh_incremental"] = f"""
+    WITH sh AS MATERIALIZED ({_SHINGLES_CTE}),
+    shnz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    hb AS (
+      SELECT doc_id, {_TOK_HASH} AS h
+      FROM (SELECT doc_id, unnest(shingles) AS x FROM shnz)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_COLS}
+      FROM hb GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+      {_BAND_SELECTS}
+    ),
+    vb AS (
+      SELECT DISTINCT nb.doc_id AS doc
+      FROM bands nb
+      JOIN bands ob
+        ON nb.band_idx = ob.band_idx AND nb.band_key = ob.band_key
+       AND nb.doc_id % 4 = 3 AND ob.doc_id % 4 <> 3
+      JOIN shnz sa ON sa.doc_id = nb.doc_id
+      JOIN shnz sb ON sb.doc_id = ob.doc_id
+      WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+    ),
+    vbatch AS (
+      SELECT DISTINCT ba.doc_id AS doc
+      FROM bands ba
+      JOIN bands bb
+        ON ba.band_idx = bb.band_idx AND ba.band_key = bb.band_key
+       AND ba.doc_id % 4 = 3 AND bb.doc_id % 4 = 3
+       AND bb.doc_id < ba.doc_id
+      JOIN shnz sa ON sa.doc_id = ba.doc_id
+      JOIN shnz sb ON sb.doc_id = bb.doc_id
+      WHERE {_J_SQL} >= {JACCARD_THRESHOLD}
+    )
+    SELECT source, status, count(1) AS n_docs FROM (
+      SELECT d.source,
+             CASE WHEN vb.doc IS NOT NULL THEN 'neardup_of_base'
+                  WHEN v2.doc IS NOT NULL THEN 'neardup_in_batch'
+                  ELSE 'new' END AS status
+      FROM documents d
+      LEFT JOIN vb ON d.doc_id = vb.doc
+      LEFT JOIN vbatch v2 ON d.doc_id = v2.doc
+      WHERE d.doc_id % 4 = 3
+    ) GROUP BY 1, 2
 """

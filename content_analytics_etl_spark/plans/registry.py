@@ -76,14 +76,15 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the eleven queries added this round (epoch shuffle,
-# block-level exact dedup, incremental snapshot dedup, blocklist gate,
-# DSIR importance weights, hashed linear quality classifier, nearest
-# as-of join, join-key skew profile, mergeable quantile-sketch rollup,
-# z-order layout audit, vocab coverage curve) have no lifetime verdict
-# and enter first; the fill is the 30 remaining round-3-verdict names
-# plus the 9 alphabetically-first round-5-verdict names.  Audit trail:
-# CORRECTNESS_r07 was 50/50 green
+# Round-8 rotation: the thirteen queries added this round (epoch
+# shuffle, block-level exact dedup, incremental snapshot dedup,
+# incremental MinHash-LSH dedup, blocklist gate, DSIR importance
+# weights, hashed linear quality classifier, bigram-LM perplexity,
+# nearest as-of join, join-key skew profile, mergeable quantile-sketch
+# rollup, z-order layout audit, vocab coverage curve) have no lifetime
+# verdict and enter first; the fill is the 30 remaining round-3-verdict
+# names plus the 7 alphabetically-first round-5-verdict names.  Audit
+# trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -91,6 +92,8 @@ DRIVER_WINDOW: list[str] = [
     "corpus_epoch_shuffle",
     "dedup_block_exact",
     "dedup_incremental",
+    "dedup_lsh_incremental",
+    "doc_bigram_perplexity",
     "doc_blocklist_filter",
     "doc_dsir_importance",
     "doc_quality_classifier",
@@ -138,8 +141,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_curation_manifest",
     "corpus_mix_rebalance",
     "customer_rfm_segments",
-    "dedup_edit_distance",
-    "dedup_exact_flags",
 ]
 
 

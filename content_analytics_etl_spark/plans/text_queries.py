@@ -1209,6 +1209,78 @@ def _lm_perplexity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document — the order-2 step from
+    ``doc_lm_perplexity`` toward the 5-gram KenLM filter CCNet actually
+    ships: p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) with add-one
+    smoothing over the unigram vocabulary V, scored as cross-entropy
+    H = −(1/n)·Σ log2 p and perplexity 2^H.
+
+    Scale shape: the model IS two relations derived from one bigram
+    explode — (w1, bigram, count) and its (w1, total) rollup — joined
+    back onto per-(doc, bigram) counts by key; every step is a keyed
+    equi-join/agg, the only broadcast is the 1-row vocabulary size.
+    Unlike the unigram model the denominator log2(c(w1·)+V) varies per
+    prefix, so it can't be factored out of the sum — each joined row
+    carries its own Δlog2 term into the fixed-point BIGINT reduction
+    (the dsir/char-entropy pattern; bit-identical cross-engine)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    pr = d.select("doc_id", F.explode(bigrams).alias("bg")).withColumn(
+        "w1", F.split(F.col("bg"), " ").getItem(0)
+    )
+    x = pr.groupBy("doc_id", "w1", "bg").agg(F.count(F.lit(1)).alias("x"))
+    cb = x.groupBy("w1", "bg").agg(F.sum("x").alias("cb"))
+    cp = cb.groupBy("w1").agg(F.sum("cb").alias("cp"))
+    vocab = d.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )  # 1-row vocabulary size (allowlisted broadcast)
+    diff = F.round(F.log2((F.col("cb") + 1).cast("double")), 9) - F.round(
+        F.log2((F.col("cp") + F.col("v")).cast("double")), 9
+    )
+    contrib = F.floor(
+        F.col("x").cast("double") * diff * F.lit(1000000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    per = (
+        x.join(cb, ["w1", "bg"])
+        .join(cp, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.sum("x").alias("n_bigrams"), F.sum(contrib).alias("_sb"))
+    )
+    ce = (-F.col("_sb")).cast("double") / F.lit(1000000000.0) / F.col(
+        "n_bigrams"
+    ).cast("double")
+    scored = per.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        ce.alias("cross_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), ce), 6).alias("perplexity"),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("cross_entropy_bits", F.lit(0.0)).alias(
+                "cross_entropy_bits"
+            ),
+            F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"),
+        )
+    )
+
+
 PPL_BUCKETS = 3  # CCNet head / middle / tail
 PPL_RANK_PARTS = 8  # per-lang rank buckets for the distributed rank
 _PPL_BUCKET_NAMES = ["head", "middle", "tail"]
@@ -1346,6 +1418,7 @@ QUERIES = {
     "doc_source_distinctive_terms": doc_source_distinctive_terms,
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_bigram_perplexity": doc_bigram_perplexity,
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_ngram_scrub": doc_ngram_scrub,
     "doc_chunk": doc_chunk,
@@ -2074,4 +2147,46 @@ ORACLES["doc_source_distinctive_terms"] = f"""
                   ORDER BY lift DESC, term) AS rank
       FROM scored)
     WHERE rank <= {DISTINCTIVE_TOPK}
+"""
+
+# Mirror of doc_bigram_perplexity: same bigram explode, same model
+# relations, same fixed-point BIGINT log2 reduction, ppl snapped to 6 dp.
+ORACLES["doc_bigram_perplexity"] = f"""
+    WITH pr AS (
+      SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len({_TOKS_SQL})),
+                          i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))
+                     AS bg
+            FROM documents)
+    ),
+    x AS (SELECT doc_id, w1, bg, count(1) AS x FROM pr GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, bg, CAST(sum(x) AS BIGINT) AS cb FROM x GROUP BY 1, 2),
+    cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)),
+    per AS (
+      SELECT x.doc_id,
+             CAST(sum(x.x) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(floor(
+                 CAST(x.x AS DOUBLE)
+                 * (round(log2(CAST(cb.cb + 1 AS DOUBLE)), 9)
+                    - round(log2(CAST(cp.cp + v.v AS DOUBLE)), 9))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS _sb
+      FROM x
+      JOIN cb ON x.w1 = cb.w1 AND x.bg = cb.bg
+      JOIN cp ON x.w1 = cp.w1
+      CROSS JOIN v
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(CAST(-p._sb AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_bigrams AS DOUBLE), 0.0)
+             AS cross_entropy_bits,
+           COALESCE(round(pow(2.0, CAST(-p._sb AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_bigrams AS DOUBLE)), 6), 1.0)
+             AS perplexity
+    FROM documents d
+    LEFT JOIN per p ON d.doc_id = p.doc_id
 """

@@ -238,3 +238,110 @@ def test_quantile_sketch_brackets_true_percentile(spark, sf_dir):
         assert r["est_lo"] <= true_pq < r["est_hi"]
         assert r["total_rows"] == n
         assert r["n_at_or_below"] == sum(1 for v in vals if v < r["est_hi"])
+
+
+def test_dedup_lsh_incremental_consistent_with_full_lsh(spark, sf_dir):
+    """The incremental classification must agree with the full LSH pair
+    list: a batch doc is neardup_of_base iff the full dedup_minhash_lsh
+    output pairs it with a base doc, neardup_in_batch iff its only
+    verified partners are SMALLER-id batch docs (first copy stays new)."""
+    from collections import Counter
+
+    from content_analytics_etl_spark.plans.dedup_queries import (
+        dedup_lsh_incremental,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    docs = duckdb.sql(
+        f"SELECT doc_id, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    partners: dict[int, set[int]] = {}
+    for a, b in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    want: Counter = Counter()
+    for doc_id, source in docs:
+        if doc_id % 4 != 3:
+            continue
+        ps = partners.get(doc_id, set())
+        if any(p % 4 != 3 for p in ps):
+            status = "neardup_of_base"
+        elif any(p % 4 == 3 and p < doc_id for p in ps):
+            status = "neardup_in_batch"
+        else:
+            status = "new"
+        want[(source, status)] += 1
+    got = {
+        (r["source"], r["status"]): r["n_docs"]
+        for r in dedup_lsh_incremental(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert any(s == "neardup_of_base" for _, s in want), "vacuous: no base dups"
+
+
+def test_bigram_perplexity_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from content_analytics_etl_spark.plans.text_queries import (
+        doc_bigram_perplexity,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY 1"
+    ).fetchall()
+    per_doc: dict[int, Counter] = {}
+    cb: Counter = Counter()
+    vocab: set[str] = set()
+    for doc_id, text in docs:
+        toks = _toks(text)
+        vocab.update(toks)
+        c = Counter(
+            (toks[i], toks[i] + " " + toks[i + 1])
+            for i in range(len(toks) - 1)
+        )
+        per_doc[doc_id] = c
+        cb.update(c)
+    cp: Counter = Counter()
+    for (w1, _bg), n in cb.items():
+        cp[w1] += n
+    v = len(vocab)
+    want = {}
+    for doc_id, c in per_doc.items():
+        n = sum(c.values())
+        if n == 0:
+            want[doc_id] = (0, 0.0, 1.0)
+            continue
+        s = sum(
+            math.floor(
+                x
+                * (
+                    round(math.log2(cb[k] + 1), 9)
+                    - round(math.log2(cp[k[0]] + v), 9)
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            for k, x in c.items()
+        )
+        ce = float(-s) / 1000000000.0 / n
+        want[doc_id] = (n, ce, round(2.0 ** ce, 6))
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["cross_entropy_bits"],
+            r["perplexity"],
+        )
+        for r in doc_bigram_perplexity(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        n_w, ce_w, ppl_w = want[k]
+        n_g, ce_g, ppl_g = got[k]
+        assert n_g == n_w, k
+        assert ce_g == ce_w, (k, ce_g, ce_w)
+        assert abs(ppl_g - ppl_w) < 1e-6, (k, ppl_g, ppl_w)

@@ -70,6 +70,8 @@ ALLOW_NESTED_LOOP = {
     "(DSIR normalizer) onto the per-doc aggs",
     "lineitem_zorder_layout": "1-row min/max bounds aggregate broadcast "
     "(range-bin scaling) onto the scan",
+    "doc_bigram_perplexity": "1-row vocabulary-size aggregate broadcast "
+    "(add-one smoothing denominator) onto the model join",
 }
 
 
