@@ -544,7 +544,104 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA over the portable LogLog partials — the
+    companion to ``events_distinct_sketch_rollup``: per ordered
+    event-type pair, the union estimate via register max-merge and the
+    intersection estimate via inclusion–exclusion
+    (est_a + est_b − est_union), with the exact numbers riding along to
+    expose the sketch error (intersection error compounds — that is the
+    audit's point, same posture as the CMS/MinHash/recall audits).
+
+    Scale shape: ONE linear pass over events builds the per-(type,
+    register) partials (|types|·64 rows); every set operation after
+    that is algebra on sketch state, never a rescan. The pair frame is
+    the |types|² self-join of a dimension-sized relation (bounded
+    metadata cardinality — allowlisted); at 100 TB you'd persist the
+    partials next to the fact table and serve any ad-hoc pair."""
+    e = t(spark, sf_dir, "events")
+    r, rho = loglog_reg_rho("user_id", m=SKETCH_M, cap=RHO_CAP)
+    type_regs = (
+        e.select(F.col("event_type").alias("et"), r.alias("r"), rho.alias("rho"))
+        .groupBy("et", "r")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+    def est(s):
+        return F.round(
+            F.lit(LOGLOG_ALPHA * SKETCH_M)
+            * F.pow(F.lit(2.0), s.cast("double") / F.lit(float(SKETCH_M))),
+            6,
+        )
+
+    sums = type_regs.groupBy("et").agg(F.sum("mx").alias("s"))
+    types = type_regs.select("et").distinct()
+    pairs = (
+        types.alias("ta")
+        .join(
+            F.broadcast(types.alias("tb")),
+            F.col("ta.et") < F.col("tb.et"),
+        )
+        .select(F.col("ta.et").alias("et_a"), F.col("tb.et").alias("et_b"))
+    )
+    union_regs = (
+        pairs.join(
+            type_regs,
+            (F.col("et") == F.col("et_a")) | (F.col("et") == F.col("et_b")),
+        )
+        .groupBy("et_a", "et_b", "r")
+        .agg(F.max("mx").alias("mx"))
+    )
+    s_union = union_regs.groupBy("et_a", "et_b").agg(F.sum("mx").alias("su"))
+
+    tu = e.select("event_type", "user_id").distinct()
+    exact_int = (
+        tu.alias("ua")
+        .join(
+            tu.alias("ub"),
+            (F.col("ua.user_id") == F.col("ub.user_id"))
+            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        )
+        .groupBy(
+            F.col("ua.event_type").alias("et_a"),
+            F.col("ub.event_type").alias("et_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    exact_n = tu.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sa = sums.select(F.col("et").alias("et_a"), F.col("s").alias("s_a"))
+    sb = sums.select(F.col("et").alias("et_b"), F.col("s").alias("s_b"))
+    na = exact_n.select(F.col("et").alias("et_a"), F.col("n").alias("n_a"))
+    nb = exact_n.select(F.col("et").alias("et_b"), F.col("n").alias("n_b"))
+    est_a, est_b, est_u = est(F.col("s_a")), est(F.col("s_b")), est(F.col("su"))
+    return (
+        s_union.join(sa, "et_a")
+        .join(sb, "et_b")
+        .join(na, "et_a")
+        .join(nb, "et_b")
+        .join(exact_int, ["et_a", "et_b"], "left")
+        .select(
+            "et_a",
+            "et_b",
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            (est_a + est_b - est_u).alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+            (
+                F.col("n_a") + F.col("n_b")
+                - F.coalesce("exact_intersection", F.lit(0))
+            ).alias("exact_union"),
+        )
+    )
+
+
 QUERIES = {
+    "events_sketch_set_ops": events_sketch_set_ops,
     "events_key_skew_profile": events_key_skew_profile,
     "events_quantile_sketch_rollup": events_quantile_sketch_rollup,
     "events_partition_pruned": events_partition_pruned,
@@ -826,3 +923,62 @@ ORACLES = {
         SELECT * FROM per_day UNION ALL SELECT * FROM total
     """,
 }
+
+# Mirror of events_sketch_set_ops: same register construction as the
+# rollup oracle, pair algebra in plain SQL, inclusion-exclusion from
+# the identically-rounded per-side estimates.
+_EST = (
+    "round({LOGLOG_ALPHA} * {SKETCH_M} "
+    "* pow(2.0, CAST({{s}} AS DOUBLE) / {SKETCH_M}.0), 6)"
+).format(LOGLOG_ALPHA=LOGLOG_ALPHA, SKETCH_M=SKETCH_M)
+ORACLES["events_sketch_set_ops"] = f"""
+    WITH ev AS (
+      SELECT event_type AS et, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    rows_ AS (
+      SELECT et, h & {SKETCH_M - 1} AS r,
+             CASE WHEN (h >> 6) = 0 THEN {RHO_CAP}
+                  ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1
+             END AS rho
+      FROM ev
+    ),
+    tregs AS (SELECT et, r, max(rho) AS mx FROM rows_ GROUP BY 1, 2),
+    sums AS (SELECT et, CAST(sum(mx) AS BIGINT) AS s FROM tregs GROUP BY 1),
+    pairs AS (
+      SELECT ta.et AS et_a, tb.et AS et_b
+      FROM (SELECT DISTINCT et FROM tregs) ta
+      JOIN (SELECT DISTINCT et FROM tregs) tb ON ta.et < tb.et
+    ),
+    su AS (
+      SELECT et_a, et_b, CAST(sum(mx) AS BIGINT) AS su
+      FROM (
+        SELECT p.et_a, p.et_b, g.r, max(g.mx) AS mx
+        FROM pairs p JOIN tregs g ON g.et = p.et_a OR g.et = p.et_b
+        GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    tu AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+    xi AS (
+      SELECT a.et AS et_a, b.et AS et_b, count(1) AS exact_intersection
+      FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.et < b.et
+      GROUP BY 1, 2
+    ),
+    xn AS (SELECT et, count(1) AS n FROM tu GROUP BY 1)
+    SELECT s.et_a, s.et_b,
+           {_EST.format(s="sa.s")} AS est_a,
+           {_EST.format(s="sb.s")} AS est_b,
+           {_EST.format(s="s.su")} AS est_union,
+           {_EST.format(s="sa.s")} + {_EST.format(s="sb.s")}
+             - {_EST.format(s="s.su")} AS est_intersection,
+           COALESCE(xi.exact_intersection, 0) AS exact_intersection,
+           na.n + nb.n - COALESCE(xi.exact_intersection, 0) AS exact_union
+    FROM su s
+    JOIN sums sa ON sa.et = s.et_a
+    JOIN sums sb ON sb.et = s.et_b
+    JOIN xn na ON na.et = s.et_a
+    JOIN xn nb ON nb.et = s.et_b
+    LEFT JOIN xi ON xi.et_a = s.et_a AND xi.et_b = s.et_b
+"""

@@ -76,15 +76,15 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the thirteen queries added this round (epoch
+# Round-8 rotation: the fourteen queries added this round (epoch
 # shuffle, block-level exact dedup, incremental snapshot dedup,
 # incremental MinHash-LSH dedup, blocklist gate, DSIR importance
 # weights, hashed linear quality classifier, bigram-LM perplexity,
 # nearest as-of join, join-key skew profile, mergeable quantile-sketch
-# rollup, z-order layout audit, vocab coverage curve) have no lifetime
-# verdict and enter first; the fill is the 30 remaining round-3-verdict
-# names plus the 7 alphabetically-first round-5-verdict names.  Audit
-# trail: CORRECTNESS_r07 was 50/50 green
+# rollup, LogLog sketch set algebra, z-order layout audit, vocab
+# coverage curve) have no lifetime verdict and enter first; the fill is
+# the 30 remaining round-3-verdict names plus the 6 alphabetically-first
+# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -100,6 +100,7 @@ DRIVER_WINDOW: list[str] = [
     "events_asof_nearest",
     "events_key_skew_profile",
     "events_quantile_sketch_rollup",
+    "events_sketch_set_ops",
     "lineitem_zorder_layout",
     "vocab_coverage_curve",
     # --- last driver verdict: round 3 (30 names)
@@ -140,7 +141,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_curation_funnel",
     "corpus_curation_manifest",
     "corpus_mix_rebalance",
-    "customer_rfm_segments",
 ]
 
 

@@ -606,3 +606,62 @@ def test_pmi_cooccurrence_matches_python(spark):
         for r in token_pmi_cooccurrence(spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_sketch_set_ops_matches_python(spark):
+    """Per event-type-pair union/intersection algebra: register
+    max-merge + inclusion-exclusion must match a from-scratch LogLog,
+    and the exact columns must match real set arithmetic."""
+    from content_analytics_etl_spark.plans.events_queries import (
+        events_sketch_set_ops,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    regs: dict = defaultdict(lambda: [0] * SKETCH_M)
+    users: dict = defaultdict(set)
+    for r in ev:
+        h = _h60(r["user_id"])
+        reg = h & (SKETCH_M - 1)
+        regs[r["event_type"]][reg] = max(regs[r["event_type"]][reg], _rho(h))
+        users[r["event_type"]].add(r["user_id"])
+
+    def est(rg: list[int]) -> float:
+        return round(
+            LOGLOG_ALPHA * SKETCH_M * 2.0 ** (sum(rg) / SKETCH_M), 6
+        )
+
+    types = sorted(regs)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            merged = [max(x, y) for x, y in zip(regs[a], regs[b])]
+            want[(a, b)] = (
+                est(regs[a]),
+                est(regs[b]),
+                est(merged),
+                est(regs[a]) + est(regs[b]) - est(merged),
+                len(users[a] & users[b]),
+                len(users[a] | users[b]),
+            )
+    got = {
+        (r["et_a"], r["et_b"]): (
+            r["est_a"],
+            r["est_b"],
+            r["est_union"],
+            r["est_intersection"],
+            r["exact_intersection"],
+            r["exact_union"],
+        )
+        for r in events_sketch_set_ops(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for gi, wi in zip(got[k], want[k]):
+            if isinstance(wi, float):
+                assert math.isclose(gi, wi, rel_tol=1e-9), (k, gi, wi)
+            else:
+                assert gi == wi, (k, gi, wi)

@@ -72,6 +72,9 @@ ALLOW_NESTED_LOOP = {
     "(range-bin scaling) onto the scan",
     "doc_bigram_perplexity": "1-row vocabulary-size aggregate broadcast "
     "(add-one smoothing denominator) onto the model join",
+    "events_sketch_set_ops": "event-type pair algebra over |types|x64 "
+    "sketch partials — bounded metadata-cardinality broadcasts, never "
+    "a fact-table rescan",
 }
 
 
