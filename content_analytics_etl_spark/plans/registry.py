@@ -76,15 +76,16 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the fourteen queries added this round (epoch
+# Round-8 rotation: the fifteen queries added this round (epoch
 # shuffle, block-level exact dedup, incremental snapshot dedup,
 # incremental MinHash-LSH dedup, blocklist gate, DSIR importance
 # weights, hashed linear quality classifier, bigram-LM perplexity,
-# nearest as-of join, join-key skew profile, mergeable quantile-sketch
-# rollup, LogLog sketch set algebra, z-order layout audit, vocab
-# coverage curve) have no lifetime verdict and enter first; the fill is
-# the 30 remaining round-3-verdict names plus the 6 alphabetically-first
-# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# PQ codebook training step, nearest as-of join, join-key skew profile,
+# mergeable quantile-sketch rollup, LogLog sketch set algebra, z-order
+# layout audit, vocab coverage curve) have no lifetime verdict and
+# enter first; the fill is the 30 remaining round-3-verdict names plus
+# the 5 alphabetically-first round-5-verdict names.  Audit trail:
+# CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -97,6 +98,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_blocklist_filter",
     "doc_dsir_importance",
     "doc_quality_classifier",
+    "embedding_pq_train",
     "events_asof_nearest",
     "events_key_skew_profile",
     "events_quantile_sketch_rollup",
@@ -140,7 +142,6 @@ DRIVER_WINDOW: list[str] = [
     "bpe_first_merges",
     "corpus_curation_funnel",
     "corpus_curation_manifest",
-    "corpus_mix_rebalance",
 ]
 
 

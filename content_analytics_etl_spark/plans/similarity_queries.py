@@ -734,6 +734,97 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(out, e)
 
 
+def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd training step of the PQ codebooks ``sim_ann_pq_adc``
+    serves from — the piece FAISS's ``train()`` runs per subspace:
+    assign every sub-vector to its nearest sub-centroid (same argmin
+    and tie order as the encoder), then re-estimate each centroid as
+    the mean of its assigned sub-vectors on the 1e-9 fixed-point grid
+    (portable-determinism policy — see the inline note). Empty centroids
+    keep their old components (the standard Lloyd rule), and the output
+    is the per-(subspace, centroid, dimension) old→new component table
+    a trainer would feed back into the next iteration.
+
+    Scale shape: identical to the encoder — the KS·M-row codebook
+    broadcasts, the corpus slices shuffle-free, one argmin window on
+    (vec_id, m) and one keyed mean per (m, k, dim). The per-dim mean is
+    an exact BIGINT sum of 1e-9-grid fixed-point components over an
+    exact integer count, so the new codebook is bit-identical under any
+    partitioning and across engines."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("v"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias(
+                            "subv"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.subv")
+    cb = sub.filter(F.col("vec_id").between(1, PQ_KS)).select(
+        "m", F.col("vec_id").cast("int").alias("k"), F.col("subv").alias("cv")
+    )
+    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("d2", sq_l2(F.col("subv"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("k"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("m", "k", "subv")
+    )
+    dims = assigned.select(
+        "m", "k", F.posexplode("subv").alias("dim_idx", "comp")
+    )
+    # 1e-9 fixed-point BIGINT sum, not a decimal cast: double→decimal
+    # rounding at exact half-quantum boundaries differs between engines
+    # (float32 components are dyadic and DO land on them), while
+    # floor(x·1e9 + 0.5) is plain double arithmetic — identical
+    # everywhere (the dsir/char-entropy pattern).
+    agg = dims.groupBy("m", "k", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(
+                F.col("comp") * F.lit(1000000000.0) + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("s"),
+    )
+    cbe = cb.select("m", "k", F.posexplode("cv").alias("dim_idx", "old_comp"))
+    return (
+        cbe.join(agg, ["m", "k", "dim_idx"], "left")
+        .select(
+            "m",
+            "k",
+            "dim_idx",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_assigned"),
+            "old_comp",
+            F.when(F.col("n").isNull(), F.col("old_comp"))
+            .otherwise(
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000000.0))
+            )
+            .alias("new_comp"),
+        )
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric per-vector quantization — the storage/bandwidth
     step a 100 TB embedding corpus needs before ANN serving (4× smaller
@@ -977,6 +1068,7 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_ann_pq_adc": sim_ann_pq_adc,
+    "embedding_pq_train": embedding_pq_train,
     "kmeans_assign": kmeans_assign,
     "sim_semdedup": sim_semdedup,
     "sim_mmr_diversify": sim_mmr_diversify,
@@ -1622,4 +1714,57 @@ ORACLES["sim_ann_recall_audit"] = f"""
     {_PER_METHOD_AUDIT(m="ivf")}
     UNION ALL
     {_PER_METHOD_AUDIT(m="pq")}
+"""
+
+# Mirror of embedding_pq_train: same sub/cb/assignment CTEs as the ADC
+# oracle, per-(m, k, dim) decimal-exact means, empty centroids keep old.
+ORACLES["embedding_pq_train"] = f"""
+    WITH e AS (SELECT vec_id, {_V} AS v FROM embeddings),
+    sub AS MATERIALIZED (
+      SELECT vec_id, CAST(m AS INTEGER) AS m,
+             list_transform(range(1, {PQ_SUB_DIM}+1),
+                            i -> v[m * {PQ_SUB_DIM} + i]) AS subv
+      FROM e, range(0, {PQ_M}) t(m)
+    ),
+    cb AS MATERIALIZED (
+      SELECT m, CAST(vec_id AS INTEGER) AS k, subv AS cv
+      FROM sub WHERE vec_id BETWEEN 1 AND {PQ_KS}
+    ),
+    ad AS (
+      SELECT s.vec_id, s.m, c.k,
+             list_sum(list_transform(range(1, {PQ_SUB_DIM}+1),
+               i -> (s.subv[i] - c.cv[i]) * (s.subv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY d2 ASC, k) AS rk
+        FROM ad)
+      WHERE rk = 1
+    ),
+    dims AS (
+      SELECT c.m, c.k, CAST(i - 1 AS INTEGER) AS dim_idx, s.subv[i] AS comp
+      FROM codes c
+      JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m,
+      range(1, {PQ_SUB_DIM}+1) t(i)
+    ),
+    agg AS (
+      SELECT m, k, dim_idx, count(1) AS n,
+             CAST(SUM(CAST(floor(comp * 1000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM dims GROUP BY 1, 2, 3
+    ),
+    cbe AS (
+      SELECT m, k, CAST(i - 1 AS INTEGER) AS dim_idx, cv[i] AS old_comp
+      FROM cb, range(1, {PQ_SUB_DIM}+1) t(i)
+    )
+    SELECT cbe.m, cbe.k, cbe.dim_idx,
+           COALESCE(a.n, 0) AS n_assigned,
+           cbe.old_comp,
+           CASE WHEN a.n IS NULL THEN cbe.old_comp
+                ELSE CAST(a.s AS DOUBLE)
+                     / (CAST(a.n AS DOUBLE) * 1000000000.0)
+           END AS new_comp
+    FROM cbe LEFT JOIN agg a USING (m, k, dim_idx)
 """
