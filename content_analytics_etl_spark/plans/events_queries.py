@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import loglog_reg_rho
@@ -421,6 +421,29 @@ QSKETCH_WIDTH = 8.0  # covers value ∈ [0, 512); last bin absorbs the tail
 QSKETCH_QS = (0.5, 0.9, 0.99)
 
 
+def qsketch_bin() -> Column:
+    """Fixed-width histogram bin of ``value`` (last bin absorbs the
+    tail) — shared by the batch rollup and the streaming twin
+    (``streaming/sketch.py: quantile_sketch_bins``)."""
+    return F.least(
+        F.lit(QSKETCH_BINS - 1),
+        F.floor(F.col("value") / F.lit(QSKETCH_WIDTH)),
+    ).cast("int")
+
+
+def qsketch_day_bins(events: DataFrame) -> DataFrame:
+    """Per-(day, bin) histogram partials — the mergeable sketch state
+    (vector addition) shared by the batch rollup and the streaming
+    twin."""
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"), qsketch_bin().alias("bin")
+        )
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def events_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch — the 100 TB percentile pattern: each
     partition (here: each day) reduces to a fixed 64-bin histogram, the
@@ -438,15 +461,7 @@ def events_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     ``events_value_percentiles``' exact sort-based form trades away at
     scale; the sketch costs one keyed agg regardless of data size."""
     e = t(spark, sf_dir, "events")
-    bin_ = F.least(
-        F.lit(QSKETCH_BINS - 1),
-        F.floor(F.col("value") / F.lit(QSKETCH_WIDTH)),
-    ).cast("int")
-    daily = (
-        e.select(F.date_trunc("day", "ts").alias("day"), bin_.alias("bin"))
-        .groupBy("day", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    daily = qsketch_day_bins(e)
     bins = daily.groupBy("bin").agg(F.sum("c").alias("c"))
     a, b = bins.alias("a"), bins.alias("b")
     cum = (

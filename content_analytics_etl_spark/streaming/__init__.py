@@ -5,7 +5,11 @@ from .ingest import ingest_viewing_logs
 from .joins import view_click_conversions
 from .dedup import dedup_stream_exact, dedup_stream_within_watermark
 from .cdc import apply_cdc_stream, latest_snapshot
-from .sketch import sketch_registers, estimate_from_registers
+from .sketch import (
+    sketch_registers,
+    estimate_from_registers,
+    quantile_sketch_bins,
+)
 
 __all__ = [
     "apply_cdc_stream",
@@ -20,5 +24,6 @@ __all__ = [
     "running_user_totals",
     "ingest_viewing_logs",
     "sketch_registers",
+    "quantile_sketch_bins",
     "estimate_from_registers",
 ]

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from ..functions.hashing import loglog_reg_rho
 from ..plans.events_queries import LOGLOG_ALPHA, RHO_CAP, SKETCH_M
 
-__all__ = ["sketch_registers", "estimate_from_registers"]
+__all__ = [
+    "sketch_registers",
+    "estimate_from_registers",
+    "quantile_sketch_bins",
+]
 
 
 def sketch_registers(
@@ -68,3 +72,26 @@ def estimate_from_registers(regs: DataFrame, *groups: str) -> DataFrame:
         6,
     )
     return summed.select(*keys, est.alias("est_users"))
+
+
+def quantile_sketch_bins(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked per-(day, bin) histogram partials — the streaming
+    twin of the batch quantile sketch
+    (``plans/events_queries.qsketch_day_bins``): each micro-batch adds
+    its rows into the running per-day 64-bin counts, so state is
+    |days-in-watermark| × 64 rows regardless of event volume, and any
+    day range's quantiles invert from the streamed state with the same
+    ±bin-width bound — never a replay of raw events. Same
+    ``window(ts, '1 day')`` watermark-carrying form as
+    ``sketch_registers`` (see that docstring for why date_trunc would
+    break append mode)."""
+    from ..plans.events_queries import qsketch_bin
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), qsketch_bin().alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("day"), "bin", "c")
+    )

@@ -296,3 +296,27 @@ def test_sketch_stream_append_mode_emits_finalized_days(spark, sf_dir, events_di
         if r["day"] + __import__("datetime").timedelta(days=1) <= watermark
     }
     assert got == finalized and got
+
+
+def test_quantile_sketch_stream_equals_batch_bins(spark, sf_dir, events_dir):
+    """Streaming per-(day, bin) histogram maintenance ≡ the batch
+    quantile-sketch partials row-for-row — any day range's percentiles
+    invert from the streamed state without replaying events."""
+    from content_analytics_etl_spark.plans.events_queries import (
+        qsketch_day_bins,
+    )
+    from content_analytics_etl_spark.streaming import (
+        quantile_sketch_bins,
+        stream_events,
+    )
+
+    name = f"qs_{uuid.uuid4().hex[:8]}"
+    _run_stream(quantile_sketch_bins(stream_events(spark, events_dir)), name)
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {
+        tuple(r)
+        for r in qsketch_day_bins(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()
+    }
+    assert got == want and got
