@@ -1044,8 +1044,10 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row bounds broadcast), the two bucket codes are bit-interleaved
     into a 16-bit Morton code, and rows are assigned to 16 files by the
     code's top 4 bits. A 'linear' layout (sort by partkey alone) is
-    produced from the SAME scan via an exploded 2-struct array — one
-    scan, one shuffle for both layouts. The per-(layout, file) min/max
+    produced from the SAME scan: one map-side-combined aggregation to
+    the ≤256×256 bucket-cell grain, then an exploded 2-struct array
+    fans the bounded cell table out to both layouts — one scan, one
+    full-width shuffle, constant post-scan work. The per-(layout, file) min/max
     key ranges and normalized span fractions show why z-order wins at
     100 TB: the zorder layout bounds BOTH dimensions per file (every
     file prunable on either predicate column), while the linear layout
@@ -1065,7 +1067,27 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     sspan = F.col("smax") - F.col("smin") + 1
     pb = _idiv((F.col("l_partkey") - F.col("pmin")) * 256, pspan)
     sb = _idiv((F.col("l_suppkey") - F.col("smin")) * 256, sspan)
-    z = _spread_bits(pb).bitwiseOR(F.shiftleft(_spread_bits(sb), 1))
+    # Pre-aggregate at the (pb, sb) bucket-cell grain FIRST: the scan
+    # reduces map-side to ≤ 256×256 cells, so the layout explode and
+    # both per-file rollups run over the bounded cell table instead of
+    # doubling the corpus — at any scale the post-scan work is constant.
+    cells = (
+        b.groupBy(pb.alias("pb"), sb.alias("sb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("cp_min"),
+            F.max("l_partkey").alias("cp_max"),
+            F.min("l_suppkey").alias("cs_min"),
+            F.max("l_suppkey").alias("cs_max"),
+            F.min("pmin").alias("pmin"),
+            F.min("pmax").alias("pmax"),
+            F.min("smin").alias("smin"),
+            F.min("smax").alias("smax"),
+        )
+    )
+    z = _spread_bits(F.col("pb")).bitwiseOR(
+        F.shiftleft(_spread_bits(F.col("sb")), 1)
+    )
     pair = F.explode(
         F.array(
             F.struct(
@@ -1074,21 +1096,23 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.struct(
                 F.lit("linear").alias("layout"),
-                _idiv(pb, F.lit(16)).alias("file_id"),
+                _idiv(F.col("pb"), F.lit(16)).alias("file_id"),
             ),
         )
     )
     return (
-        b.select("l_partkey", "l_suppkey", "pmax", "pmin", "smax", "smin",
-                 pair.alias("lf"))
+        cells.select(
+            "n", "cp_min", "cp_max", "cs_min", "cs_max",
+            "pmax", "pmin", "smax", "smin", pair.alias("lf"),
+        )
         .groupBy(F.col("lf.layout").alias("layout"),
                  F.col("lf.file_id").alias("file_id"))
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_partkey").alias("p_min"),
-            F.max("l_partkey").alias("p_max"),
-            F.min("l_suppkey").alias("s_min"),
-            F.max("l_suppkey").alias("s_max"),
+            F.sum("n").alias("n_rows"),
+            F.min("cp_min").alias("p_min"),
+            F.max("cp_max").alias("p_max"),
+            F.min("cs_min").alias("s_min"),
+            F.max("cs_max").alias("s_max"),
             F.min("pmin").alias("_pmin"),
             F.min("pmax").alias("_pmax"),
             F.min("smin").alias("_smin"),

@@ -41,7 +41,9 @@ MAX_SHUFFLES = {
     "multimodal_frame_decode": 0,
     "doc_pack_sequences": 1,
     "doc_quality_classifier": 0,  # margin folds inside the scan projection
-    "lineitem_zorder_layout": 1,  # one keyed agg over the exploded pair
+    # cell pre-agg + per-file rollup; the 2nd shuffle carries ≤256×256
+    # cell rows, not the corpus (PERF 45)
+    "lineitem_zorder_layout": 2,
 }
 
 _EXCHANGE = re.compile(
