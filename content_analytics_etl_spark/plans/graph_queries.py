@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.graph import common_neighbor_scores
-from ._util import materialize_and_release
+from ._util import materialize_and_release, t
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
 from .dedup_queries import dedup_minhash_lsh
 
@@ -173,9 +173,87 @@ def graph_common_neighbors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     return materialize_and_release(common_neighbor_scores(pairs), pairs)
 
 
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — cc = 2·tri / (deg·(deg−1))
+    — over the part CO-PURCHASE graph (edges = part pairs sharing ≥ 1
+    order, the ``part_affinity`` pair generation without its support
+    floor). The near-dup graph is the wrong base here: its components
+    are 2-3-node cliques, so cc would be identically 0/1 — the
+    co-purchase graph has real triadic structure (is a part's
+    neighborhood itself interconnected → a coherent basket theme, or a
+    hub part bridging unrelated baskets). Every cc at sf0.001 lands
+    strictly inside (0, 1), so the hash compares real fractions.
+
+    Physical shape: pair generation is the order-key self-join with
+    per-order-bounded fan-out (the part_affinity scale argument), the
+    triangle count reuses the canonical a < b < c oriented enumeration
+    (two equi-join shuffles), degree is one keyed agg over the
+    symmetrized edges, and cc is exact-integer arithmetic until one
+    final double division — linear in edges + wedges, node-keyed joins
+    only."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
+    ).hint("merge")
+    edges = (
+        a.join(b, ["okey"])
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    sym = edges.select(F.col("u").alias("src")).unionAll(
+        edges.select(F.col("v").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    wedge = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.v") == F.col("y.u"))
+        .select(
+            F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.v").alias("c")
+        )
+    )
+    tri = wedge.join(
+        edges.alias("z"),
+        (F.col("a") == F.col("z.u")) & (F.col("c") == F.col("z.v")),
+    ).select("a", "b", "c")
+    tricnt = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    )
+    return materialize_and_release(
+        deg.select(F.col("src").alias("node"), "degree")
+        .join(tricnt, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            cc.alias("clustering_coeff"),
+        ),
+        edges,
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_common_neighbors": graph_common_neighbors,
     "graph_common_neighbors_pruned": graph_common_neighbors_pruned,
 }
@@ -303,4 +381,40 @@ ORACLES["graph_common_neighbors"] = f"""
     FROM cand
     JOIN deg da ON cand.node_a = da.src
     JOIN deg db ON cand.node_b = db.src
+"""
+
+# Mirror of graph_clustering_coefficient: same co-purchase edge set,
+# same oriented triangle enumeration, integer-exact cc fields.
+ORACLES["graph_clustering_coefficient"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT src, count(1) AS degree FROM (
+        SELECT u AS src FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS MATERIALIZED (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM edges x
+      JOIN edges y ON x.v = y.u
+      JOIN edges z ON z.u = x.u AND z.v = y.v
+    ),
+    tricnt AS (
+      SELECT node, count(1) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.src AS node, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN tricnt t ON t.node = d.src
 """

@@ -76,16 +76,16 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the fifteen queries added this round (epoch
+# Round-8 rotation: the sixteen queries added this round (epoch
 # shuffle, block-level exact dedup, incremental snapshot dedup,
 # incremental MinHash-LSH dedup, blocklist gate, DSIR importance
 # weights, hashed linear quality classifier, bigram-LM perplexity,
 # PQ codebook training step, nearest as-of join, join-key skew profile,
-# mergeable quantile-sketch rollup, LogLog sketch set algebra, z-order
-# layout audit, vocab coverage curve) have no lifetime verdict and
-# enter first; the fill is the 30 remaining round-3-verdict names plus
-# the 5 alphabetically-first round-5-verdict names.  Audit trail:
-# CORRECTNESS_r07 was 50/50 green
+# mergeable quantile-sketch rollup, LogLog sketch set algebra, local
+# clustering coefficient, z-order layout audit, vocab coverage curve)
+# have no lifetime verdict and enter first; the fill is the 30
+# remaining round-3-verdict names plus the 4 alphabetically-first
+# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -103,6 +103,7 @@ DRIVER_WINDOW: list[str] = [
     "events_key_skew_profile",
     "events_quantile_sketch_rollup",
     "events_sketch_set_ops",
+    "graph_clustering_coefficient",
     "lineitem_zorder_layout",
     "vocab_coverage_curve",
     # --- last driver verdict: round 3 (30 names)
@@ -136,12 +137,11 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (12 names, alphabetical fill)
+    # --- last driver verdict: round 5 (4 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
     "bpe_first_merges",
     "corpus_curation_funnel",
-    "corpus_curation_manifest",
 ]
 
 

@@ -70,3 +70,48 @@ def test_graph_common_neighbors_pruned_is_nonvacuous(spark):
     )
 
     assert graph_common_neighbors_pruned(spark, "/root/testdata/sf0.001").count() >= 4
+
+
+def test_clustering_coefficient_nontrivial_and_consistent(spark, sf_dir):
+    """cc must match a python recompute over the co-purchase edge set
+    AND be non-vacuous: at least one node strictly between 0 and 1."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from content_analytics_etl_spark.plans.graph_queries import (
+        graph_clustering_coefficient,
+    )
+
+    pairs = duckdb.sql(
+        f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{sf_dir}/lineitem.parquet')
+        SELECT DISTINCT a.l_partkey, b.l_partkey
+        FROM op a JOIN op b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        """
+    ).fetchall()
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n, nbrs in adj.items():
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for u in nbrs
+            for v in nbrs
+            if u < v and v in adj[u]
+        )
+        cc = 0.0 if deg < 2 else (2 * tri) / (deg * (deg - 1))
+        want[n] = (deg, tri, cc)
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in graph_clustering_coefficient(spark, sf_dir).collect()
+    }
+    assert got == want and got
+    assert any(0.0 < v[2] < 1.0 for v in want.values()), (
+        "all cc trivial — prune not opening cliques"
+    )

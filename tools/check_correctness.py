@@ -58,7 +58,10 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 # (VERDICT r5/r6: graph_common_neighbors is legitimately empty at small
 # sf, which is why the _pruned variant exists — so the harness must fail
 # loudly if the pruned variant ever regresses to vacuous too).
-MIN_ROWS = {"graph_common_neighbors_pruned": 1}
+MIN_ROWS = {
+    "graph_common_neighbors_pruned": 1,
+    "graph_clustering_coefficient": 1,
+}
 
 
 def main() -> int:
