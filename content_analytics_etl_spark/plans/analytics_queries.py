@@ -1017,6 +1017,55 @@ def warehouse_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warehouse_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip — completing the format matrix
+    next to parquet (everywhere), the CSV sink (S5) and the ORC
+    round-trip: customer is materialized ONCE per source-content
+    fingerprint as a JSON-lines table, read back with a DECLARED schema
+    (the S1 no-inference-scan policy), and aggregated; the oracle
+    computes the identical aggregate from the parquet source. Doubles
+    survive because Spark's JSON writer emits shortest-repr doubles and
+    the reader parses to nearest — an exact round-trip — so the hash
+    match proves losslessness, not just row counts. Same write-once
+    tmp+rename+prune discipline as the ORC materialization."""
+    key = source_fingerprint(sf_dir, "customer")
+    root = warehouse_root(spark)
+    json_dir = os.path.join(root, f"customer_json_{key}")
+    if not os.path.exists(os.path.join(json_dir, "_SUCCESS")):
+        tmp = f"{json_dir}.tmp-{os.getpid()}"
+        (
+            t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+            .write.mode("overwrite")
+            .json(tmp)
+        )
+        try:
+            os.rename(tmp, json_dir)
+        except OSError:  # concurrent writer won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(json_dir, "_SUCCESS")):
+                raise
+        for d in os.listdir(root):
+            if (
+                d.startswith("customer_json_")
+                and ".tmp-" not in d
+                and d != f"customer_json_{key}"
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    schema = "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    return (
+        spark.read.schema(schema)
+        .json(json_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
 def _idiv(a, b):
     """Exact integer floor-division for non-negative operands on both
     engines: subtract the remainder first so the double division is of
@@ -1143,6 +1192,7 @@ QUERIES = {
     "lineitem_zorder_layout": lineitem_zorder_layout,
     "warehouse_compact_roundtrip": warehouse_compact_roundtrip,
     "warehouse_orc_roundtrip": warehouse_orc_roundtrip,
+    "warehouse_json_roundtrip": warehouse_json_roundtrip,
     "star_fk_integrity": star_fk_integrity,
     "events_gapfill_locf": events_gapfill_locf,
     "dim_scd2_upsert": dim_scd2_upsert,
@@ -1217,6 +1267,15 @@ ORACLES = {
                min(o_orderkey) AS min_key,
                max(o_orderkey) AS max_key
         FROM orders GROUP BY 1
+    """,
+    "warehouse_json_roundtrip": """
+        SELECT c_mktsegment,
+               count(1) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_acctbal,
+               min(c_custkey) AS min_key,
+               max(c_custkey) AS max_key
+        FROM customer GROUP BY 1
     """,
     "warehouse_compact_roundtrip": """
         SELECT o_orderstatus,

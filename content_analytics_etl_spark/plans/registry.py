@@ -76,16 +76,17 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the sixteen queries added this round (epoch
+# Round-8 rotation: the seventeen queries added this round (epoch
 # shuffle, block-level exact dedup, incremental snapshot dedup,
 # incremental MinHash-LSH dedup, blocklist gate, DSIR importance
 # weights, hashed linear quality classifier, bigram-LM perplexity,
 # PQ codebook training step, nearest as-of join, join-key skew profile,
 # mergeable quantile-sketch rollup, LogLog sketch set algebra, local
-# clustering coefficient, z-order layout audit, vocab coverage curve)
-# have no lifetime verdict and enter first; the fill is the 30
-# remaining round-3-verdict names plus the 4 alphabetically-first
-# round-5-verdict names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# clustering coefficient, z-order layout audit, vocab coverage curve,
+# JSON-lines round-trip) have no lifetime verdict and enter first; the
+# fill is the 30 remaining round-3-verdict names plus the 3
+# alphabetically-first round-5-verdict names.  Audit trail:
+# CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
@@ -106,6 +107,7 @@ DRIVER_WINDOW: list[str] = [
     "graph_clustering_coefficient",
     "lineitem_zorder_layout",
     "vocab_coverage_curve",
+    "warehouse_json_roundtrip",
     # --- last driver verdict: round 3 (30 names)
     "doc_source_mix",
     "doc_split_assign",
@@ -137,11 +139,10 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (4 names, alphabetical fill)
+    # --- last driver verdict: round 5 (3 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
     "bpe_first_merges",
-    "corpus_curation_funnel",
 ]
 
 

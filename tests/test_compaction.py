@@ -168,3 +168,57 @@ def test_warehouse_orc_roundtrip_write_once_and_prune(spark, sf_dir):
     time.sleep(0.05)
     warehouse_orc_roundtrip(spark, sf_dir).collect()
     assert os.path.getmtime(os.path.join(live, "_SUCCESS")) == mtime
+
+
+def test_warehouse_json_roundtrip_write_once_and_lossless(spark, sf_dir):
+    """JSON-lines materialization follows the same write-once/prune
+    discipline as ORC, and doubles survive the text round-trip
+    bit-for-bit (shortest-repr write, nearest parse)."""
+    import shutil
+    import time
+
+    from content_analytics_etl_spark.plans._util import (
+        source_fingerprint,
+        warehouse_root,
+    )
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        warehouse_json_roundtrip,
+    )
+
+    root = warehouse_root(spark)
+    stale = os.path.join(root, "customer_json_deadbeef0000")
+    key = source_fingerprint(sf_dir, "customer")
+    live = os.path.join(root, f"customer_json_{key}")
+    shutil.rmtree(live, ignore_errors=True)
+    os.makedirs(stale, exist_ok=True)
+    open(os.path.join(stale, "_SUCCESS"), "w").close()
+
+    got = {
+        r["c_mktsegment"]: r
+        for r in warehouse_json_roundtrip(spark, sf_dir).collect()
+    }
+    assert not os.path.exists(stale), "stale-fingerprint JSON dir not pruned"
+
+    src = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    from pyspark.sql import functions as F
+
+    direct = {
+        r["c_mktsegment"]: r
+        for r in src.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for seg, r in got.items():
+        assert r["n_customers"] == direct[seg]["n"]
+        assert r["total_acctbal"] == direct[seg]["total"], seg  # bit-exact
+
+    mtime = os.path.getmtime(os.path.join(live, "_SUCCESS"))
+    time.sleep(0.05)
+    warehouse_json_roundtrip(spark, sf_dir).collect()
+    assert os.path.getmtime(os.path.join(live, "_SUCCESS")) == mtime
