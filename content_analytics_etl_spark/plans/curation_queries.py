@@ -285,8 +285,54 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration cross-tab — the agreement audit you run
+    BEFORE wiring a model-based filter into the keep decision: the
+    corpus broken down by all 2³ combinations of the three independent
+    quality signals (Gopher-style heuristic gates, the hashed linear
+    classifier, DSIR target-likeness), with counts and corpus shares.
+    High gates∧¬classifier mass means the cheap model disagrees with
+    the heuristics and needs threshold work; near-empty cells tell you
+    a signal is redundant.
+
+    Scale shape: three already-verified per-doc pipelines joined on
+    doc_id (AQE sizes the equi-joins), one 8-row aggregation, one 1-row
+    corpus-count broadcast for the shares (allowlisted)."""
+    from .selection_queries import doc_dsir_importance, doc_quality_classifier
+    from .text_queries import doc_quality_gates
+
+    g = doc_quality_gates(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gates_keep")
+    )
+    c = doc_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("classifier_keep")
+    )
+    s = doc_dsir_importance(spark, sf_dir).select(
+        "doc_id", F.col("selected").alias("dsir_selected")
+    )
+    cells = (
+        g.join(c, "doc_id")
+        .join(s, "doc_id")
+        .groupBy("gates_keep", "classifier_keep", "dsir_selected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("total_docs")
+    )
+    return cells.crossJoin(F.broadcast(total)).select(
+        "gates_keep",
+        "classifier_keep",
+        "dsir_selected",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.col("total_docs").cast("double")
+        ).alias("share"),
+    )
+
+
 QUERIES = {
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
+    "corpus_quality_report": corpus_quality_report,
     "corpus_curation_manifest": corpus_curation_manifest,
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_training_manifest": corpus_training_manifest,
@@ -409,4 +455,26 @@ ORACLES["corpus_epoch_shuffle"] = f"""
              CAST({_SHUF_KEY} % {SHUFFLE_SHARDS} AS INT) AS shard
       FROM documents
     )
+"""
+
+# Mirror of corpus_quality_report: composed from the same per-stage
+# oracles the three signals are individually verified against.
+from .selection_queries import ORACLES as S_ORACLES  # noqa: E402
+
+ORACLES["corpus_quality_report"] = f"""
+    WITH g AS MATERIALIZED ({T_ORACLES["doc_quality_gates"]}),
+    c AS MATERIALIZED ({S_ORACLES["doc_quality_classifier"]}),
+    s AS MATERIALIZED ({S_ORACLES["doc_dsir_importance"]}),
+    cells AS (
+      SELECT g.keep AS gates_keep, c.keep AS classifier_keep,
+             s.selected AS dsir_selected, count(1) AS n_docs
+      FROM g
+      JOIN c ON g.doc_id = c.doc_id
+      JOIN s ON g.doc_id = s.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT count(1) AS total_docs FROM documents)
+    SELECT gates_keep, classifier_keep, dsir_selected, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS share
+    FROM cells CROSS JOIN tot
 """

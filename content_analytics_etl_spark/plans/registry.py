@@ -76,22 +76,23 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the seventeen queries added this round (epoch
-# shuffle, block-level exact dedup, incremental snapshot dedup,
-# incremental MinHash-LSH dedup, blocklist gate, DSIR importance
-# weights, hashed linear quality classifier, bigram-LM perplexity,
-# PQ codebook training step, nearest as-of join, join-key skew profile,
-# mergeable quantile-sketch rollup, LogLog sketch set algebra, local
-# clustering coefficient, z-order layout audit, vocab coverage curve,
-# JSON-lines round-trip) have no lifetime verdict and enter first; the
-# fill is the 30 remaining round-3-verdict names plus the 3
-# alphabetically-first round-5-verdict names.  Audit trail:
-# CORRECTNESS_r07 was 50/50 green
+# Round-8 rotation: the eighteen queries added this round (epoch
+# shuffle, quality-filter calibration cross-tab, block-level exact
+# dedup, incremental snapshot dedup, incremental MinHash-LSH dedup,
+# blocklist gate, DSIR importance weights, hashed linear quality
+# classifier, bigram-LM perplexity, PQ codebook training step, nearest
+# as-of join, join-key skew profile, mergeable quantile-sketch rollup,
+# LogLog sketch set algebra, local clustering coefficient, z-order
+# layout audit, vocab coverage curve, JSON-lines round-trip) have no
+# lifetime verdict and enter first; the fill is the 30 remaining
+# round-3-verdict names plus the 2 alphabetically-first round-5-verdict
+# names.  Audit trail: CORRECTNESS_r07 was 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-verified (new in round 8)
     "corpus_epoch_shuffle",
+    "corpus_quality_report",
     "dedup_block_exact",
     "dedup_incremental",
     "dedup_lsh_incremental",
@@ -139,10 +140,9 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
     "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (3 names, alphabetical fill)
+    # --- last driver verdict: round 5 (2 names, alphabetical fill)
     "agg_stats",
     "bigram_frequency",
-    "bpe_first_merges",
 ]
 
 

@@ -75,6 +75,9 @@ ALLOW_NESTED_LOOP = {
     "events_sketch_set_ops": "event-type pair algebra over |types|x64 "
     "sketch partials — bounded metadata-cardinality broadcasts, never "
     "a fact-table rescan",
+    "corpus_quality_report": "1-row corpus-count aggregate broadcast "
+    "(share denominator) onto the 8-row cross-tab; also inherits "
+    "doc_dsir_importance's 1-row normalizer broadcast",
 }
 
 
