@@ -759,6 +759,42 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how much of each source is exact
+    duplicate content, and how much of that duplication crosses source
+    boundaries — the scorecard a curation pipeline uses to decide which
+    feeds to down-weight (within-source boilerplate vs cross-source
+    syndication need different treatment).
+
+    Scale shape: one fingerprint shuffle to the (source, fp) grain
+    (map-side combined), a second agg over the ALREADY-GROUPED table to
+    the fp grain (rows ≤ distinct contents, counts + distinct-source
+    counts), then a join back on fp and a ≤|sources|-row final agg.
+    Nothing rescans the corpus and no agg carries per-doc state."""
+    d = t(spark, sf_dir, "documents")
+    per_sf = (
+        d.withColumn("fp", md5_fingerprint(norm_text("text")))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("n_sf"))
+    )
+    per_fp = per_sf.groupBy("fp").agg(
+        F.sum("n_sf").alias("n_copies"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per_sf.join(per_fp, "fp")
+    dup = F.when(F.col("n_copies") > 1, F.col("n_sf")).otherwise(F.lit(0))
+    cross = F.when(F.col("n_sources") > 1, F.col("n_sf")).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.sum("n_sf").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique_fps"),
+        F.sum(dup).alias("n_dup_docs"),
+        F.sum(cross).alias("n_cross_source_dup_docs"),
+        (F.sum(dup).cast("double") / F.sum("n_sf").cast("double")).alias(
+            "dup_rate"
+        ),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_lsh_incremental": dedup_lsh_incremental,
@@ -776,6 +812,7 @@ QUERIES = {
     "dedup_edit_distance": dedup_edit_distance,
     "dedup_containment": dedup_containment,
     "doc_dup_aware_sampling": doc_dup_aware_sampling,
+    "corpus_dedup_rate_by_source": corpus_dedup_rate_by_source,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -1134,4 +1171,27 @@ ORACLES["dedup_lsh_incremental"] = f"""
       LEFT JOIN vbatch v2 ON d.doc_id = v2.doc
       WHERE d.doc_id % 4 = 3
     ) GROUP BY 1, 2
+"""
+
+ORACLES["corpus_dedup_rate_by_source"] = f"""
+    WITH per_sf AS (
+      SELECT source, md5({_NORM}) AS fp, count(1) AS n_sf
+      FROM documents GROUP BY 1, 2
+    ),
+    per_fp AS (
+      SELECT fp, CAST(sum(n_sf) AS BIGINT) AS n_copies,
+             count(1) AS n_sources
+      FROM per_sf GROUP BY 1
+    )
+    SELECT source,
+           CAST(sum(n_sf) AS BIGINT) AS n_docs,
+           count(1) AS n_unique_fps,
+           CAST(sum(CASE WHEN n_copies > 1 THEN n_sf ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN n_sources > 1 THEN n_sf ELSE 0 END)
+                AS BIGINT) AS n_cross_source_dup_docs,
+           CAST(sum(CASE WHEN n_copies > 1 THEN n_sf ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n_sf) AS BIGINT) AS dup_rate
+    FROM per_sf JOIN per_fp USING (fp)
+    GROUP BY 1
 """

@@ -83,14 +83,16 @@ _MODULES = [
 # classifier, bigram-LM perplexity, PQ codebook training step, nearest
 # as-of join, join-key skew profile, mergeable quantile-sketch rollup,
 # LogLog sketch set algebra, local clustering coefficient, z-order
-# layout audit, vocab coverage curve, JSON-lines round-trip) have no
-# lifetime verdict and enter first; the fill is the 30 remaining
-# round-3-verdict names plus the 2 alphabetically-first round-5-verdict
-# names.  Audit trail: CORRECTNESS_r07 was 50/50 green
+# layout audit, vocab coverage curve, JSON-lines round-trip, BM25
+# search, winsorized length stats, dedup-rate-by-source — 21 in all)
+# have no lifetime verdict and enter first; the fill is the 29
+# oldest-verdict (round-3) names.  Audit trail: CORRECTNESS_r07 was
+# 50/50 green
 # (six first-time queries included); no query has ever failed a driver
 # verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-verified (new in round 8)
+    "corpus_dedup_rate_by_source",
     "corpus_epoch_shuffle",
     "corpus_quality_report",
     "dedup_block_exact",
@@ -98,7 +100,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_lsh_incremental",
     "doc_bigram_perplexity",
     "doc_blocklist_filter",
+    "doc_bm25_search",
     "doc_dsir_importance",
+    "doc_length_winsorized",
     "doc_quality_classifier",
     "embedding_pq_train",
     "events_asof_nearest",
@@ -139,10 +143,6 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_lsh_topk",
     "sim_ann_pq_adc",
     "sim_neardup_pairs",
-    "warehouse_compact_roundtrip",
-    # --- last driver verdict: round 5 (2 names, alphabetical fill)
-    "agg_stats",
-    "bigram_frequency",
 ]
 
 

@@ -1414,6 +1414,186 @@ def doc_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 full-text relevance search ---------------------------------
+# Okapi BM25 with the Lucene-style non-negative idf
+# ln(1 + (N - df + 0.5)/(df + 0.5)).  The constants are pre-folded in
+# Python and injected as the SAME repr into both engines, so the only
+# transcendental (ln over shared per-term integers) is snapped to the
+# 9 dp grid and everything downstream is exactly-rounded IEEE on both
+# sides (the doc_tfidf_top_terms discipline).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "spark", "scan")
+BM25_TOP = 20
+_BM25_NUM = BM25_K1 + 1.0          # tf multiplier k1+1
+_BM25_K1_1MB = BM25_K1 * (1.0 - BM25_B)
+_BM25_K1B = BM25_K1 * BM25_B
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking of a fixed query over the corpus — the
+    engine's full-text-search scoring path (distinct from TF-IDF term
+    extraction: BM25 saturates tf and length-normalizes by dl/avgdl).
+
+    Scale shape: one corpus tokenization → per-doc lengths (map-side
+    combined agg) and a query-term-filtered tf table whose size is
+    |docs containing a query term| — the inverted-index posting lists
+    for the query, NOT the corpus. df and the (avgdl, N) frame are
+    tiny broadcasts; the per-doc score sum is fixed-point BIGINT
+    (order-independent); the final top-k is orderBy().limit(k) (global
+    TakeOrderedAndProject — no corpus-wide window)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("_sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        (F.col("_sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+        "n_docs",
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log(
+            (
+                F.col("n_docs").cast("double")
+                - F.col("df").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    term_score = idf * (
+        (F.col("tf").cast("double") * F.lit(_BM25_NUM))
+        / (
+            F.col("tf").cast("double")
+            + (
+                F.lit(_BM25_K1_1MB)
+                + (F.lit(_BM25_K1B) * F.col("dl").cast("double"))
+                / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(term_score * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_s_fp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        (F.sum("_s_fp").cast("double") / F.lit(1e9)).alias("bm25_score"),
+    )
+    top = per_doc.orderBy(F.col("bm25_score").desc(), "doc_id").limit(BM25_TOP)
+    return rank_limited(
+        top,
+        [-F.col("bm25_score"), F.col("doc_id")],
+        ["doc_id", "n_terms_matched", "bm25_score"],
+    )
+
+
+# --- Winsorized length statistics ------------------------------------
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length statistics: exact interpolated p05/p95
+    of ``n_chars`` and the winsorized mean (values clamped to the
+    percentile band before averaging) — the outlier-robust profiling a
+    curation pipeline runs before setting length cutoffs.
+
+    Both engines disagree on native percentile interpolation rounding,
+    so the order statistics are computed EXPLICITLY: per-source
+    row_number over (n_chars, doc_id), pick ranks floor/ceil of
+    p·(n−1), interpolate with the same python-folded arithmetic on
+    both sides.  The clamp-and-average pass re-joins the ≤|sources|-row
+    bounds frame by broadcast; the mean is fixed-point BIGINT.  Scale:
+    per-source windows (keyed, not global), two compact aggs, one
+    broadcast join — no corpus-wide window, no driver data collect."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    nn = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def _marks(p: float, tag: str):
+        k = F.lit(p) * (F.col("n_docs") - 1).cast("double")
+        return [
+            F.floor(k).alias(f"lo{tag}"),
+            F.ceil(k).alias(f"hi{tag}"),
+            (k - F.floor(k).cast("double")).alias(f"frac{tag}"),
+        ]
+
+    bounds_src = nn.select(
+        "source", "n_docs", *_marks(WINSOR_LO, "5"), *_marks(WINSOR_HI, "95")
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(w) - 1).join(
+        F.broadcast(bounds_src), "source"
+    )
+
+    def _pick(mark: str) -> Column:
+        return F.max(
+            F.when(F.col("rk") == F.col(mark), F.col("n_chars"))
+        ).cast("double")
+
+    agg = ranked.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("frac5").alias("_f5"),
+        F.min("frac95").alias("_f95"),
+        _pick("lo5").alias("_v5l"),
+        _pick("hi5").alias("_v5h"),
+        _pick("lo95").alias("_v95l"),
+        _pick("hi95").alias("_v95h"),
+    )
+    p05 = F.col("_v5l") + (F.col("_v5h") - F.col("_v5l")) * F.col("_f5")
+    p95 = F.col("_v95l") + (F.col("_v95h") - F.col("_v95l")) * F.col("_f95")
+    bounds = agg.select(
+        "source", "n_docs", p05.alias("p05_chars"), p95.alias("p95_chars")
+    )
+    clamped = d.join(F.broadcast(bounds), "source").select(
+        "source",
+        "n_docs",
+        "p05_chars",
+        "p95_chars",
+        F.greatest(
+            F.col("p05_chars"),
+            F.least(F.col("p95_chars"), F.col("n_chars").cast("double")),
+        ).alias("_cl"),
+        (F.col("n_chars").cast("double") < F.col("p05_chars")).alias("_lo"),
+        (F.col("n_chars").cast("double") > F.col("p95_chars")).alias("_hi"),
+    )
+    return clamped.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("p05_chars").alias("p05_chars"),
+        F.min("p95_chars").alias("p95_chars"),
+        (
+            (
+                F.sum(
+                    F.floor(F.col("_cl") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(1e6)
+            )
+            / F.min("n_docs").cast("double")
+        ).alias("winsorized_mean_chars"),
+        F.sum(F.col("_lo").cast("bigint")).alias("n_clamped_low"),
+        F.sum(F.col("_hi").cast("bigint")).alias("n_clamped_high"),
+    )
+
+
 QUERIES = {
     "doc_source_distinctive_terms": doc_source_distinctive_terms,
     "doc_winnow_overlap": doc_winnow_overlap,
@@ -1448,6 +1628,8 @@ QUERIES = {
     "bigram_frequency": bigram_frequency,
     "vocab_coverage_curve": vocab_coverage_curve,
     "doc_blocklist_filter": doc_blocklist_filter,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_length_winsorized": doc_length_winsorized,
 }
 
 _HITS = {
@@ -2189,4 +2371,109 @@ ORACLES["doc_bigram_perplexity"] = f"""
              AS perplexity
     FROM documents d
     LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+_BM25_IN = "(" + ", ".join(f"'{t_}'" for t_ in BM25_TERMS) + ")"
+
+ORACLES["doc_bm25_search"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avgdl,
+             count(1) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(1) AS tf FROM tok
+      WHERE term IN {_BM25_IN} GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(
+               round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE))
+                        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE)), 9)
+               * ((CAST(tf AS DOUBLE) * CAST({_BM25_NUM!r} AS DOUBLE))
+                  / (CAST(tf AS DOUBLE)
+                     + (CAST({_BM25_K1_1MB!r} AS DOUBLE)
+                        + (CAST({_BM25_K1B!r} AS DOUBLE)
+                           * CAST(dl AS DOUBLE)) / avgdl)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS s_fp
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(1) AS INT) AS n_terms_matched,
+             CAST(sum(s_fp) AS DOUBLE) / 1000000000.0 AS bm25_score
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched, bm25_score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS rank
+      FROM per_doc
+    ) WHERE rank <= {BM25_TOP}
+"""
+
+ORACLES["doc_length_winsorized"] = f"""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    nn AS (SELECT source, count(1) AS n_docs FROM d GROUP BY 1),
+    b AS (
+      SELECT source, n_docs,
+             floor(CAST({WINSOR_LO!r} AS DOUBLE)
+                   * CAST(n_docs - 1 AS DOUBLE)) AS lo5,
+             ceil(CAST({WINSOR_LO!r} AS DOUBLE)
+                  * CAST(n_docs - 1 AS DOUBLE)) AS hi5,
+             CAST({WINSOR_LO!r} AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)
+               - floor(CAST({WINSOR_LO!r} AS DOUBLE)
+                       * CAST(n_docs - 1 AS DOUBLE)) AS frac5,
+             floor(CAST({WINSOR_HI!r} AS DOUBLE)
+                   * CAST(n_docs - 1 AS DOUBLE)) AS lo95,
+             ceil(CAST({WINSOR_HI!r} AS DOUBLE)
+                  * CAST(n_docs - 1 AS DOUBLE)) AS hi95,
+             CAST({WINSOR_HI!r} AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE)
+               - floor(CAST({WINSOR_HI!r} AS DOUBLE)
+                       * CAST(n_docs - 1 AS DOUBLE)) AS frac95
+      FROM nn
+    ),
+    ranked AS (
+      SELECT d.*, b.n_docs, b.lo5, b.hi5, b.frac5, b.lo95, b.hi95, b.frac95,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY d.n_chars, d.doc_id) - 1 AS rk
+      FROM d JOIN b USING (source)
+    ),
+    agg AS (
+      SELECT source,
+             min(n_docs) AS n_docs,
+             min(frac5) AS f5, min(frac95) AS f95,
+             CAST(max(CASE WHEN rk = lo5 THEN n_chars END) AS DOUBLE) AS v5l,
+             CAST(max(CASE WHEN rk = hi5 THEN n_chars END) AS DOUBLE) AS v5h,
+             CAST(max(CASE WHEN rk = lo95 THEN n_chars END) AS DOUBLE) AS v95l,
+             CAST(max(CASE WHEN rk = hi95 THEN n_chars END) AS DOUBLE) AS v95h
+      FROM ranked GROUP BY 1
+    ),
+    bounds AS (
+      SELECT source, n_docs,
+             v5l + (v5h - v5l) * f5 AS p05_chars,
+             v95l + (v95h - v95l) * f95 AS p95_chars
+      FROM agg
+    )
+    SELECT d.source,
+           min(b.n_docs) AS n_docs,
+           min(b.p05_chars) AS p05_chars,
+           min(b.p95_chars) AS p95_chars,
+           (CAST(sum(CAST(floor(
+               greatest(b.p05_chars,
+                        least(b.p95_chars, CAST(d.n_chars AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0)
+             / CAST(min(b.n_docs) AS DOUBLE) AS winsorized_mean_chars,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) < b.p05_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) > b.p95_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+    FROM d JOIN bounds b USING (source)
+    GROUP BY 1
 """

@@ -78,6 +78,8 @@ ALLOW_NESTED_LOOP = {
     "corpus_quality_report": "1-row corpus-count aggregate broadcast "
     "(share denominator) onto the 8-row cross-tab; also inherits "
     "doc_dsir_importance's 1-row normalizer broadcast",
+    "doc_bm25_search": "1-row (avgdl, N) corpus-stats aggregate broadcast "
+    "onto the query-term posting lists (doc_tfidf_top_terms shape)",
 }
 
 
