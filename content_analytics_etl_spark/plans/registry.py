@@ -76,20 +76,20 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the eighteen queries added this round (epoch
-# shuffle, quality-filter calibration cross-tab, block-level exact
-# dedup, incremental snapshot dedup, incremental MinHash-LSH dedup,
-# blocklist gate, DSIR importance weights, hashed linear quality
-# classifier, bigram-LM perplexity, PQ codebook training step, nearest
-# as-of join, join-key skew profile, mergeable quantile-sketch rollup,
-# LogLog sketch set algebra, local clustering coefficient, z-order
-# layout audit, vocab coverage curve, JSON-lines round-trip, BM25
-# search, winsorized length stats, dedup-rate-by-source — 21 in all)
-# have no lifetime verdict and enter first; the fill is the 29
-# oldest-verdict (round-3) names.  Audit trail: CORRECTNESS_r07 was
-# 50/50 green
-# (six first-time queries included); no query has ever failed a driver
-# verdict and stayed failed.
+# Round-8 rotation: the 23 queries added this round (epoch shuffle,
+# quality-filter calibration cross-tab, block-level exact dedup,
+# incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
+# gate, DSIR importance weights, hashed linear quality classifier,
+# bigram-LM perplexity, PQ codebook training step, nearest as-of join,
+# join-key skew profile, mergeable quantile-sketch rollup, LogLog
+# sketch set algebra, local clustering coefficient, z-order layout
+# audit, vocab coverage curve, JSON-lines round-trip, BM25 search,
+# winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
+# dimension-truncation recall) have no lifetime verdict and enter
+# first; the fill is the 27 oldest-verdict (round-3) names.  Audit
+# trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
+# included); no query has ever failed a driver verdict and stayed
+# failed.
 DRIVER_WINDOW: list[str] = [
     # --- never driver-verified (new in round 8)
     "corpus_dedup_rate_by_source",
@@ -104,6 +104,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_dsir_importance",
     "doc_length_winsorized",
     "doc_quality_classifier",
+    "doc_rrf_fusion",
     "embedding_pq_train",
     "events_asof_nearest",
     "events_key_skew_profile",
@@ -111,9 +112,10 @@ DRIVER_WINDOW: list[str] = [
     "events_sketch_set_ops",
     "graph_clustering_coefficient",
     "lineitem_zorder_layout",
+    "sim_dim_truncation_recall",
     "vocab_coverage_curve",
     "warehouse_json_roundtrip",
-    # --- last driver verdict: round 3 (30 names)
+    # --- last driver verdict: round 3 (oldest-verdict fill)
     "doc_source_mix",
     "doc_split_assign",
     "doc_tfidf_top_terms",
@@ -141,8 +143,6 @@ DRIVER_WINDOW: list[str] = [
     "orders_merge_upsert",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
-    "sim_ann_pq_adc",
-    "sim_neardup_pairs",
 ]
 
 

@@ -952,6 +952,61 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Matryoshka-style truncation audit (Kusupati et al. 2022): which
+# embedding prefix widths preserve the full-dimension neighborhood.
+TRUNC_DIMS = (8, 16, 32)
+
+
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit: exact cosine top-k using only
+    the first 8/16/32 of the 64 embedding dimensions, scored against
+    the full-dimension exact top-k — the measurement behind shipping
+    truncated (Matryoshka-style) vectors to cut index memory: per
+    (dims, query), |truncated top-k ∩ full top-k| / k.
+
+    Scale shape: each width is the ``sim_brute_topk`` contract — the
+    bounded ≤20-row query relation broadcasts, the corpus is scanned
+    once per width and never shuffles (only the per-query ranked pairs
+    do, ≤ |corpus|·|q| rows); the audit joins run over ≤ 20·k rows.
+    Truncation is ``F.slice`` on the stored array — no re-embedding,
+    no driver collect."""
+    e = t(spark, sf_dir, "embeddings")
+    truth = brute_topk(e, e.filter(_query_side()), k=TOPK).select(
+        "query_id", "cand_id"
+    )
+    base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+
+    def per_dims(dims: int) -> DataFrame:
+        ec = e.select(
+            "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+        )
+        trunc = brute_topk(ec, ec.filter(_query_side()), k=TOPK)
+        hits = (
+            truth.join(
+                trunc.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        return base.join(hits, "query_id", "left").select(
+            F.lit(dims).alias("dims"),
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_true").cast("double")
+            ).alias("recall"),
+        )
+
+    out = per_dims(TRUNC_DIMS[0])
+    for dims in TRUNC_DIMS[1:]:
+        out = out.unionByName(per_dims(dims))
+    return out
+
+
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for representation training: per bounded
     query vector, the most similar SAME-label candidate (positive) and
@@ -1062,6 +1117,7 @@ QUERIES = {
     "sim_hard_negatives": sim_hard_negatives,
     "embedding_label_outliers": embedding_label_outliers,
     "sim_brute_topk": sim_brute_topk,
+    "sim_dim_truncation_recall": sim_dim_truncation_recall,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_semantic_decontaminate": sim_semantic_decontaminate,
     "sim_neardup_exact": sim_neardup_exact,
@@ -1767,4 +1823,57 @@ ORACLES["embedding_pq_train"] = f"""
                      / (CAST(a.n AS DOUBLE) * 1000000000.0)
            END AS new_comp
     FROM cbe LEFT JOIN agg a USING (m, k, dim_idx)
+"""
+
+
+def _trunc_td_cte(dims: int) -> str:
+    """Truncated-cosine top-k CTE over the first ``dims`` components
+    (prefix of the SAME casted vector the full-dim CTE uses — cast then
+    slice ≡ slice then cast, matching the Spark side's F.slice)."""
+    cos = (
+        f"{_DOT(d=dims, a='q.v', b='c.v')}"
+        f" / (sqrt({_DOT(d=dims, a='q.v', b='q.v')})"
+        f" * sqrt({_DOT(d=dims, a='c.v', b='c.v')}))"
+    )
+    return f"""
+    td{dims} AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id) AS rk
+        FROM e c JOIN q ON c.vec_id <> q.vec_id
+      ) WHERE rk <= {TOPK}
+    )"""
+
+
+def _trunc_sel(dims: int) -> str:
+    return f"""
+    SELECT {dims} AS dims, b.query_id,
+           CAST(b.n_true AS BIGINT) AS n_true,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+             / CAST(b.n_true AS DOUBLE) AS recall
+    FROM base b LEFT JOIN (
+      SELECT t.query_id, count(1) AS n_hit
+      FROM td{dims} t JOIN truth x
+        ON t.query_id = x.query_id AND t.cand_id = x.cand_id
+      GROUP BY 1
+    ) h ON h.query_id = b.query_id"""
+
+
+ORACLES["sim_dim_truncation_recall"] = f"""
+    WITH e AS MATERIALIZED ({_E_CTE}),
+    q AS (SELECT * FROM e WHERE {_Q_SIDE}),
+    truth AS MATERIALIZED (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm)
+                          DESC, c.vec_id) AS rk
+        FROM e c JOIN q ON c.vec_id <> q.vec_id
+      ) WHERE rk <= {TOPK}
+    ),
+    base AS (SELECT query_id, count(1) AS n_true FROM truth GROUP BY 1),
+    {", ".join(_trunc_td_cte(d_) for d_ in TRUNC_DIMS)}
+    {" UNION ALL ".join(_trunc_sel(d_) for d_ in TRUNC_DIMS)}
 """

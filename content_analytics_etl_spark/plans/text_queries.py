@@ -1505,6 +1505,120 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hybrid retrieval: reciprocal-rank fusion -------------------------
+# Standard RRF (Cormack et al. 2009): score(d) = Σ_r 1/(K + rank_r(d))
+# over the rankers that placed d in their top-``RRF_POOL``.  K = 60 is
+# the canonical constant.  Determinism: both component scores use the
+# fixed-point BIGINT sum discipline, ranks are integers, and the fused
+# score is ONE addition of two correctly-rounded IEEE divisions — no
+# order-dependent float accumulation anywhere.
+RRF_K = 60
+RRF_POOL = BM25_TOP  # per-ranker candidate pool
+RRF_TOP = 10
+
+
+def doc_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for the fixed ``BM25_TERMS`` query: fuse the
+    BM25 ranking with a classic TF-IDF ranking by reciprocal-rank
+    fusion — the engine's two lexical rankers disagree on length
+    normalization and tf saturation, and RRF is the standard way to
+    combine rankers without calibrating their score scales.  A rank of
+    0 in the output means "outside that ranker's top-RRF_POOL" (kept
+    0, not NULL, so the rank columns stay non-nullable integers).
+
+    Scale shape: the corpus is tokenized ONCE; both scores come off the
+    same query-term posting lists (size = docs matching a query term,
+    not the corpus) with fixed-point per-doc sums; each ranker's pool
+    is orderBy().limit() (global TakeOrderedAndProject); fusion is a
+    full-outer join of two ≤RRF_POOL-row frames."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("_sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        (F.col("_sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+        "n_docs",
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bm25_idf = F.round(
+        F.log(
+            (
+                F.col("n_docs").cast("double")
+                - F.col("df").cast("double")
+                + F.lit(0.5)
+            )
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    bm25_term = bm25_idf * (
+        (F.col("tf").cast("double") * F.lit(_BM25_NUM))
+        / (
+            F.col("tf").cast("double")
+            + (
+                F.lit(_BM25_K1_1MB)
+                + (F.lit(_BM25_K1B) * F.col("dl").cast("double"))
+                / F.col("avgdl")
+            )
+        )
+    )
+    tfidf_term = F.col("tf").cast("double") * F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 9
+    )
+
+    def _fp(c: Column) -> Column:
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", _fp(bm25_term).alias("_bm_fp"), _fp(tfidf_term).alias("_ti_fp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        (F.sum("_bm_fp").cast("double") / F.lit(1e9)).alias("bm25_score"),
+        (F.sum("_ti_fp").cast("double") / F.lit(1e9)).alias("tfidf_score"),
+    )
+
+    def _pool(score: str, rank_col: str) -> DataFrame:
+        top = per_doc.orderBy(F.col(score).desc(), "doc_id").limit(RRF_POOL)
+        return rank_limited(
+            top, [-F.col(score), F.col("doc_id")], ["doc_id"],
+            rank_col=rank_col,
+        )
+
+    fused = _pool("bm25_score", "bm25_rank").join(
+        _pool("tfidf_score", "tfidf_rank"), "doc_id", "full_outer"
+    )
+
+    def contrib(r: str) -> Column:
+        # NULL rank (outside that ranker's pool) contributes 0
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col(r)).cast("double"), F.lit(0.0)
+        )
+    rrf = fused.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).alias("bm25_rank"),
+        F.coalesce(F.col("tfidf_rank"), F.lit(0)).alias("tfidf_rank"),
+        (contrib("bm25_rank") + contrib("tfidf_rank")).alias("rrf_score"),
+    )
+    top = rrf.orderBy(F.col("rrf_score").desc(), "doc_id").limit(RRF_TOP)
+    return rank_limited(
+        top,
+        [-F.col("rrf_score"), F.col("doc_id")],
+        ["doc_id", "bm25_rank", "tfidf_rank", "rrf_score"],
+    )
+
+
 # --- Winsorized length statistics ------------------------------------
 WINSOR_LO = 0.05
 WINSOR_HI = 0.95
@@ -1630,6 +1744,7 @@ QUERIES = {
     "doc_blocklist_filter": doc_blocklist_filter,
     "doc_bm25_search": doc_bm25_search,
     "doc_length_winsorized": doc_length_winsorized,
+    "doc_rrf_fusion": doc_rrf_fusion,
 }
 
 _HITS = {
@@ -2476,4 +2591,73 @@ ORACLES["doc_length_winsorized"] = f"""
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
     FROM d JOIN bounds b USING (source)
     GROUP BY 1
+"""
+
+ORACLES["doc_rrf_fusion"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avgdl,
+             count(1) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(1) AS tf FROM tok
+      WHERE term IN {_BM25_IN} GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(
+               round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE))
+                        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE)), 9)
+               * ((CAST(tf AS DOUBLE) * CAST({_BM25_NUM!r} AS DOUBLE))
+                  / (CAST(tf AS DOUBLE)
+                     + (CAST({_BM25_K1_1MB!r} AS DOUBLE)
+                        + (CAST({_BM25_K1B!r} AS DOUBLE)
+                           * CAST(dl AS DOUBLE)) / avgdl)))
+               * 1000000000.0 + 0.5) AS BIGINT) AS bm_fp,
+             CAST(floor(
+               CAST(tf AS DOUBLE)
+               * round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9)
+               * 1000000000.0 + 0.5) AS BIGINT) AS ti_fp
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(bm_fp) AS DOUBLE) / 1000000000.0 AS bm25_score,
+             CAST(sum(ti_fp) AS DOUBLE) / 1000000000.0 AS tfidf_score
+      FROM scored GROUP BY 1
+    ),
+    bm AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS r
+        FROM per_doc) WHERE r <= {RRF_POOL}
+    ),
+    ti AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tfidf_score DESC, doc_id) AS r
+        FROM per_doc) WHERE r <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ti.doc_id) AS doc_id,
+             CAST(COALESCE(bm.r, 0) AS INT) AS bm25_rank,
+             CAST(COALESCE(ti.r, 0) AS INT) AS tfidf_rank,
+             COALESCE(1.0 / CAST({RRF_K} + bm.r AS DOUBLE), 0.0)
+               + COALESCE(1.0 / CAST({RRF_K} + ti.r AS DOUBLE), 0.0)
+               AS rrf_score
+      FROM bm FULL JOIN ti ON bm.doc_id = ti.doc_id
+    )
+    SELECT doc_id, bm25_rank, tfidf_rank, rrf_score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {RRF_TOP}
 """

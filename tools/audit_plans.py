@@ -80,6 +80,11 @@ ALLOW_NESTED_LOOP = {
     "doc_dsir_importance's 1-row normalizer broadcast",
     "doc_bm25_search": "1-row (avgdl, N) corpus-stats aggregate broadcast "
     "onto the query-term posting lists (doc_tfidf_top_terms shape)",
+    "sim_dim_truncation_recall": "inherits sim_brute_topk's bounded "
+    "(≤20-row) broadcast query side — once per truncation width plus "
+    "the full-dim ground truth",
+    "doc_rrf_fusion": "inherits doc_bm25_search's 1-row (avgdl, N) "
+    "corpus-stats broadcast; fusion join is two ≤20-row ranker pools",
 }
 
 
