@@ -250,12 +250,96 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 3
+LPA_MIN_W = 2  # keep co-purchase edges with >= 2 shared orders
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by WEIGHTED synchronous label propagation
+    (Raghavan et al. 2007), ``LPA_ITERS`` rounds unrolled, over the
+    strong part co-purchase graph: edge weight = number of shared
+    orders, edges below ``LPA_MIN_W`` dropped (the unweighted 1-shared-
+    order graph is so dense that min-tie-break label flooding collapses
+    it to one community — measured: 62 communities vs 514 at sf0.01).
+    The near-dup graph is the wrong base entirely: all small cliques,
+    where LPA degenerates to connected components (``dedup_clusters``).
+    Deterministic variant: neighbor votes are weight sums, each node's
+    OWN current label casts one extra vote (damps the 2-clique
+    label-swap oscillation plain synchronous LPA suffers), ties broken
+    by the smallest label. Output: node → community + community size.
+
+    Scale shape: per round, one equi-join of the symmetrized weighted
+    edge list against the label table (keyed shuffle, linear in edges)
+    and two hash aggregations — the per-node winner is
+    ``max(struct(cnt, -label, label))``, a map-side-combinable argmax,
+    never a window over corpus-sized groups. Iteration count is a
+    constant; the edge list is persisted once and released after
+    materialization; votes stay integer-exact throughout."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
+    ).hint("merge")
+    edges = (
+        a.join(b, ["okey"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_W)
+    )
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(LPA_ITERS):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label", "w")
+        votes = (
+            # self-vote (weight 1) damps sync oscillation
+            nbr.unionByName(labels.withColumn("w", F.lit(1).cast("long")))
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("cnt"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"),
+                    (-F.col("label")).alias("_neg"),
+                    F.col("label").alias("label"),
+                )
+            ).alias("_m")
+        ).select("node", F.col("_m.label").alias("label"))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return materialize_and_release(
+        labels.join(sizes, "label").select(
+            "node", F.col("label").alias("community"), "n_members"
+        ),
+        sym,
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_common_neighbors": graph_common_neighbors,
     "graph_common_neighbors_pruned": graph_common_neighbors_pruned,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 # Three unrolled PageRank rounds; contribution sums decimal-exact, the
@@ -418,3 +502,53 @@ ORACLES["graph_clustering_coefficient"] = """
            END AS clustering_coeff
     FROM deg d LEFT JOIN tricnt t ON t.node = d.src
 """
+
+
+def _lpa_step(i: int) -> str:
+    """One weighted synchronous LPA round: weight-summed neighbor votes
+    + the weight-1 self-vote, per-node winner by (cnt DESC, label ASC)
+    — the row_number mirror of the Spark side's
+    max(struct(cnt, -label, label)) hash argmax."""
+    return f"""
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rk
+        FROM (
+          SELECT node, label, CAST(sum(w) AS BIGINT) AS cnt FROM (
+            SELECT e.src AS node, l.label, e.w
+            FROM sym e JOIN l{i - 1} l ON e.dst = l.node
+            UNION ALL
+            SELECT node, label, 1 AS w FROM l{i - 1}
+          ) GROUP BY 1, 2
+        )
+      ) WHERE rk = 1
+    )"""
+
+
+ORACLES["graph_label_propagation"] = (
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(1) AS w
+      FROM op a JOIN op b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(1) >= {LPA_MIN_W}
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS src, v AS dst, w FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst, w FROM edges
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),"""
+    + ",".join(_lpa_step(i) for i in range(1, LPA_ITERS + 1))
+    + f"""
+    , sizes AS (
+      SELECT label, count(1) AS n_members FROM l{LPA_ITERS} GROUP BY 1
+    )
+    SELECT l.node, l.label AS community, s.n_members
+    FROM l{LPA_ITERS} l JOIN sizes s USING (label)
+"""
+)

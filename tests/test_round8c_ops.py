@@ -156,3 +156,51 @@ def test_sim_dim_truncation_recall_matches_python(spark, sf_dir):
     assert any(v[1] > 0 for v in want.values()), (
         "vacuous audit — no truncation recovers any true neighbor"
     )
+
+
+def test_graph_label_propagation_matches_python(spark, sf_dir):
+    from content_analytics_etl_spark.plans.graph_queries import (
+        LPA_ITERS,
+        LPA_MIN_W,
+        graph_label_propagation,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    by_order: dict[int, list[int]] = defaultdict(list)
+    for okey, pkey in rows:
+        by_order[okey].append(pkey)
+    wts: Counter = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                wts[(u, v)] += 1
+    nbrs: dict[int, dict] = defaultdict(dict)
+    for (u, v), w in wts.items():
+        if w >= LPA_MIN_W:
+            nbrs[u][v] = w
+            nbrs[v][u] = w
+    labels = {n: n for n in nbrs}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for n in nbrs:
+            votes: Counter = Counter()
+            for m, w in nbrs[n].items():
+                votes[labels[m]] += w
+            votes[labels[n]] += 1  # self-vote
+            new[n] = min(
+                votes, key=lambda lab: (-votes[lab], lab)
+            )
+        labels = new
+    sizes: Counter = Counter(labels.values())
+    want = {n: (lab, sizes[lab]) for n, lab in labels.items()}
+    got = {
+        r["node"]: (r["community"], r["n_members"])
+        for r in graph_label_propagation(spark, sf_dir).collect()
+    }
+    assert got == want
+    # non-vacuity: real community structure — more than one community,
+    # and at least one community larger than a single node
+    assert len(sizes) > 1 and max(sizes.values()) > 1
