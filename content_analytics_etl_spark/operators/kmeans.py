@@ -3,24 +3,27 @@ iterative-algorithm operator behind IVF coarse quantization
 (plans/similarity_queries.py seeds its cells with corpus vectors; this
 is the trainer that would replace that seed at production quality).
 
-Spark-first shape, per iteration:
+Spark-first shape, per iteration (ONE job, ONE k-group shuffle):
 
-1. **Assign** — broadcast the k-row centroid relation against the
-   corpus, rank-1 window by squared L2 distance (computed as
-   ``|v|² − 2·v·c + |c|²`` from fold-based dot products). The corpus
-   shuffles once per iteration on vec_id for the window; candidates are
-   never pairwise.
-2. **Update** — ``posexplode`` assigned vectors → per-(cluster, dim)
-   decimal-exact sums → re-assemble the mean vector with
-   ``array_sort(collect_list(struct(pos, mean)))``. Decimal sums make
-   the centroids bit-identical run to run (double Σ is
-   order-dependent; see plans/_util.py policy).
-3. **Collect** — the k×dim centroid table (a few KB at any corpus
-   scale) is collected to the driver and re-broadcast as literals for
-   the next iteration. This is the one legitimate driver materialization
-   in the engine: centroids are O(k·dim) by definition, independent of
-   corpus size, and collecting them truncates the lineage so iteration
-   N's plan doesn't embed iterations 1…N−1.
+1. **Assign** — the centroids live on the driver between iterations, so
+   the nearest-centroid step inlines them as LITERAL arrays and takes
+   ``array_min`` over the k (d2, cid) structs ROW-LOCALLY: a pure map,
+   no crossJoin row multiplication, no corpus-wide window shuffle.
+   d2 = ``|v|² − 2·v·c + |c|²`` from fold-based dot products, ties →
+   lowest cid — identical arithmetic and tie rule to the relational
+   ``assign_clusters`` (which stays for DataFrame-valued centroids).
+2. **Update + SSE, fused** — ``posexplode`` to the (cluster, dim)
+   decimal-exact mean grid as before, with the per-cluster SSE decimal
+   partial riding in the pos=0 cell — one job per iteration instead of
+   the old assign/update/SSE three. Decimal sums make the centroids
+   bit-identical run to run (double Σ is order-dependent; see
+   plans/_util.py policy).
+3. **Collect** — the k-row centroid+SSE aggregate (a few KB at any
+   corpus scale) is collected to the driver and re-inlined as literals
+   for the next iteration. This is the one legitimate driver
+   materialization in the engine: centroids are O(k·dim) by definition,
+   independent of corpus size, and collecting them truncates the
+   lineage so iteration N's plan doesn't embed iterations 1…N−1.
 
 Empty clusters keep their previous centroid (no NaNs, stable k).
 """
@@ -35,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..functions.vectors import dot_product
 
-__all__ = ["KMeansModel", "kmeans_fit", "assign_clusters"]
+__all__ = ["KMeansModel", "kmeans_fit", "assign_clusters", "assign_clusters_literal"]
 
 _DEC = "decimal(28,12)"
 
@@ -80,6 +83,50 @@ def assign_clusters(corpus: DataFrame, cent: DataFrame) -> DataFrame:
     return ranked.filter(F.col("rk") == 1).select("vec_id", "v", "cid", "d2")
 
 
+def assign_clusters_literal(
+    corpus: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment with DRIVER-RESIDENT centroids:
+    the k×dim matrix rides in as ONE broadcast row (array of (cid, cv)
+    structs — plan DATA, deliberately not inlined literals: literal
+    centroids change the generated code each Lloyd iteration and every
+    iteration pays a fresh Janino compile, measured 3.6 → 8.0 s on the
+    full trainer). d2 per centroid is computed row-locally inside a
+    ``transform`` lambda and the winner is ``array_min`` over the k
+    (d2, cid) structs — lexicographic struct order gives (d2 ASC,
+    cid ASC), the same tie rule as ``assign_clusters``'s window. No
+    row multiplication (the crossJoin build side is exactly 1 row),
+    no corpus shuffle. Same (vec_id, v, cid, d2) output."""
+    spark = corpus.sparkSession
+    mat_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("cv", T.ArrayType(T.DoubleType())),
+            ]
+        )
+    )
+    mat = spark.createDataFrame(
+        [([(i, [float(x) for x in c]) for i, c in enumerate(centroids)],)],
+        T.StructType([T.StructField("cmat", mat_type)]),
+    )
+
+    def _cand(c):
+        # same operation ORDER as assign_clusters: (v·v − 2·v·c) + c·c
+        d2 = (
+            dot_product(F.col("v"), F.col("v"))
+            - 2.0 * dot_product(F.col("v"), c["cv"])
+            + dot_product(c["cv"], c["cv"])
+        )
+        return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+
+    best = F.array_min(F.transform(F.col("cmat"), _cand))
+    return corpus.crossJoin(F.broadcast(mat)).select(
+        "vec_id", "v", best.getField("cid").alias("cid"),
+        best.getField("d2").alias("d2"),
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame, *, k: int, iters: int = 5
 ) -> KMeansModel:
@@ -87,8 +134,9 @@ def kmeans_fit(
     Init = the k lowest-vec_id vectors (deterministic). Returns the
     final centroids and the per-iteration total SSE (decimal-exact, so
     the history is reproducible bit-for-bit)."""
-    spark = corpus.sparkSession
-    corpus = corpus.persist()  # scanned twice per iteration (update + SSE)
+    import decimal
+
+    corpus = corpus.persist()  # scanned once per iteration
     init = (
         corpus.orderBy("vec_id")
         .limit(k)
@@ -98,32 +146,44 @@ def kmeans_fit(
     centroids = [list(r["v"]) for r in init]
     sse_history: list[float] = []
     for _ in range(iters):
-        assigned = assign_clusters(corpus, _centroid_df(spark, centroids)).persist()
+        assigned = assign_clusters_literal(corpus, centroids)
+        # fused update + SSE in ONE job: the per-(cid, pos) decimal mean
+        # grid as before, with the per-cluster SSE partial riding along
+        # in the pos=0 cell (sum of an all-NULL column elsewhere) — no
+        # second SSE pass, no persisted intermediate. (A 64-column wide
+        # agg was tried instead of posexplode and rejected: per-iteration
+        # ANALYSIS of the 65-aggregate plan cost ~2 s and its first
+        # codegen ~20 s — the small-plan explode grid wins on the driver,
+        # not the executor.)
         per_dim = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            assigned.select("cid", "d2", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(
                 (F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1)))
-                .alias("m")
+                .alias("m"),
+                F.sum(
+                    F.when(F.col("pos") == 0, F.col("d2")).cast(_DEC)
+                ).alias("sd2"),
             )
         )
-        new_rows = (
+        rows = (
             per_dim.groupBy("cid")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s.getField("m"),
-                ).alias("cv")
+                ).alias("cv"),
+                F.max("sd2").alias("sd2"),  # the pos=0 cell is the only non-null
             )
             .collect()
         )
-        for r in new_rows:
+        for r in rows:
             centroids[r["cid"]] = list(r["cv"])
-        sse = (
-            assigned.agg(F.sum(F.col("d2").cast(_DEC)).cast("double").alias("sse"))
-            .collect()[0]["sse"]
-        )
-        sse_history.append(float(sse))
-        assigned.unpersist()
+        # total SSE: sum the per-cluster decimal partials EXACTLY, then
+        # one correctly-rounded cast — bit-identical to the old single
+        # decimal Σ over all rows cast to double
+        with decimal.localcontext() as ctx:
+            ctx.prec = 60
+            sse_history.append(float(sum(r["sd2"] for r in rows)))
     corpus.unpersist()
     return KMeansModel(centroids=centroids, sse_history=sse_history)

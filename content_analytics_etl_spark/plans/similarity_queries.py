@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_product, l2_norm, to_double_array
-from ..operators.kmeans import _centroid_df, assign_clusters, kmeans_fit
+from ..operators.kmeans import (
+    _centroid_df,
+    assign_clusters,
+    assign_clusters_literal,
+    kmeans_fit,
+)
 from ..operators.similarity import (
     add_hyperplane_bucket,
     brute_topk,
@@ -891,7 +896,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array("embedding").alias("v")
     )
     model = kmeans_fit(e, k=IVF_CELLS, iters=3)
-    assigned = assign_clusters(e, _centroid_df(spark, model.centroids))
+    assigned = assign_clusters_literal(e, model.centroids)
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.col("d2").cast("decimal(28,12)")).cast("double").alias("sse"),
