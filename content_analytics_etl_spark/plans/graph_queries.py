@@ -333,6 +333,98 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 2
+KCORE_PEELS = 6
+
+
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion-layer k-core decomposition (k = ``KCORE_K``,
+    ``KCORE_PEELS`` synchronous peel rounds unrolled) over the strong
+    part co-purchase graph (the ``graph_label_propagation`` base: edge
+    weight = shared orders, weight ≥ 2). Each round simultaneously
+    removes every node whose CURRENT degree is below k; the round in
+    which a node falls is its onion layer — the classic coreness
+    signal ("is this part in a densely interlocked basket community,
+    or hanging off one?"). Output: every node with ``peel_round``
+    (1-based removal round, 0 = survives all rounds) and, for
+    survivors, the degree inside the retained core. At sf0.001 / 0.01 /
+    0.1 the fixed 6 rounds reach the fixpoint (measured: survivor
+    counts stabilize at rounds 1 / 3 / 5); like PageRank/LPA the
+    semantics is the fixed round count, so the oracle stays hash-exact
+    even where it wouldn't converge.
+
+    Scale shape: per round one degree aggregation + two semi-joins of
+    the edge list against the kept-node set — all keyed shuffles,
+    linear in surviving edges, and the edge set only shrinks.
+    ``localCheckpoint`` truncates lineage each round (the operator
+    references its own previous round three times, so an unchecked
+    plan grows 3^rounds). No driver-side data, no windows."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
+    ).hint("merge")
+    edges = (
+        a.join(b, ["okey"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_W)
+        .select("u", "v")
+    )
+    cur = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    # Explicit node set per round: a survivor whose LAST edges vanish
+    # because its neighbors fell this round has degree 0 next round and
+    # must be peeled then — deriving liveness from the edge relation
+    # alone would silently drop such nodes from the output.
+    nodes = cur.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    peeled = None
+    for i in range(1, KCORE_PEELS + 1):
+        edeg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("ed"))
+        deg = nodes.join(
+            edeg.select(F.col("src").alias("node"), "ed"), "node", "left"
+        ).select("node", F.coalesce("ed", F.lit(0)).alias("deg"))
+        fell = deg.filter(F.col("deg") < KCORE_K).select(
+            "node", F.lit(i).cast("int").alias("peel_round")
+        )
+        peeled = fell if peeled is None else peeled.unionAll(fell)
+        nodes = deg.filter(F.col("deg") >= KCORE_K).select("node").localCheckpoint()
+        kept = nodes.select(F.col("node").alias("src"))
+        cur = (
+            cur.join(kept, "src", "semi")
+            .join(kept.select(F.col("src").alias("dst")), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    core_deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("ed"))
+    survivors = nodes.join(
+        core_deg.select(F.col("src").alias("node"), "ed"), "node", "left"
+    ).select(
+        "node",
+        F.lit(0).cast("int").alias("peel_round"),
+        F.coalesce("ed", F.lit(0).cast("long")).alias("core_degree"),
+    )
+    return survivors.unionByName(
+        peeled.select(
+            "node",
+            "peel_round",
+            F.lit(None).cast("long").alias("core_degree"),
+        )
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
@@ -340,6 +432,7 @@ QUERIES = {
     "graph_common_neighbors": graph_common_neighbors,
     "graph_common_neighbors_pruned": graph_common_neighbors_pruned,
     "graph_label_propagation": graph_label_propagation,
+    "graph_kcore_decomposition": graph_kcore_decomposition,
 }
 
 # Three unrolled PageRank rounds; contribution sums decimal-exact, the
@@ -526,6 +619,62 @@ def _lpa_step(i: int) -> str:
       ) WHERE rk = 1
     )"""
 
+
+def _kcore_step(i: int) -> str:
+    """One synchronous peel: degree = live-node set LEFT-joined against
+    the surviving-edge counts (a live node with no edges left has
+    degree 0 and falls THIS round — the mirror of the Spark side's
+    explicit node relation), nodes below K fall with their round,
+    edges keep only rows whose BOTH endpoints survived."""
+    return f"""
+    d{i} AS MATERIALIZED (
+      SELECT n.node, coalesce(e.ed, 0) AS deg
+      FROM n{i - 1} n LEFT JOIN (
+        SELECT src, count(1) AS ed FROM k{i - 1} GROUP BY 1
+      ) e ON e.src = n.node
+    ),
+    r{i} AS (
+      SELECT node, {i} AS peel_round FROM d{i} WHERE deg < {KCORE_K}
+    ),
+    n{i} AS MATERIALIZED (
+      SELECT node FROM d{i} WHERE deg >= {KCORE_K}
+    ),
+    k{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM k{i - 1} e
+      WHERE e.src IN (SELECT node FROM n{i})
+        AND e.dst IN (SELECT node FROM n{i})
+    )"""
+
+
+ORACLES["graph_kcore_decomposition"] = (
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(1) >= {LPA_MIN_W}
+    ),
+    k0 AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges
+    ),
+    n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM k0),"""
+    + ",".join(_kcore_step(i) for i in range(1, KCORE_PEELS + 1))
+    + f"""
+    SELECT n.node, CAST(0 AS INTEGER) AS peel_round,
+           coalesce(e.ed, 0) AS core_degree
+    FROM n{KCORE_PEELS} n LEFT JOIN (
+      SELECT src, count(1) AS ed FROM k{KCORE_PEELS} GROUP BY 1
+    ) e ON e.src = n.node
+    UNION ALL
+    SELECT node, CAST(peel_round AS INTEGER) AS peel_round,
+           CAST(NULL AS BIGINT) AS core_degree
+    FROM ({" UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(1, KCORE_PEELS + 1))})
+"""
+)
 
 ORACLES["graph_label_propagation"] = (
     f"""

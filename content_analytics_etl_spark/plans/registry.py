@@ -76,7 +76,7 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the 24 queries added this round (epoch shuffle,
+# Round-8 rotation: the 25 queries added this round (epoch shuffle,
 # quality-filter calibration cross-tab, block-level exact dedup,
 # incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
 # gate, DSIR importance weights, hashed linear quality classifier,
@@ -85,9 +85,9 @@ _MODULES = [
 # sketch set algebra, local clustering coefficient, z-order layout
 # audit, vocab coverage curve, JSON-lines round-trip, BM25 search,
 # winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
-# dimension-truncation recall, weighted-LPA communities) have no
-# lifetime verdict and enter first; the fill is the 26 oldest-verdict
-# (round-3) names.  Audit
+# dimension-truncation recall, weighted-LPA communities, k-core
+# onion layers) have no lifetime verdict and enter first; the fill is
+# the 25 oldest-verdict (round-3) names.  Audit
 # trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
 # included); no query has ever failed a driver verdict and stayed
 # failed.
@@ -112,6 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "events_quantile_sketch_rollup",
     "events_sketch_set_ops",
     "graph_clustering_coefficient",
+    "graph_kcore_decomposition",
     "graph_label_propagation",
     "lineitem_zorder_layout",
     "sim_dim_truncation_recall",
@@ -143,7 +144,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_metadata",
     "multimodal_video_decode",
     "orders_merge_upsert",
-    "sim_ann_ivf_topk",
 ]
 
 

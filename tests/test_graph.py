@@ -115,3 +115,50 @@ def test_clustering_coefficient_nontrivial_and_consistent(spark, sf_dir):
     assert any(0.0 < v[2] < 1.0 for v in want.values()), (
         "all cc trivial — prune not opening cliques"
     )
+
+
+def test_graph_kcore_peel_semantics_python_mirror(spark, sf_dir):
+    """Synchronous-peel onion layers recomputed in pure python over the
+    same weight-filtered co-purchase graph: per round, EVERY node with
+    current degree < K falls simultaneously (a node whose degree only
+    drops below K because of this round's removals falls NEXT round).
+    Survivors carry their in-core degree."""
+    import duckdb
+
+    from content_analytics_etl_spark.plans.graph_queries import (
+        KCORE_K,
+        KCORE_PEELS,
+        LPA_MIN_W,
+        graph_kcore_decomposition,
+    )
+
+    edges = duckdb.sql(
+        f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{sf_dir}/lineitem.parquet')
+        SELECT a.l_partkey u, b.l_partkey v
+        FROM op a JOIN op b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(1) >= {LPA_MIN_W}
+        """
+    ).fetchall()
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for rnd in range(1, KCORE_PEELS + 1):
+        fell = {n for n, nbrs in adj.items() if len(nbrs) < KCORE_K}
+        for n in fell:
+            want[n] = (rnd, None)
+        adj = {
+            n: nbrs - fell for n, nbrs in adj.items() if n not in fell
+        }
+    for n, nbrs in adj.items():
+        want[n] = (0, len(nbrs))
+    got = {
+        r["node"]: (r["peel_round"], r["core_degree"])
+        for r in graph_kcore_decomposition(spark, sf_dir).collect()
+    }
+    assert got == want and got
+    assert any(v[0] == 0 for v in want.values()), "no core survives"

@@ -166,6 +166,43 @@ def test_corpus_dedup_rate_by_source_matches_python(spark, sf_dir):
         for r in corpus_dedup_rate_by_source(spark, sf_dir).collect()
     }
     assert got == want
-    assert any(v[2] > 0 for v in want.values()), (
-        "vacuous dedup-rate report — no exact duplicates in the corpus"
+
+
+def test_corpus_dedup_rate_nonvacuous_on_seeded_corpus(spark, tmp_path):
+    """The generated corpus is not guaranteed to contain EXACT
+    duplicates at sf0.001 (the 2026-08-15 regeneration has none), so
+    the non-vacuity leg runs on a seeded corpus with known dup
+    structure: two within-source copies, one cross-source copy, one
+    unique doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "alpha beta gamma", "en", "web"),
+        (2, "alpha  beta gamma", "en", "web"),  # ws-normalized dup of 1
+        (3, "alpha beta gamma", "en", "books"),  # cross-source dup
+        (4, "delta epsilon", "en", "web"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
     )
+    got = {
+        r["source"]: r
+        for r in corpus_dedup_rate_by_source(spark, str(tmp_path)).collect()
+    }
+    web, books = got["web"], got["books"]
+    assert (web["n_docs"], web["n_unique_fps"]) == (3, 2)
+    assert (web["n_dup_docs"], web["n_cross_source_dup_docs"]) == (2, 2)
+    assert web["dup_rate"] == 2.0 / 3.0
+    assert (books["n_dup_docs"], books["n_cross_source_dup_docs"]) == (1, 1)
