@@ -27,6 +27,7 @@ from ..operators.dedup import (
     simhash60_agg,
 )
 from ..cache import session_materialized
+from ..operators.prefix_sum import distributed_prefix_sum
 from ._util import source_fingerprint, t
 
 JACCARD_THRESHOLD = 0.5
@@ -759,6 +760,81 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNM_KEY_LEN = 32
+SNM_WINDOW = 3
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort the
+    corpus by a normalized blocking key (first ``SNM_KEY_LEN`` chars of
+    whitespace-normalized text), slide a ``SNM_WINDOW``-row window down
+    the sort order, and verify only rank-adjacent candidates with
+    word-trigram Jaccard — the classic entity-resolution alternative to
+    LSH when near-dups share prefixes (boilerplate headers, template
+    pages). Output: every candidate pair with its rank gap, Jaccard
+    (NULL when either side has < 3 tokens), and the ≥ 0.5 verdict.
+
+    Scale shape: the global sort rank comes from the two-pass
+    distributed prefix sum (pid = clamped two-leading-char code, an
+    O(#prefixes) control-plane collect — never a corpus window); the
+    window expansion is an explode to ``SNM_WINDOW`` probe ranks + one
+    equi-join on rank (fan-out W, linear); verification joins the
+    bounded candidate list against per-doc shingle arrays. No quadratic
+    pair scan anywhere — candidates are n·W by construction."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = d.select(
+        "doc_id",
+        F.substring(norm_text("text"), 1, SNM_KEY_LEN).alias("bkey"),
+    ).withColumn("one", F.lit(1).cast("long"))
+    # pid monotone in bkey: leading char code * 128 + clamped 2nd char
+    # code (clamp keeps pids ordered even for multi-byte 2nd chars)
+    pid = (
+        F.ascii(F.substring("bkey", 1, 1)) * F.lit(128)
+        + F.least(F.ascii(F.substring("bkey", 2, 1)), F.lit(127))
+    ).cast("int")
+    ranked, _ = distributed_prefix_sum(
+        spark,
+        keyed,
+        pid=pid,
+        order=[F.col("bkey"), F.col("doc_id")],
+        value_col="one",
+        cum_col="__cum",
+        rank_col="rn",
+    )
+    ranked = ranked.select("doc_id", "rn")
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(i) for i in range(1, SNM_WINDOW + 1)])
+        ).alias("rn_b"),
+    )
+    pairs = probes.join(
+        ranked.select(F.col("doc_id").alias("doc_b"), F.col("rn").alias("rn_b")),
+        "rn_b",
+    )
+    sh = shingled(d, ["doc_id"])
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.when(
+        F.col("sh_a").isNotNull() & F.col("sh_b").isNotNull(),
+        jaccard("sh_a", "sh_b"),
+    )
+    return (
+        pairs.join(sa, "doc_a", "left")
+        .join(sb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"),
+            jac.alias("jaccard"),
+            F.coalesce(
+                jac >= F.lit(JACCARD_THRESHOLD), F.lit(False)
+            ).alias("is_near_dup"),
+        )
+    )
+
+
 def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication report: how much of each source is exact
     duplicate content, and how much of that duplication crosses source
@@ -813,6 +889,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "doc_dup_aware_sampling": doc_dup_aware_sampling,
     "corpus_dedup_rate_by_source": corpus_dedup_rate_by_source,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -1194,4 +1271,33 @@ ORACLES["corpus_dedup_rate_by_source"] = f"""
              / CAST(sum(n_sf) AS BIGINT) AS dup_rate
     FROM per_sf JOIN per_fp USING (fp)
     GROUP BY 1
+"""
+
+ORACLES["dedup_sorted_neighborhood"] = f"""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substr({_NORM}, 1, {SNM_KEY_LEN}),
+                                doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rn - a.rn AS rank_gap
+      FROM ranked a JOIN ranked b
+        ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+    ),
+    sh AS ({_SHINGLES_CTE}),
+    scored AS (
+      SELECT c.doc_a, c.doc_b, c.rank_gap,
+             CASE WHEN len(sa.shingles) > 0 AND len(sb.shingles) > 0 THEN
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                        AS DOUBLE)
+             END AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, rank_gap, jaccard,
+           coalesce(jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
+    FROM scored
 """

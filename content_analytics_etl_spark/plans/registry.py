@@ -76,7 +76,7 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the 25 queries added this round (epoch shuffle,
+# Round-8 rotation: the 26 queries added this round (epoch shuffle,
 # quality-filter calibration cross-tab, block-level exact dedup,
 # incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
 # gate, DSIR importance weights, hashed linear quality classifier,
@@ -86,8 +86,8 @@ _MODULES = [
 # audit, vocab coverage curve, JSON-lines round-trip, BM25 search,
 # winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
 # dimension-truncation recall, weighted-LPA communities, k-core
-# onion layers) have no lifetime verdict and enter first; the fill is
-# the 25 oldest-verdict (round-3) names.  Audit
+# onion layers, sorted-neighborhood dedup) have no lifetime verdict
+# and enter first; the fill is the 24 oldest-verdict (round-3) names.  Audit
 # trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
 # included); no query has ever failed a driver verdict and stayed
 # failed.
@@ -99,6 +99,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_block_exact",
     "dedup_incremental",
     "dedup_lsh_incremental",
+    "dedup_sorted_neighborhood",
     "doc_bigram_perplexity",
     "doc_blocklist_filter",
     "doc_bm25_search",
@@ -143,7 +144,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_features",
     "multimodal_metadata",
     "multimodal_video_decode",
-    "orders_merge_upsert",
 ]
 
 
