@@ -31,7 +31,11 @@ from .dedup_queries import (
 from pyspark.sql import Window as W
 
 from ..functions.text_metrics import tokens
-from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
+from ..operators.prefix_sum import (
+    distributed_prefix_sum,
+    quantile_bucket_asc,
+    quantile_bucket_desc,
+)
 from .text_queries import (
     ORACLES as T_ORACLES,
     PACK_CONTEXT,
@@ -253,6 +257,66 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SYS_SAMPLE_K = 200
+SYS_DOC_PARTS = 16
+
+
+def corpus_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample (Madow 1949)
+    — the deterministic replacement for weighted random sampling when a
+    training mix must be reproducible: lay every document's char count
+    end to end along the (source, doc_id) order (implicit
+    stratification by source), then take ``SYS_SAMPLE_K`` picks at the
+    midpoints of equal-width strides, pick i landing at integer
+    position ((2i+1)·T) // (2K) of the cumulative weight line. A
+    document is picked with multiplicity ∝ its weight; no RNG, integer
+    arithmetic end to end, same output on any partitioning.
+
+    Scale shape: the cumulative line is the two-pass distributed prefix
+    sum (pid = source index × doc-id quantile bucket — the
+    token-budget-sample composite, O(#sources) collects); the K pick
+    points are computed from the returned grand total and broadcast as
+    a K-row frame into one interval-containment join (each pick matches
+    exactly one document since intervals tile [0, T)). Point count is
+    the only fan-out; no corpus-wide window, no quadratic form."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("wc")
+    )
+    srcs = sorted(r["source"] for r in d.select("source").distinct().collect())
+    six = None
+    for i, s in enumerate(srcs):
+        cond = F.col("source") == s
+        six = F.when(cond, i) if six is None else six.when(cond, i)
+    db = quantile_bucket_asc(d, "doc_id", SYS_DOC_PARTS)
+    lined, total = distributed_prefix_sum(
+        spark,
+        d,
+        pid=(six * SYS_DOC_PARTS + db).cast("int"),
+        order=[F.col("source"), F.col("doc_id")],
+        value_col="wc",
+        cum_col="cum",
+    )
+    k = SYS_SAMPLE_K
+    pts = spark.createDataFrame(
+        [(i, ((2 * i + 1) * int(total)) // (2 * k)) for i in range(k)],
+        "pick_idx int, point long",
+    )
+    return (
+        lined.join(
+            F.broadcast(pts),
+            (F.col("point") >= F.col("cum") - F.col("wc"))
+            & (F.col("point") < F.col("cum")),
+        )
+        .select(
+            "pick_idx",
+            "point",
+            "doc_id",
+            "source",
+            F.col("wc").alias("weight_chars"),
+        )
+    )
+
+
 SHUFFLE_SHARDS = 16
 SHUFFLE_SEED = "epoch-0"
 
@@ -337,6 +401,7 @@ QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
     "corpus_training_manifest": corpus_training_manifest,
     "corpus_token_budget_sample": corpus_token_budget_sample,
+    "corpus_systematic_sample": corpus_systematic_sample,
 }
 
 ORACLES = {
@@ -438,6 +503,32 @@ ORACLES["corpus_token_budget_sample"] = f"""
     SELECT doc_id, source, n_tokens, quality_score, cum_tokens
     FROM c
     WHERE cum_tokens - n_tokens < {TOKEN_BUDGET_PER_SOURCE}
+"""
+
+# Mirror of corpus_systematic_sample: the single-threaded oracle may
+# use a plain running-sum window; pick points via generate_series with
+# the same integer midpoint formula (DuckDB // is floor division on
+# BIGINTs, matching python's // on non-negative operands).
+ORACLES["corpus_systematic_sample"] = f"""
+    WITH lined AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wc,
+             CAST(SUM(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY source, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS t
+            FROM documents),
+    pts AS (
+      SELECT CAST(i AS INT) AS pick_idx,
+             CAST(((2 * i + 1) * (SELECT t FROM tot)) // (2 * {SYS_SAMPLE_K})
+                  AS BIGINT) AS point
+      FROM generate_series(0, {SYS_SAMPLE_K - 1}) AS g(i)
+    )
+    SELECT p.pick_idx, p.point, l.doc_id, l.source, l.wc AS weight_chars
+    FROM pts p JOIN lined l
+      ON p.point >= l.cum - l.wc AND p.point < l.cum
 """
 
 # Mirror of corpus_epoch_shuffle: same portable md5-derived 60-bit key

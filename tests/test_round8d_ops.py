@@ -54,3 +54,41 @@ def test_sorted_neighborhood_matches_python(spark, sf_dir):
         for r in dedup_sorted_neighborhood(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_systematic_sample_matches_python(spark, sf_dir):
+    """Madow systematic PPS recomputed in pure python: cumulative char
+    line in (source, doc_id) order, integer midpoint pick positions,
+    exactly K picks, multiplicity proportional to weight."""
+    from content_analytics_etl_spark.plans.curation_queries import (
+        SYS_SAMPLE_K,
+        corpus_systematic_sample,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY source, doc_id"
+    ).fetchall()
+    total = sum(w for _d, _s, w in docs)
+    points = [((2 * i + 1) * total) // (2 * SYS_SAMPLE_K)
+              for i in range(SYS_SAMPLE_K)]
+    want, cum, di = {}, 0, 0
+    for i, p in enumerate(points):
+        while not (cum <= p < cum + docs[di][2]):
+            cum += docs[di][2]
+            di += 1
+        want[i] = (p, docs[di][0], docs[di][1], docs[di][2])
+    got = {
+        r["pick_idx"]: (
+            r["point"], r["doc_id"], r["source"], r["weight_chars"]
+        )
+        for r in corpus_systematic_sample(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == SYS_SAMPLE_K
+    # PPS property: some doc must be picked more than once iff any
+    # weight exceeds the stride (true on this corpus)
+    stride = total / SYS_SAMPLE_K
+    if max(w for _d, _s, w in docs) > stride:
+        picked = [v[1] for v in want.values()]
+        assert len(set(picked)) < len(picked)

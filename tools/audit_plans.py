@@ -85,6 +85,9 @@ ALLOW_NESTED_LOOP = {
     "the full-dim ground truth",
     "doc_rrf_fusion": "inherits doc_bm25_search's 1-row (avgdl, N) "
     "corpus-stats broadcast; fusion join is two ≤20-row ranker pools",
+    "corpus_systematic_sample": "SYS_SAMPLE_K-row (200) pick-point frame "
+    "broadcast interval-containment join — constant build side at any "
+    "corpus size; each point matches exactly one document",
 }
 
 
