@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_fingerprint
+from ..functions.hashing import md5_fingerprint, portable_hash64
 from ..functions.text_metrics import norm_text
 from ..operators.graph import connected_components
 from ..operators.dedup import (
@@ -763,6 +763,112 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNM_KEY_LEN = 32
 SNM_WINDOW = 3
 
+SPAN_LEN = 64
+SPAN_STRIDE = 16
+
+
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage (the exact-substring dedup
+    measurement of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): hash every ``SPAN_LEN``-char window of
+    normalized text on a ``SPAN_STRIDE`` grid; a window whose hash
+    occurs in ≥ 2 DISTINCT documents is shared verbatim; per document,
+    overlapping/adjacent shared windows merge into maximal spans
+    (gaps-and-islands) and the covered-char fraction is the signal a
+    span-level scrub would act on. Within-doc self-repetition is
+    ``doc_repetition``'s job and deliberately does NOT count here.
+
+    Scale shape: window generation is a per-row sequence explode
+    (≤ n/stride rows per doc); the duplicate test is ONE hash-keyed
+    aggregation (count distinct doc_id) + a semi join back; the island
+    merge is a window PARTITIONED BY doc_id (per-doc row count bounded
+    by doc length / stride — never corpus-wide). The shuffle key is the
+    portable 60-bit md5 window hash, so postings stay compact and the
+    DuckDB oracle reproduces them bit-for-bit."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", norm_text("text").alias("nt")
+    )
+    base = d.select(
+        "doc_id",
+        "nt",
+        F.length("nt").cast("long").alias("n_chars_norm"),
+    ).withColumn(
+        "starts",
+        F.when(
+            F.col("n_chars_norm") >= SPAN_LEN,
+            F.sequence(
+                F.lit(1),
+                (F.col("n_chars_norm") - SPAN_LEN + 1).cast("int"),
+                F.lit(SPAN_STRIDE),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    win = base.select(
+        "doc_id", F.explode("starts").alias("start"), "nt"
+    ).select(
+        "doc_id",
+        "start",
+        portable_hash64(
+            F.substring(F.col("nt"), F.col("start"), F.lit(SPAN_LEN))
+        ).alias("h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    shared = win.join(dup, "h", "semi")
+    w1 = W.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + F.lit(SPAN_LEN)).over(
+        w1.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = shared.withColumn(
+        "is_new",
+        (F.col("start") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("is_new").over(w1.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = flagged.groupBy("doc_id", "island").agg(
+        F.min("start").alias("s"),
+        (F.max("start") + F.lit(SPAN_LEN)).alias("e"),
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.sum((F.col("e") - F.col("s")).cast("long")).alias("covered_chars"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    shc = shared.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_windows")
+    )
+    stats = base.select(
+        "doc_id", "n_chars_norm", F.size("starts").cast("long").alias("n_windows")
+    )
+    return (
+        stats.join(shc, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_norm",
+            "n_windows",
+            F.coalesce("n_shared_windows", F.lit(0).cast("long")).alias(
+                "n_shared_windows"
+            ),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("covered_chars", F.lit(0).cast("long")).alias(
+                "covered_chars"
+            ),
+            F.when(
+                F.col("n_chars_norm") > 0,
+                F.coalesce("covered_chars", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_chars_norm").cast("double"),
+            ).alias("dup_char_fraction"),
+        )
+    )
+
+
 
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo 1995): sort the
@@ -890,6 +996,7 @@ QUERIES = {
     "doc_dup_aware_sampling": doc_dup_aware_sampling,
     "corpus_dedup_rate_by_source": corpus_dedup_rate_by_source,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
+    "doc_duplicated_spans": doc_duplicated_spans,
 }
 
 _TOK_HASH = _DH64.format(expr="x")
@@ -1300,4 +1407,64 @@ ORACLES["dedup_sorted_neighborhood"] = f"""
     SELECT doc_a, doc_b, rank_gap, jaccard,
            coalesce(jaccard >= {JACCARD_THRESHOLD}, false) AS is_near_dup
     FROM scored
+"""
+
+_SPAN_H = _DH64.format(expr=f"substr(nt, start, {SPAN_LEN})")
+ORACLES["doc_duplicated_spans"] = f"""
+    WITH nd AS (
+      SELECT doc_id, {_NORM} AS nt, len({_NORM}) AS n FROM documents
+    ),
+    win0 AS (
+      SELECT doc_id, nt,
+             CAST(unnest(generate_series(1, CAST(n AS INT) - {SPAN_LEN - 1},
+                                         {SPAN_STRIDE})) AS INT) AS start
+      FROM nd WHERE n >= {SPAN_LEN}
+    ),
+    win AS (
+      SELECT doc_id, start, {_SPAN_H} AS h FROM win0
+    ),
+    dup AS (
+      SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    shared AS (SELECT w.* FROM win w WHERE w.h IN (SELECT h FROM dup)),
+    flagged AS (
+      SELECT doc_id, start,
+             CASE WHEN start > coalesce(max(start + {SPAN_LEN}) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM shared
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, island, min(start) AS s, max(start) + {SPAN_LEN} AS e
+      FROM isl GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered_chars,
+             count(1) AS n_spans
+      FROM spans GROUP BY 1
+    ),
+    shc AS (
+      SELECT doc_id, count(1) AS n_shared_windows FROM shared GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars_norm,
+           CAST(CASE WHEN d.n >= {SPAN_LEN}
+                THEN (d.n - {SPAN_LEN}) // {SPAN_STRIDE} + 1
+                ELSE 0 END AS BIGINT) AS n_windows,
+           coalesce(s.n_shared_windows, 0) AS n_shared_windows,
+           coalesce(c.n_spans, 0) AS n_spans,
+           coalesce(c.covered_chars, 0) AS covered_chars,
+           CASE WHEN d.n > 0 THEN
+             CAST(coalesce(c.covered_chars, 0) AS DOUBLE)
+               / CAST(d.n AS DOUBLE)
+           END AS dup_char_fraction
+    FROM nd d
+    LEFT JOIN shc s ON s.doc_id = d.doc_id
+    LEFT JOIN cov c ON c.doc_id = d.doc_id
 """

@@ -92,3 +92,67 @@ def test_systematic_sample_matches_python(spark, sf_dir):
     if max(w for _d, _s, w in docs) > stride:
         picked = [v[1] for v in want.values()]
         assert len(set(picked)) < len(picked)
+
+
+def test_duplicated_spans_matches_python(spark, sf_dir):
+    """Lee-et-al span coverage recomputed in pure python: stride-grid
+    64-char windows, cross-doc shared (>= 2 distinct docs), per-doc
+    interval union. Adjacent windows (gap 0) must merge into one span."""
+    from content_analytics_etl_spark.plans.dedup_queries import (
+        SPAN_LEN,
+        SPAN_STRIDE,
+        doc_duplicated_spans,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY 1"
+    ).fetchall()
+    wins: dict[int, list] = {}
+    owners: dict[str, set] = {}
+    norm = {}
+    for did, tx in docs:
+        nt = _norm(tx)
+        norm[did] = nt
+        ws = []
+        for s in range(0, len(nt) - SPAN_LEN + 1, SPAN_STRIDE):
+            w = nt[s : s + SPAN_LEN]
+            ws.append((s, w))
+            owners.setdefault(w, set()).add(did)
+        wins[did] = ws
+    want = {}
+    for did, ws in wins.items():
+        shared = [(s, w) for s, w in ws if len(owners[w]) >= 2]
+        spans, covered = 0, 0
+        cur_s = cur_e = None
+        for s, _w in shared:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                    spans += 1
+                cur_s, cur_e = s, s + SPAN_LEN
+            else:
+                cur_e = max(cur_e, s + SPAN_LEN)
+        if cur_e is not None:
+            covered += cur_e - cur_s
+            spans += 1
+        n = len(norm[did])
+        want[did] = (
+            n,
+            len(ws),
+            len(shared),
+            spans,
+            covered,
+            covered / n if n > 0 else None,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_norm"],
+            r["n_windows"],
+            r["n_shared_windows"],
+            r["n_spans"],
+            r["covered_chars"],
+            r["dup_char_fraction"],
+        )
+        for r in doc_duplicated_spans(spark, sf_dir).collect()
+    }
+    assert got == want and got
