@@ -1281,6 +1281,101 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75  # 3/4: exact in binary, so per-row p is bit-portable
+
+
+def doc_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the smoothing KenLM defaults to, next to
+    ``doc_bigram_perplexity``'s add-one strawman:
+
+        p(w2|w1) = (c(w1 w2) − D)/c(w1·) + λ(w1)·p_cont(w2)
+        λ(w1)    = D·N1+(w1·)/c(w1·)
+        p_cont   = N1+(·w2)/N1+(··)
+
+    with D = 0.75. Continuation counts reward words seen after MANY
+    distinct prefixes, which is what separates genuine vocabulary from
+    boilerplate collocations — the reason KN-filtered corpora beat
+    add-one-filtered ones. Self-scored on the corpus, so every doc
+    bigram has c ≥ 1 and the interpolation only ADDS mass (p > 0).
+
+    Scale shape: the model is four relations off one bigram explode —
+    pair counts, prefix totals, distinct-successor counts N1+(w1·),
+    distinct-predecessor counts N1+(·w2) — all keyed aggregations; the
+    only broadcast is the 1-row distinct-pair total. D = 3/4 is exact
+    binary, the per-row p is pure IEEE arithmetic over shared integers
+    (bit-identical cross-engine), and log2 lands on the 9 dp grid into
+    the fixed-point BIGINT reduction (the house pattern)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pairs = F.when(
+        F.size(toks) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+    )
+    pr = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    x = pr.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("x"))
+    cb = x.groupBy("w1", "w2").agg(F.sum("x").alias("cb"))
+    cp = cb.groupBy("w1").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1p")
+    )
+    n1c = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1c"))
+    npp = cb.agg(F.count(F.lit(1)).alias("npp"))  # 1-row distinct pairs
+    D = F.lit(KN_DISCOUNT)
+    p = (
+        (F.col("cb").cast("double") - D) / F.col("cp").cast("double")
+        + D
+        * F.col("n1p").cast("double")
+        / F.col("cp").cast("double")
+        * F.col("n1c").cast("double")
+        / F.col("npp").cast("double")
+    )
+    contrib = F.floor(
+        F.col("x").cast("double")
+        * F.round(F.log2(p), 9)
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    per = (
+        x.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .join(n1c, "w2")
+        .crossJoin(F.broadcast(npp))
+        .groupBy("doc_id")
+        .agg(F.sum("x").alias("n_bigrams"), F.sum(contrib).alias("_sb"))
+    )
+    ce = (-F.col("_sb")).cast("double") / F.lit(1000000000.0) / F.col(
+        "n_bigrams"
+    ).cast("double")
+    scored = per.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        ce.alias("cross_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), ce), 6).alias("perplexity"),
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("cross_entropy_bits", F.lit(0.0)).alias(
+                "cross_entropy_bits"
+            ),
+            F.coalesce("perplexity", F.lit(1.0)).alias("perplexity"),
+        )
+    )
+
+
 PPL_BUCKETS = 3  # CCNet head / middle / tail
 PPL_RANK_PARTS = 8  # per-lang rank buckets for the distributed rank
 _PPL_BUCKET_NAMES = ["head", "middle", "tail"]
@@ -1713,6 +1808,7 @@ QUERIES = {
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_bigram_perplexity": doc_bigram_perplexity,
+    "doc_kneser_ney_perplexity": doc_kneser_ney_perplexity,
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_ngram_scrub": doc_ngram_scrub,
     "doc_chunk": doc_chunk,
@@ -2474,6 +2570,58 @@ ORACLES["doc_bigram_perplexity"] = f"""
       JOIN cb ON x.w1 = cb.w1 AND x.bg = cb.bg
       JOIN cp ON x.w1 = cp.w1
       CROSS JOIN v
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(CAST(-p._sb AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_bigrams AS DOUBLE), 0.0)
+             AS cross_entropy_bits,
+           COALESCE(round(pow(2.0, CAST(-p._sb AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_bigrams AS DOUBLE)), 6), 1.0)
+             AS perplexity
+    FROM documents d
+    LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+# Mirror of doc_kneser_ney_perplexity: same four count relations, the
+# same left-to-right IEEE expression for p (both engines parse
+# a/b + D*c/b*d/e identically), log2 on the 9 dp grid, fixed-point
+# BIGINT reduction.
+ORACLES["doc_kneser_ney_perplexity"] = f"""
+    WITH pr AS (
+      SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len({_TOKS_SQL})),
+                          i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))
+                     AS bg
+            FROM documents)
+    ),
+    x AS (SELECT doc_id, w1, w2, count(1) AS x FROM pr GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, CAST(sum(x) AS BIGINT) AS cb FROM x GROUP BY 1, 2),
+    cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp, count(1) AS n1p
+           FROM cb GROUP BY 1),
+    n1c AS (SELECT w2, count(1) AS n1c FROM cb GROUP BY 1),
+    npp AS (SELECT count(1) AS npp FROM cb),
+    per AS (
+      SELECT x.doc_id,
+             CAST(sum(x.x) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(floor(
+                 CAST(x.x AS DOUBLE)
+                 * round(log2(
+                     (CAST(cb.cb AS DOUBLE) - {KN_DISCOUNT})
+                       / CAST(cp.cp AS DOUBLE)
+                     + {KN_DISCOUNT}
+                       * CAST(cp.n1p AS DOUBLE) / CAST(cp.cp AS DOUBLE)
+                       * CAST(n1c.n1c AS DOUBLE) / CAST(npp.npp AS DOUBLE)
+                   ), 9)
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS _sb
+      FROM x
+      JOIN cb ON x.w1 = cb.w1 AND x.w2 = cb.w2
+      JOIN cp ON x.w1 = cp.w1
+      JOIN n1c ON x.w2 = n1c.w2
+      CROSS JOIN npp
       GROUP BY 1
     )
     SELECT d.doc_id,

