@@ -1281,6 +1281,109 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPARSE_DF_DEN = 5  # fractional cap: terms in > N/5 docs leave the index
+SPARSE_DF_ABS = 10_000  # absolute posting-list ceiling (binds at scale)
+SPARSE_TOPK = 5
+
+
+def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine nearest neighbors via a DF-capped inverted
+    index — the lexical twin of the dense ANN family: document
+    vectors live in the subspace of terms with df·SPARSE_DF_DEN ≤ N
+    (integer-exact fractional stop-term cut — an absolute cap goes
+    vacuous as N grows since every content word eventually exceeds it)
+    AND df ≤ ``SPARSE_DF_ABS`` (the posting-list ceiling that binds at
+    100 TB where N/5 alone would admit quadratic hot terms), pairs
+    materialize only through shared index terms, and each doc keeps its
+    ``SPARSE_TOPK`` highest-cosine neighbors.
+
+    Scale shape: one term-keyed equi-join of the capped posting lists
+    (max fan-out df² ≤ SPARSE_DF_ABS² per term — bounded by
+    construction, the audit-clean alternative to all-pairs), dot
+    products and squared
+    norms as fixed-point BIGINT reductions (order-independent,
+    bit-identical cross-engine), and the top-k window PARTITIONED BY
+    the query doc (per-group rows bounded by Σ df over its terms).
+    Only broadcast: the 1-row corpus doc count for idf."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row idf numerator
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("df") * F.lit(SPARSE_DF_DEN) <= F.col("n_docs"))
+            & (F.col("df") <= SPARSE_DF_ABS)
+        )
+    )
+    w = (
+        tf.join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.round(
+                    F.log(
+                        F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")
+                    ),
+                    9,
+                )
+            ).alias("w"),
+        )
+    )
+
+    def _fp(c: Column) -> Column:
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(_fp(F.col("w") * F.col("w"))).cast("double") / F.lit(1e9)
+        ).alias("norm")
+    )
+    # df = 1 terms live in the norms (they're in the subspace) but can
+    # never produce a cross-doc pair — pruning them from the join side
+    # is result-identical and halves singleton postings
+    idx = w.filter(F.col("df") >= 2).select("doc_id", "term", "w")
+    a, b = idx.alias("a"), idx.alias("b").hint("merge")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(_fp(F.col("a.w") * F.col("b.w"))).alias("dot_fp"))
+    )
+    na = norms.select(F.col("doc_id"), F.col("norm").alias("norm_a"))
+    nb = norms.select(
+        F.col("doc_id").alias("neighbor_id"), F.col("norm").alias("norm_b")
+    )
+    cos = (F.col("dot_fp").cast("double") / F.lit(1e9)) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    scored = (
+        dots.join(na, "doc_id")
+        .join(nb, "neighbor_id")
+        .select("doc_id", "neighbor_id", cos.alias("cosine"))
+    )
+    wk = W.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= SPARSE_TOPK)
+        .select("doc_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 KN_DISCOUNT = 0.75  # 3/4: exact in binary, so per-row p is bit-portable
 
 
@@ -1809,6 +1912,7 @@ QUERIES = {
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_bigram_perplexity": doc_bigram_perplexity,
     "doc_kneser_ney_perplexity": doc_kneser_ney_perplexity,
+    "doc_sparse_cosine_topk": doc_sparse_cosine_topk,
     "doc_perplexity_buckets": doc_perplexity_buckets,
     "doc_ngram_scrub": doc_ngram_scrub,
     "doc_chunk": doc_chunk,
@@ -2583,6 +2687,58 @@ ORACLES["doc_bigram_perplexity"] = f"""
     FROM documents d
     LEFT JOIN per p ON d.doc_id = p.doc_id
 """
+
+# Mirror of doc_sparse_cosine_topk: same DF-capped index, 9 dp idf
+# grid, fixed-point dot/norm reductions, row_number tie-broken by
+# neighbor id.
+ORACLES["doc_sparse_cosine_topk"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({{toks}}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(1) AS tf FROM tok GROUP BY 1, 2),
+    nd AS (SELECT count(1) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT term, count(1) AS df FROM tf CROSS JOIN nd GROUP BY 1, nd.n_docs
+      HAVING count(1) * {SPARSE_DF_DEN} <= nd.n_docs
+         AND count(1) <= {SPARSE_DF_ABS}
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term, dfreq.df,
+             CAST(tf.tf AS DOUBLE)
+               * round(ln(CAST(nd.n_docs AS DOUBLE)
+                          / CAST(dfreq.df AS DOUBLE)), 9) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(CAST(sum(CAST(floor(w * w * 1000000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS norm
+      FROM w GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+             CAST(sum(CAST(floor(a.w * b.w * 1000000000.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS dot_fp
+      FROM (SELECT * FROM w WHERE df >= 2) a
+      JOIN (SELECT * FROM w WHERE df >= 2) b
+        ON a.term = b.term AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, d.neighbor_id,
+             (CAST(d.dot_fp AS DOUBLE) / 1000000000.0)
+               / (na.norm * nb.norm) AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_id
+      JOIN norms nb ON nb.doc_id = d.neighbor_id
+    )
+    SELECT doc_id, neighbor_id, cosine, rank FROM (
+      SELECT doc_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {SPARSE_TOPK}
+""".replace("{toks}", _TOKS_SQL)
 
 # Mirror of doc_kneser_ney_perplexity: same four count relations, the
 # same left-to-right IEEE expression for p (both engines parse

@@ -217,3 +217,65 @@ def test_kneser_ney_matches_python(spark, sf_dir):
         for r in doc_kneser_ney_perplexity(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_sparse_cosine_topk_matches_python(spark, sf_dir):
+    """Inverted-index TF-IDF cosine recomputed in pure python with the
+    same fractional DF cut, 9 dp idf grid and fixed-point reductions;
+    pins the subspace semantics (norms include df=1 terms, pairs only
+    through df>=2 index terms) and top-k tie order."""
+    import math
+    from collections import Counter, defaultdict
+
+    from content_analytics_etl_spark.plans.text_queries import (
+        SPARSE_DF_ABS,
+        SPARSE_DF_DEN,
+        SPARSE_TOPK,
+        doc_sparse_cosine_topk,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY 1"
+    ).fetchall()
+    n_docs = len(docs)
+    tf: Counter = Counter()
+    for did, tx in docs:
+        for tk in _norm(tx).split(" "):
+            tf[(did, tk)] += 1
+    df: Counter = Counter(term for (_d, term) in tf)
+    keep = {
+        term
+        for term, c in df.items()
+        if c * SPARSE_DF_DEN <= n_docs and c <= SPARSE_DF_ABS
+    }
+    w = {
+        (did, term): cnt * round(math.log(n_docs / df[term]), 9)
+        for (did, term), cnt in tf.items()
+        if term in keep
+    }
+    norm_fp: Counter = Counter()
+    post = defaultdict(list)
+    for (did, term), wv in w.items():
+        norm_fp[did] += math.floor(wv * wv * 1e9 + 0.5)
+        if df[term] >= 2:
+            post[term].append((did, wv))
+    norm = {did: math.sqrt(fp / 1e9) for did, fp in norm_fp.items()}
+    dots: Counter = Counter()
+    for term, plist in post.items():
+        for da, wa in plist:
+            for db, wb in plist:
+                if da != db:
+                    dots[(da, db)] += math.floor(wa * wb * 1e9 + 0.5)
+    cand = defaultdict(list)
+    for (da, db), fp in dots.items():
+        cand[da].append(((fp / 1e9) / (norm[da] * norm[db]), db))
+    want = {}
+    for da, lst in cand.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for r, (c, db) in enumerate(lst[:SPARSE_TOPK], 1):
+            want[(da, db)] = (c, r)
+    got = {
+        (r["doc_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in doc_sparse_cosine_topk(spark, sf_dir).collect()
+    }
+    assert got == want and got

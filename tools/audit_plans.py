@@ -90,6 +90,8 @@ ALLOW_NESTED_LOOP = {
     "corpus size; each point matches exactly one document",
     "doc_kneser_ney_perplexity": "1-row distinct-bigram-total aggregate "
     "broadcast (continuation-probability denominator) onto the model join",
+    "doc_sparse_cosine_topk": "1-row corpus-doc-count aggregate broadcast "
+    "(idf numerator + fractional DF cut) onto the term-frequency table",
 }
 
 
