@@ -18,10 +18,12 @@ materialization; the node-count scalar is a 1-row broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import DUCKDB_HASH64, portable_hash64
 from ..operators.graph import common_neighbor_scores
+from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_asc
 from ._util import materialize_and_release, t
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
 from .dedup_queries import dedup_minhash_lsh
@@ -425,6 +427,106 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_PROPOSALS = 8  # hash proposals per node
+NEG_KEEP = 3  # negatives kept per node
+NEG_SEED = "negs-0"
+
+
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over the strong co-purchase
+    graph — the contrastive-pair generator every graph-embedding /
+    link-prediction trainer needs: for each node, ``NEG_PROPOSALS``
+    seeded hash proposals pick candidate partners uniformly from the
+    node set (by proposal rank into a dense 0..N−1 node numbering);
+    proposals that hit a REAL edge or the node itself are rejected
+    (anti-join), and the first ``NEG_KEEP`` survivors by proposal index
+    are kept. Hash-seeded like ``corpus_epoch_shuffle`` — a new seed
+    resamples reproducibly, the same seed replays after failure.
+
+    Scale shape: the dense numbering is the distributed prefix-sum
+    rank (never a corpus window); proposals are a constant-fan-out
+    explode; candidate resolution is one equi-join on rank; edge
+    rejection is one anti-join on the (src, dst) key; the keep step is
+    a window PARTITIONED BY node over ≤ NEG_PROPOSALS rows. N rides in
+    as a literal from the prefix-sum's O(#buckets) control plane."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
+    ).hint("merge")
+    edges = (
+        a.join(b, ["okey"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_W)
+        .select("u", "v")
+    )
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "one", F.lit(1).cast("long")
+    )
+    numbered, n_nodes = distributed_prefix_sum(
+        spark,
+        nodes,
+        pid=quantile_bucket_asc(nodes, "node", 16),
+        order=[F.col("node")],
+        value_col="one",
+        cum_col="__cum",
+        rank_col="rn",
+    )
+    numbered = numbered.select("node", (F.col("rn") - 1).alias("rn"))
+    props = numbered.select(
+        "node",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(NEG_PROPOSALS)])
+        ).alias("proposal_idx"),
+    ).withColumn(
+        "target_rn",
+        F.pmod(
+            portable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("node").cast("string"),
+                    F.col("proposal_idx").cast("string"),
+                ),
+                seed=NEG_SEED,
+            ),
+            F.lit(int(n_nodes)),
+        ),
+    )
+    cand = props.join(
+        numbered.select(
+            F.col("rn").alias("target_rn"), F.col("node").alias("neg_id")
+        ),
+        "target_rn",
+    ).filter(F.col("neg_id") != F.col("node"))
+    survivors = cand.join(
+        sym.select(F.col("src").alias("node"), F.col("dst").alias("neg_id")),
+        ["node", "neg_id"],
+        "anti",
+    )
+    # two proposals can hash to the same partner — a repeated negative
+    # is training waste, so collapse to the earliest proposal
+    dedup = survivors.groupBy("node", "neg_id").agg(
+        F.min("proposal_idx").alias("proposal_idx")
+    )
+    wk = W.partitionBy("node").orderBy("proposal_idx")
+    return (
+        dedup.withColumn("keep_rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("keep_rank") <= NEG_KEEP)
+        .select("node", "neg_id", "proposal_idx", "keep_rank")
+    )
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
@@ -433,6 +535,7 @@ QUERIES = {
     "graph_common_neighbors_pruned": graph_common_neighbors_pruned,
     "graph_label_propagation": graph_label_propagation,
     "graph_kcore_decomposition": graph_kcore_decomposition,
+    "graph_negative_samples": graph_negative_samples,
 }
 
 # Three unrolled PageRank rounds; contribution sums decimal-exact, the
@@ -675,6 +778,54 @@ ORACLES["graph_kcore_decomposition"] = (
     FROM ({" UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(1, KCORE_PEELS + 1))})
 """
 )
+
+_NEG_H = DUCKDB_HASH64.format(
+    expr=f"'{NEG_SEED}|' || CAST(node AS VARCHAR) || '|' || CAST(j AS VARCHAR)"
+)
+ORACLES["graph_negative_samples"] = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(1) >= {LPA_MIN_W}
+    ),
+    sym AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges
+    ),
+    numbered AS MATERIALIZED (
+      SELECT node, row_number() OVER (ORDER BY node) - 1 AS rn
+      FROM (SELECT DISTINCT src AS node FROM sym)
+    ),
+    nn AS (SELECT count(1) AS n FROM numbered),
+    props AS (
+      SELECT node, CAST(j AS INT) AS proposal_idx,
+             {_NEG_H} % (SELECT n FROM nn) AS target_rn
+      FROM numbered CROSS JOIN generate_series(0, {NEG_PROPOSALS - 1}) AS g(j)
+    ),
+    cand AS (
+      SELECT p.node, m.node AS neg_id, p.proposal_idx
+      FROM props p JOIN numbered m ON m.rn = p.target_rn
+      WHERE m.node <> p.node
+    ),
+    surv AS (
+      SELECT c.* FROM cand c
+      ANTI JOIN sym e ON e.src = c.node AND e.dst = c.neg_id
+    ),
+    dedup AS (
+      SELECT node, neg_id, CAST(min(proposal_idx) AS INT) AS proposal_idx
+      FROM surv GROUP BY 1, 2
+    )
+    SELECT node, neg_id, proposal_idx, keep_rank FROM (
+      SELECT node, neg_id, proposal_idx,
+             CAST(row_number() OVER (PARTITION BY node
+               ORDER BY proposal_idx) AS INT) AS keep_rank
+      FROM dedup
+    ) WHERE keep_rank <= {NEG_KEEP}
+"""
 
 ORACLES["graph_label_propagation"] = (
     f"""

