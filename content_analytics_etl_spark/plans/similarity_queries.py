@@ -415,6 +415,104 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the composition FAISS actually
+    ships for billion-vector indexes (Jégou et al. 2011), next to the
+    standalone ``sim_ann_ivf_topk`` (coarse-only) and ``sim_ann_pq_adc``
+    (codes-only): every vector is coarse-assigned to its nearest IVF
+    cell, the RESIDUAL v − centroid is product-quantized (residuals
+    are centered and far more quantizable than raw vectors — the whole
+    point of the composition), queries probe their ``IVF_NPROBE``
+    nearest cells with a PER-CELL residual lookup table, and ADC runs
+    only against codes in probed cells.
+
+    Deterministic seeds per the module policy (centroids = first
+    ``IVF_CELLS`` vectors; PQ codebooks = residual sub-vectors of the
+    first ``PQ_KS`` vectors, shared across cells as FAISS defaults to).
+    Physical shape: 8-row centroid and 32-row codebook broadcasts; the
+    corpus shuffles once for the coarse rank-1 window and once for the
+    per-(vec, m) code argmin; candidate scoring is ONE equi-join on
+    (cell, m, k) against the ≤ 20·nprobe·4·8-row broadcast query LUT —
+    never a pairwise scan; the 4 ADC partials per (query, cand) sum
+    decimal-exact. At 100 TB this is the ANN plan: codes are 16×
+    smaller than floats and only probed cells are touched."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cent = e.filter(F.col("vec_id").between(1, IVF_CELLS)).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    ranked = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cell", "cv", cs.alias("cs"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell"))
+            ),
+        )
+    )
+    resid = F.zip_with("v", "cv", lambda x, y: x - y)
+    sub_of = lambda c: F.array(  # noqa: E731
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(c, m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("subr"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "cell", F.explode(sub_of(resid)).alias("s")
+    ).select("vec_id", "cell", "s.m", "s.subr")
+    cb = assigned.filter(F.col("vec_id").between(1, PQ_KS)).select(
+        "m", F.col("vec_id").cast("int").alias("k"), F.col("subr").alias("cbv")
+    )
+    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        assigned.join(F.broadcast(cb), "m")
+        .withColumn("d2", sq_l2(F.col("subr"), F.col("cbv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("k"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("cand_id"), "cell", "m", "k")
+    )
+    qsub = ranked.filter(
+        (F.col("crank") <= IVF_NPROBE) & _query_side()
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.explode(sub_of(resid)).alias("s"),
+    ).select("query_id", "cell", F.col("s.m").alias("m"), F.col("s.subr").alias("qsubr"))
+    qlut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "cell", "m", "k",
+        sq_l2(F.col("qsubr"), F.col("cbv")).alias("pd2"),
+    )
+    scored = (
+        codes.join(F.broadcast(qlut), ["cell", "m", "k"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum(F.col("pd2").cast("decimal(28,12)")).cast("double").alias("adc_d2")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ANN_TOPK
+    )
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible half of k-means: nearest-centroid assignment
     with FIXED centroids (the k lowest-vec_id vectors — Lloyd's
@@ -1129,6 +1227,7 @@ QUERIES = {
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_ann_pq_adc": sim_ann_pq_adc,
+    "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
     "embedding_pq_train": embedding_pq_train,
     "kmeans_assign": kmeans_assign,
     "sim_semdedup": sim_semdedup,
@@ -1775,6 +1874,77 @@ ORACLES["sim_ann_recall_audit"] = f"""
     {_PER_METHOD_AUDIT(m="ivf")}
     UNION ALL
     {_PER_METHOD_AUDIT(m="pq")}
+"""
+
+# Mirror of sim_ann_ivfpq_topk: coarse rank-1 assignment (the IVF
+# oracle's CTE), per-element residuals, shared residual codebooks,
+# per-cell query LUTs, decimal-exact ADC — rankings match bit-for-bit.
+ORACLES["sim_ann_ivfpq_topk"] = f"""
+    WITH e AS ({_E_CTE}),
+    cent AS (
+      SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv, nrm AS cn
+      FROM e WHERE vec_id BETWEEN 1 AND {IVF_CELLS}
+    ),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, v, cell, cv,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_DOT(d=DIM, a="v", b="cv")} / (nrm * cn) DESC, cell
+             ) AS crank
+      FROM e CROSS JOIN cent
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, cell, CAST(m AS INTEGER) AS m,
+             list_transform(range(1, {PQ_SUB_DIM}+1),
+               i -> v[m * {PQ_SUB_DIM} + i] - cv[m * {PQ_SUB_DIM} + i])
+               AS subr
+      FROM ranked, range(0, {PQ_M}) t(m) WHERE crank = 1
+    ),
+    cb AS MATERIALIZED (
+      SELECT m, CAST(vec_id AS INTEGER) AS k, subr AS cbv
+      FROM sub WHERE vec_id BETWEEN 1 AND {PQ_KS}
+    ),
+    ad AS (
+      SELECT s.vec_id, s.cell, s.m, c.k,
+             list_sum(list_transform(range(1, {PQ_SUB_DIM}+1),
+               i -> (s.subr[i] - c.cbv[i]) * (s.subr[i] - c.cbv[i]))) AS d2
+      FROM sub s JOIN cb c USING (m)
+    ),
+    codes AS (
+      SELECT vec_id AS cand_id, cell, m, k FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY d2 ASC, k) AS rk
+        FROM ad)
+      WHERE rk = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, cell, CAST(m AS INTEGER) AS m,
+             list_transform(range(1, {PQ_SUB_DIM}+1),
+               i -> v[m * {PQ_SUB_DIM} + i] - cv[m * {PQ_SUB_DIM} + i])
+               AS qsubr
+      FROM ranked, range(0, {PQ_M}) t(m)
+      WHERE crank <= {IVF_NPROBE} AND {_Q_SIDE}
+    ),
+    qlut AS (
+      SELECT q.query_id, q.cell, q.m, c.k,
+             list_sum(list_transform(range(1, {PQ_SUB_DIM}+1),
+               i -> (q.qsubr[i] - c.cbv[i]) * (q.qsubr[i] - c.cbv[i])))
+               AS pd2
+      FROM qsub q JOIN cb c USING (m)
+    ),
+    scored AS (
+      SELECT l.query_id, c.cand_id,
+             CAST(SUM(CAST(l.pd2 AS DECIMAL(28,12))) AS DOUBLE) AS adc_d2
+      FROM codes c
+      JOIN qlut l ON l.cell = c.cell AND l.m = c.m AND l.k = c.k
+      WHERE c.cand_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, adc_d2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_d2 ASC, cand_id) AS rank
+      FROM scored)
+    WHERE rank <= {ANN_TOPK}
 """
 
 # Mirror of embedding_pq_train: same sub/cb/assignment CTEs as the ADC

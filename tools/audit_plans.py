@@ -92,6 +92,9 @@ ALLOW_NESTED_LOOP = {
     "broadcast (continuation-probability denominator) onto the model join",
     "doc_sparse_cosine_topk": "1-row corpus-doc-count aggregate broadcast "
     "(idf numerator + fractional DF cut) onto the term-frequency table",
+    "sim_ann_ivfpq_topk": "8-row centroid cross join (coarse assignment) "
+    "+ 32-row residual codebook and bounded query-LUT broadcasts "
+    "(sim_ann_ivf_topk / sim_ann_pq_adc shapes composed)",
 }
 
 
