@@ -1002,20 +1002,23 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k audit of ALL THREE ANN paths (hyperplane-LSH, IVF
-    nprobe, PQ-ADC) against exact brute-force ground truth — the
+    """Recall@k audit of ALL FOUR ANN paths (hyperplane-LSH, IVF
+    nprobe, PQ-ADC, residual IVF-PQ) against exact brute-force ground
+    truth — the
     measure-don't-guess table you publish before trusting an ANN index:
     per (method, query), |ANN top-k ∩ exact top-k| / k.
 
     Every side is the registry's own query (sim_brute_topk truncated to
-    ANN_TOPK; sim_ann_{lsh,ivf}_topk, sim_ann_pq_adc), so the audit can
+    ANN_TOPK; sim_ann_{lsh,ivf,ivfpq}_topk, sim_ann_pq_adc), so the audit can
     never drift from what the engine actually serves. Scale shape: each
     input keeps the bounded ≤20-row query relation broadcast against a
     linear corpus pass; the audit joins run over ≤ 20·k rows —
     driver-free and constant-size regardless of corpus scale.
 
-    On THIS synthetic corpus the measured recalls are low (sf0.1:
-    ivf ≈ 0.42, lsh ≈ 0.05, pq ≈ 0.02) — the 10 generator clusters
+    On THIS synthetic corpus the measured recalls are low (sf0.1,
+    2026-08-15 data: ivf ≈ 0.42, lsh ≈ 0.05, pq ≈ 0.02, ivfpq ≈ 0.02
+    — residual encoding can't rescue a 4×8 codebook when the coarse
+    cells barely separate) — the 10 generator clusters
     nearly overlap, so exact top-3 neighbors are fine-grained while the
     index parameters (6 planes / 8 cells / 4×8 codebooks) are coarse.
     That is the audit doing its job: it is the number that tells you to
@@ -1052,6 +1055,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_method("lsh", sim_ann_lsh_topk(spark, sf_dir))
         .unionByName(per_method("ivf", sim_ann_ivf_topk(spark, sf_dir)))
         .unionByName(per_method("pq", sim_ann_pq_adc(spark, sf_dir)))
+        .unionByName(per_method("ivfpq", sim_ann_ivfpq_topk(spark, sf_dir)))
     )
 
 
@@ -1842,40 +1846,6 @@ ORACLES = {
 # Composed AFTER the dict so it can reuse the per-method oracles verbatim
 # (nested WITH inside a CTE body is fine in DuckDB — same pattern as the
 # curation manifest oracle).
-_PER_METHOD_AUDIT = """
-  SELECT '{m}' AS method, b.query_id,
-         b.n_true,
-         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-         CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
-           / CAST(b.n_true AS DOUBLE) AS recall
-  FROM base b
-  LEFT JOIN (
-    SELECT t.query_id, count(1) AS n_hit
-    FROM truth t JOIN {m} a
-      ON a.query_id = t.query_id AND a.cand_id = t.cand_id
-    GROUP BY 1
-  ) h ON h.query_id = b.query_id
-""".format
-
-ORACLES["sim_ann_recall_audit"] = f"""
-    WITH truth AS MATERIALIZED (
-      SELECT query_id, cand_id
-      FROM ({ORACLES["sim_brute_topk"]}) WHERE rank <= {ANN_TOPK}
-    ),
-    base AS MATERIALIZED (
-      SELECT query_id, CAST(count(1) AS BIGINT) AS n_true
-      FROM truth GROUP BY 1
-    ),
-    lsh AS ({ORACLES["sim_ann_lsh_topk"]}),
-    ivf AS ({ORACLES["sim_ann_ivf_topk"]}),
-    pq AS ({ORACLES["sim_ann_pq_adc"]})
-    {_PER_METHOD_AUDIT(m="lsh")}
-    UNION ALL
-    {_PER_METHOD_AUDIT(m="ivf")}
-    UNION ALL
-    {_PER_METHOD_AUDIT(m="pq")}
-"""
-
 # Mirror of sim_ann_ivfpq_topk: coarse rank-1 assignment (the IVF
 # oracle's CTE), per-element residuals, shared residual codebooks,
 # per-cell query LUTs, decimal-exact ADC — rankings match bit-for-bit.
@@ -1945,6 +1915,43 @@ ORACLES["sim_ann_ivfpq_topk"] = f"""
                   ORDER BY adc_d2 ASC, cand_id) AS rank
       FROM scored)
     WHERE rank <= {ANN_TOPK}
+"""
+
+_PER_METHOD_AUDIT = """
+  SELECT '{m}' AS method, b.query_id,
+         b.n_true,
+         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+           / CAST(b.n_true AS DOUBLE) AS recall
+  FROM base b
+  LEFT JOIN (
+    SELECT t.query_id, count(1) AS n_hit
+    FROM truth t JOIN {m} a
+      ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+    GROUP BY 1
+  ) h ON h.query_id = b.query_id
+""".format
+
+ORACLES["sim_ann_recall_audit"] = f"""
+    WITH truth AS MATERIALIZED (
+      SELECT query_id, cand_id
+      FROM ({ORACLES["sim_brute_topk"]}) WHERE rank <= {ANN_TOPK}
+    ),
+    base AS MATERIALIZED (
+      SELECT query_id, CAST(count(1) AS BIGINT) AS n_true
+      FROM truth GROUP BY 1
+    ),
+    lsh AS ({ORACLES["sim_ann_lsh_topk"]}),
+    ivf AS ({ORACLES["sim_ann_ivf_topk"]}),
+    pq AS ({ORACLES["sim_ann_pq_adc"]}),
+    ivfpq AS ({ORACLES["sim_ann_ivfpq_topk"]})
+    {_PER_METHOD_AUDIT(m="lsh")}
+    UNION ALL
+    {_PER_METHOD_AUDIT(m="ivf")}
+    UNION ALL
+    {_PER_METHOD_AUDIT(m="pq")}
+    UNION ALL
+    {_PER_METHOD_AUDIT(m="ivfpq")}
 """
 
 # Mirror of embedding_pq_train: same sub/cb/assignment CTEs as the ADC
