@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DUCKDB_HASH64, portable_hash64
 from ..operators.graph import common_neighbor_scores
 from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_asc
-from ._util import materialize_and_release, t
+from ..cache import session_materialized
+from ._util import materialize_and_release, source_fingerprint, t
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
 from .dedup_queries import dedup_minhash_lsh
 
@@ -256,6 +257,42 @@ LPA_ITERS = 3
 LPA_MIN_W = 2  # keep co-purchase edges with >= 2 shared orders
 
 
+def _strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strong co-purchase edge list (u < v, weight = shared orders,
+    weight ≥ ``LPA_MIN_W``) — session-materialized ONCE per corpus
+    snapshot (``cache.session_materialized``, keyed on the lineitem
+    content fingerprint). Three registered queries consume this graph
+    (weighted LPA, k-core decomposition, negative sampling); at 100 TB
+    it is the incrementally-maintained graph TABLE a warehouse builds
+    next to the fact, not a per-query derivation — the same posture as
+    the curation manifest. Build cost is recorded in
+    ``producer_build_seconds`` (bench.py) so a regression in the
+    edge-build pipeline itself stays visible."""
+
+    def build() -> DataFrame:
+        op = (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = op.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
+        )
+        b = op.select(
+            F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
+        ).hint("merge")
+        return (
+            a.join(b, ["okey"])
+            .filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= LPA_MIN_W)
+        )
+
+    fp = source_fingerprint(sf_dir, "lineitem")
+    return session_materialized(spark, f"copurchase_edges:{fp}", build)
+
+
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by WEIGHTED synchronous label propagation
     (Raghavan et al. 2007), ``LPA_ITERS`` rounds unrolled, over the
@@ -275,26 +312,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and two hash aggregations — the per-node winner is
     ``max(struct(cnt, -label, label))``, a map-side-combinable argmax,
     never a window over corpus-sized groups. Iteration count is a
-    constant; the edge list is persisted once and released after
-    materialization; votes stay integer-exact throughout."""
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
-    ).hint("merge")
-    edges = (
-        a.join(b, ["okey"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_W)
-    )
+    constant; the edge list comes from the session-materialized
+    co-purchase graph producer; votes stay integer-exact throughout."""
+    edges = _strong_copurchase_edges(spark, sf_dir)
     sym = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
         .unionAll(
@@ -360,26 +380,9 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in surviving edges, and the edge set only shrinks.
     ``localCheckpoint`` truncates lineage each round (the operator
     references its own previous round three times, so an unchecked
-    plan grows 3^rounds). No driver-side data, no windows."""
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
-    ).hint("merge")
-    edges = (
-        a.join(b, ["okey"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_W)
-        .select("u", "v")
-    )
+    plan grows 3^rounds). No driver-side data, no windows. Edge list
+    from the session-materialized co-purchase graph producer."""
+    edges = _strong_copurchase_edges(spark, sf_dir).select("u", "v")
     cur = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(
@@ -448,26 +451,9 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode; candidate resolution is one equi-join on rank; edge
     rejection is one anti-join on the (src, dst) key; the keep step is
     a window PARTITIONED BY node over ≤ NEG_PROPOSALS rows. N rides in
-    as a literal from the prefix-sum's O(#buckets) control plane."""
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v")
-    ).hint("merge")
-    edges = (
-        a.join(b, ["okey"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_W)
-        .select("u", "v")
-    )
+    as a literal from the prefix-sum's O(#buckets) control plane. Edge
+    list from the session-materialized co-purchase graph producer."""
+    edges = _strong_copurchase_edges(spark, sf_dir).select("u", "v")
     sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
