@@ -194,3 +194,78 @@ def test_gif_lzw_roundtrip_property(data, min_code):
         _lzw_decode_gif(_lzw_encode_gif(payload, min_code), min_code)
         == payload
     )
+
+
+# --- round-8b arithmetic identities -----------------------------------------
+# The engine-side constructions (both Spark and the DuckDB oracle) use
+# these exact integer/window recipes; the properties pin them for ALL
+# inputs, not just the synthetic corpus.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ws=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+    k=st.integers(min_value=1, max_value=50),
+)
+def test_systematic_pps_midpoint_property(ws, k):
+    """Madow midpoint picks: every pick lands in exactly one document's
+    half-open interval, exactly k picks total, and each doc's
+    multiplicity is within 1 of its expectation k*w/T (the classical
+    systematic-PPS bound)."""
+    total = sum(ws)
+    if total == 0:
+        return
+    points = [((2 * i + 1) * total) // (2 * k) for i in range(k)]
+    cum, picks = 0, [0] * len(ws)
+    for p in points:
+        assert 0 <= p < total
+    for j, w in enumerate(ws):
+        picks[j] = sum(1 for p in points if cum <= p < cum + w)
+        cum += w
+    assert sum(picks) == k
+    for j, w in enumerate(ws):
+        exp = k * w / total
+        assert exp - 1 < picks[j] < exp + 1 or abs(picks[j] - exp) <= 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    starts=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=0, max_size=60
+    ),
+    span=st.integers(min_value=1, max_value=64),
+)
+def test_island_merge_equals_interval_union_property(starts, span):
+    """The running-max gaps-and-islands recipe (is_new = start >
+    max(prev ends), island = cumsum, covered = sum(max_end - min_start))
+    computes exactly the measure and count of the interval union — for
+    ANY window set, including duplicates and containments."""
+    ss = sorted(set(starts))
+    # reference: brute-force union of [s, s+span)
+    covered_pts = set()
+    for s in ss:
+        covered_pts.update(range(s, s + span))
+    # the engine recipe
+    islands, cur_s, cur_e, covered = 0, None, None, 0
+    prev_max_end = None
+    for s in ss:
+        if prev_max_end is None or s > prev_max_end:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            islands += 1
+            cur_s, cur_e = s, s + span
+        else:
+            cur_e = max(cur_e, s + span)
+        prev_max_end = max(prev_max_end or -1, s + span)
+    if cur_e is not None:
+        covered += cur_e - cur_s
+    assert covered == len(covered_pts)
+    # island count equals the number of maximal runs in the union
+    runs = 0
+    prev_in = False
+    for p in range(0, 500 + span):
+        now = p in covered_pts
+        if now and not prev_in:
+            runs += 1
+        prev_in = now
+    assert islands == runs
