@@ -50,7 +50,8 @@ from ..operators.similarity import (
     hyperplane_bucket_agg,
     hyperplane_matrix,
 )
-from ._util import materialize_and_release, t
+from ..cache import session_materialized
+from ._util import materialize_and_release, source_fingerprint, t
 
 DIM = 64
 TOPK = 5
@@ -251,15 +252,71 @@ def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- session-materialized ANN index tables ---------------------------------
+# Every ANN path's corpus-side index (bucket table, coarse assignment,
+# code table) is consumed at least twice per sweep — by its own query
+# AND by sim_ann_recall_audit, which runs all four methods. Production
+# ANN systems build these ONCE when the corpus snapshot lands and serve
+# queries from the index table; session_materialized is the local
+# stand-in (same posture as the curation manifest and the co-purchase
+# graph), with build costs on record in ``producer_build_seconds``.
+
+
+def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket, v, norm) — the 6-plane signature index."""
+
+    def build() -> DataFrame:
+        e = t(spark, sf_dir, "embeddings")
+        return add_hyperplane_bucket(e, PLANES).select(
+            "vec_id", "bucket", to_double_array("embedding").alias("v")
+        ).withColumn("norm", l2_norm(F.col("v")))
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    return session_materialized(spark, f"ann_lsh_buckets:{fp}", build)
+
+
+def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, nrm, cell, cv, crank ≤ IVF_NPROBE) — the coarse
+    quantizer's assignment, shared verbatim by the IVF and residual
+    IVF-PQ paths. Carrying cv (the cell centroid) keeps residual
+    computation index-local; at 100 TB you'd store (cell, residual)
+    instead of duplicating the centroid per row."""
+
+    def build() -> DataFrame:
+        e = t(spark, sf_dir, "embeddings").select(
+            "vec_id", to_double_array("embedding").alias("v")
+        ).withColumn("nrm", l2_norm(F.col("v")))
+        cent = e.filter(F.col("vec_id").between(1, IVF_CELLS)).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "nrm", "cell", "cv", cs.alias("cs"))
+            .withColumn(
+                "crank",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(
+                        F.col("cs").desc(), F.col("cell")
+                    )
+                ),
+            )
+            .filter(F.col("crank") <= IVF_NPROBE)
+            .drop("cs")
+        )
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    return session_materialized(spark, f"ann_ivf_assign:{fp}", build)
+
+
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: 6-plane signature buckets (64 buckets), candidates = bucket
     collisions, exact cosine re-rank, top-3 per query. The bucket join is
     linear in corpus size; the query side is the bounded ≤ 20-row
-    relation."""
-    e = t(spark, sf_dir, "embeddings")
-    bucketed = add_hyperplane_bucket(e, PLANES).select(
-        "vec_id", "bucket", to_double_array("embedding").alias("v")
-    ).withColumn("norm", l2_norm(F.col("v")))
+    relation. Index table from the session-materialized producer."""
+    bucketed = _lsh_bucket_table(spark, sf_dir)
 
     q = bucketed.filter(_query_side()).select(
         F.col("vec_id").alias("query_id"),
@@ -298,37 +355,21 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the 8-row centroid relation + per-vector rank-1 window —
     corpus shuffles once on vec_id, never pairwise. Candidate join is an
     equi-join on the cell id: linear shuffle, the IVF scale property.
-    Query side bounded (≤ 20 rows) per the module contract."""
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", to_double_array("embedding").alias("v"))
-        .withColumn("nrm", l2_norm(F.col("v")))
-    )
-    cent = e.filter(F.col("vec_id").between(1, IVF_CELLS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    ranked = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "nrm", "cid", cs.alias("cs"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
-            ),
-        )
-    )
+    Query side bounded (≤ 20 rows) per the module contract. Coarse
+    assignment from the session-materialized producer (shared with the
+    residual IVF-PQ path)."""
+    ranked = _ivf_coarse_assign(spark, sf_dir)
     corpus = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("cand_id"),
         F.col("v").alias("cvec"),
         F.col("nrm").alias("cnorm"),
-        F.col("cid").alias("cell"),
+        F.col("cell"),
     )
     probes = ranked.filter((F.col("crank") <= IVF_NPROBE) & _query_side()).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qvec"),
         F.col("nrm").alias("qnorm"),
-        F.col("cid").alias("cell"),
+        F.col("cell"),
     )
     cos = dot_product(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
     scored = (
@@ -435,26 +476,10 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell, m, k) against the ≤ 20·nprobe·4·8-row broadcast query LUT —
     never a pairwise scan; the 4 ADC partials per (query, cand) sum
     decimal-exact. At 100 TB this is the ANN plan: codes are 16×
-    smaller than floats and only probed cells are touched."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
-    cent = e.filter(F.col("vec_id").between(1, IVF_CELLS)).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    ranked = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cell", "cv", cs.alias("cs"))
-        .withColumn(
-            "crank",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell"))
-            ),
-        )
-    )
+    smaller than floats and only probed cells are touched. Coarse
+    assignment from the session-materialized producer (shared with
+    ``sim_ann_ivf_topk``)."""
+    ranked = _ivf_coarse_assign(spark, sf_dir)
     resid = F.zip_with("v", "cv", lambda x, y: x - y)
     sub_of = lambda c: F.array(  # noqa: E731
         *[
