@@ -240,6 +240,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_TUNE_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows) over 16 perms
+
+
+def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-curve audit — the bands×rows tuning table you
+    publish before fixing the production configuration: the SAME
+    16-permutation MinHash signature grouped as 2×8 / 4×4 / 8×2
+    bands, each config's candidate set measured for volume, precision
+    (share of candidates with true Jaccard ≥ t) and recall against the
+    exact inverted-index truth set. More bands of fewer rows = the
+    S-curve shifts left (recall ↑, precision ↓); this query measures
+    where, on this corpus, instead of trusting the formula
+    1−(1−s^r)^b.
+
+    Scale shape: ONE signature aggregation feeds all three configs
+    (band keys are projections of the same 16 columns); per config one
+    band-key equi self-join (linear, the LSH property); the truth set
+    is the inverted-index exact join (never all-pairs); the final
+    report is a 3-row aggregate with the 1-row truth count broadcast."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id"], distinct=False)
+    sig = minhash_signature_agg(
+        shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16
+    )
+
+    # exact truth: distinct-shingle inverted index, J >= t (no lang
+    # block — MinHash bands don't see lang either)
+    drows = shingle_rows(d, ["doc_id"])
+    sizes = drows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta, tb = drows.alias("ta"), drows.alias("tb").hint("merge")
+    shared = (
+        ta.join(
+            tb,
+            (F.col("ta.shingle") == F.col("tb.shingle"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("doc_a"),
+            F.col("tb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jv = F.col("c").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("c")
+    ).cast("double")
+    truth = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .filter(jv >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+    )
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+
+    cands = None
+    for b, r in LSH_TUNE_CONFIGS:
+        bands = lsh_band_keys(sig, ["doc_id"], bands=b, rows=r)
+        ba, bb = bands.alias("ba"), bands.alias("bb").hint("merge")
+        c = (
+            ba.join(
+                bb,
+                (F.col("ba.band_idx") == F.col("bb.band_idx"))
+                & (F.col("ba.band_key") == F.col("bb.band_key"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("doc_a"),
+                F.col("bb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "doc_a",
+                "doc_b",
+            )
+        )
+        cands = c if cands is None else cands.unionAll(c)
+    report = (
+        cands.join(truth, ["doc_a", "doc_b"], "left")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(tn))
+    )
+    return report.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        "n_truth",
+        (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")).alias(
+            "precision"
+        ),
+        (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
 def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit for MinHash (completing the audit trio
     next to token_cms_heavy_hitters and sim_ann_recall_audit): for
@@ -987,6 +1094,7 @@ QUERIES = {
     "dedup_ngram_jaccard_prefix": dedup_ngram_jaccard_prefix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_estimate_audit": dedup_minhash_estimate_audit,
+    "dedup_minhash_band_tuning": dedup_minhash_band_tuning,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
@@ -1467,4 +1575,72 @@ ORACLES["doc_duplicated_spans"] = f"""
     FROM nd d
     LEFT JOIN shc s ON s.doc_id = d.doc_id
     LEFT JOIN cov c ON c.doc_id = d.doc_id
+"""
+
+
+def _tune_band_selects(bands: int, rows: int) -> str:
+    """Parameterized mirror of operators/dedup.lsh_band_keys for the
+    tuning oracle: comma-joined mh{b*rows+r} per band."""
+    return "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || ',' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS band_key FROM sig"
+        for b in range(bands)
+    )
+
+
+_TUNE_CONFIG_CTES = ",\n        ".join(
+    f"""bands_{b}_{r} AS ({_tune_band_selects(b, r)}),
+        cand_{b}_{r} AS (
+          SELECT DISTINCT {b} AS bands, {r} AS rows_per_band,
+                 ba.doc_id AS doc_a, bb.doc_id AS doc_b
+          FROM bands_{b}_{r} ba JOIN bands_{b}_{r} bb
+            ON ba.band_idx = bb.band_idx AND ba.band_key = bb.band_key
+           AND ba.doc_id < bb.doc_id
+        )"""
+    for b, r in LSH_TUNE_CONFIGS
+)
+
+ORACLES["dedup_minhash_band_tuning"] = f"""
+    WITH sh AS MATERIALIZED ({_SHINGLES_CTE}),
+    shnz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    hb AS (
+      SELECT doc_id, {_TOK_HASH} AS h
+      FROM (SELECT doc_id, unnest(shingles) AS x FROM shnz)
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_MH_COLS}
+      FROM hb GROUP BY doc_id
+    ),
+    truth AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shnz a JOIN shnz b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                     AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    tn AS (SELECT count(1) AS n_truth FROM truth),
+    {_TUNE_CONFIG_CTES},
+    allc AS (
+      {" UNION ALL ".join(f"SELECT * FROM cand_{b}_{r}" for b, r in LSH_TUNE_CONFIGS)}
+    ),
+    rep AS (
+      SELECT c.bands, c.rows_per_band,
+             count(1) AS n_candidates,
+             CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM allc c
+      LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY 1, 2
+    )
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           n_candidates, n_hits, tn.n_truth,
+           CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
+           CAST(n_hits AS DOUBLE) / CAST(tn.n_truth AS DOUBLE) AS recall
+    FROM rep CROSS JOIN tn
 """

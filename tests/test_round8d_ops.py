@@ -350,3 +350,60 @@ def test_negative_samples_matches_python(spark, sf_dir):
     assert got == want and got
     for (u, v), _jr in got.items():
         assert v not in adj[u], "emitted a real edge as a negative"
+
+
+def test_band_tuning_candidate_nesting(spark, sf_dir):
+    """With ALIGNED banding over the same 16 perms (band b of r rows =
+    perms [b*r, b*r+r)), agreement on a 4-perm band implies agreement
+    on both of its 2-perm halves — so the candidate sets NEST:
+    cand(2x8) ⊆ cand(4x4) ⊆ cand(8x2), and recall is monotone
+    non-decreasing in the band count. The report must reflect both."""
+    from content_analytics_etl_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_agg,
+        shingle_hashes,
+        shingle_rows,
+    )
+    from content_analytics_etl_spark.plans._util import t
+    from content_analytics_etl_spark.plans.dedup_queries import (
+        LSH_TUNE_CONFIGS,
+        dedup_minhash_band_tuning,
+    )
+    from pyspark.sql import functions as F
+
+    d = t(spark, sf_dir, "documents")
+    sig = minhash_signature_agg(
+        shingle_hashes(shingle_rows(d, ["doc_id"], distinct=False), ["doc_id"]),
+        ["doc_id"],
+        k=16,
+    ).persist()
+    cand = {}
+    for b, r in LSH_TUNE_CONFIGS:
+        bands = lsh_band_keys(sig, ["doc_id"], bands=b, rows=r)
+        ba, bb = bands.alias("ba"), bands.alias("bb")
+        cand[(b, r)] = {
+            (row["doc_a"], row["doc_b"])
+            for row in ba.join(
+                bb,
+                (F.col("ba.band_idx") == F.col("bb.band_idx"))
+                & (F.col("ba.band_key") == F.col("bb.band_key"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("doc_a"),
+                F.col("bb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+    sig.unpersist()
+    assert cand[(2, 8)] <= cand[(4, 4)] <= cand[(8, 2)]
+    rep = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in dedup_minhash_band_tuning(spark, sf_dir).collect()
+    }
+    assert [rep[c]["n_candidates"] for c in LSH_TUNE_CONFIGS] == [
+        len(cand[c]) for c in LSH_TUNE_CONFIGS
+    ]
+    recalls = [rep[c]["recall"] for c in LSH_TUNE_CONFIGS]
+    assert recalls == sorted(recalls), "recall must be monotone in bands"

@@ -95,6 +95,8 @@ ALLOW_NESTED_LOOP = {
     "sim_ann_ivfpq_topk": "8-row centroid cross join (coarse assignment) "
     "+ 32-row residual codebook and bounded query-LUT broadcasts "
     "(sim_ann_ivf_topk / sim_ann_pq_adc shapes composed)",
+    "dedup_minhash_band_tuning": "1-row exact-truth-count aggregate "
+    "broadcast onto the 3-row per-config report",
 }
 
 
