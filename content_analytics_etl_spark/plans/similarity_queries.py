@@ -383,26 +383,13 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
-    (ADC) — the FAISS IVF-PQ memory-side story: 64-d vectors encoded as
-    M_SUB=4 one-byte codes (16× smaller than float32), queries scored
-    against codes via a per-query lookup table, never against the raw
-    corpus vectors.
-
-    Deterministic codebooks: per subspace, the sub-vectors of the first
-    PQ_KS corpus vectors (same seed policy as IVF/k-means — production
-    would train them; the plan shape is the point). Physical shape: the
-    32-row codebook and the ≤ 20·4·8-row query LUT broadcast; the corpus
-    (a) slices into subvectors with zero shuffle, (b) shuffles once on
-    (vec_id, m) for the argmin window, and (c) aggregates ADC partials
-    keyed by (query_id, cand_id) — all linear in corpus size. The ADC
-    sum over the 4 subspace partials is decimal-exact (plans/_util.py
-    policy) so the ranking is partition-independent."""
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, subv) — raw-vector subspace slices (pure projection,
+    cheap; not cached)."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    sub = e.select(
+    return e.select(
         "vec_id",
         F.explode(
             F.array(
@@ -418,26 +405,72 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", "s.m", "s.subv")
-    cb = sub.filter(F.col("vec_id").between(1, PQ_KS)).select(
-        "m", F.col("vec_id").cast("int").alias("k"), F.col("subv").alias("cv")
-    )
-    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    codes = (
-        sub.join(F.broadcast(cb), "m")
-        .withColumn("d2", sq_l2(F.col("subv"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("k"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "k")
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """32-row codebook: subspace slices of the first PQ_KS vectors."""
+    return sub.filter(F.col("vec_id").between(1, PQ_KS)).select(
+        "m", F.col("vec_id").cast("int").alias("k"), F.col("subv").alias("cv")
     )
+
+
+def _pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, k) — the corpus-wide PQ code assignment (the
+    expensive per-(vec, m) argmin), session-materialized once per
+    embeddings snapshot; consumed by ``sim_ann_pq_adc`` and
+    ``sim_ann_recall_audit``. This IS the compressed index a production
+    system stores — 4 bytes/vector instead of 256."""
+
+    def build() -> DataFrame:
+        sub = _pq_subvectors(spark, sf_dir)
+        cb = _pq_codebook(sub)
+        return (
+            sub.join(F.broadcast(cb), "m")
+            .withColumn("d2", _sq_l2(F.col("subv"), F.col("cv")))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("vec_id", "m").orderBy(
+                        F.col("d2").asc(), F.col("k")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "k")
+        )
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    return session_materialized(spark, f"ann_pq_codes:{fp}", build)
+
+
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the FAISS IVF-PQ memory-side story: 64-d vectors encoded as
+    M_SUB=4 one-byte codes (16× smaller than float32), queries scored
+    against codes via a per-query lookup table, never against the raw
+    corpus vectors.
+
+    Deterministic codebooks: per subspace, the sub-vectors of the first
+    PQ_KS corpus vectors (same seed policy as IVF/k-means — production
+    would train them; the plan shape is the point). Physical shape: the
+    32-row codebook and the ≤ 20·4·8-row query LUT broadcast; the code
+    table (the one corpus-wide argmin shuffle) comes from the
+    session-materialized index producer; ADC partials aggregate keyed
+    by (query_id, cand_id) — all linear in corpus size. The ADC
+    sum over the 4 subspace partials is decimal-exact (plans/_util.py
+    policy) so the ranking is partition-independent."""
+    sub = _pq_subvectors(spark, sf_dir)
+    cb = _pq_codebook(sub)
+    sq_l2 = _sq_l2
+    codes = _pq_code_table(spark, sf_dir)
     qlut = (
         sub.filter(_query_side())
         .select(F.col("vec_id").alias("query_id"), "m", F.col("subv").alias("qsubv"))
