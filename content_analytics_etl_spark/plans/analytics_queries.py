@@ -1066,6 +1066,66 @@ def warehouse_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warehouse_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip — the reference's OWN sink format
+    (S5) promoted to a verified round-trip, completing the matrix
+    (parquet / ORC / JSON-lines / CSV): orders is materialized once per
+    source-content fingerprint as headered CSV, read back with a
+    DECLARED schema (no inference scan), and aggregated; the oracle
+    computes the identical aggregate from the parquet source, so the
+    hash match proves the text round-trip is lossless. Doubles survive
+    via shortest-repr write + nearest parse (the JSON argument);
+    timestamps carry explicit microsecond format on BOTH write and read
+    — the default millisecond pattern would silently truncate µs and
+    fail the max-timestamp column. Same write-once tmp+rename+prune
+    discipline as the ORC/JSON materializations."""
+    key = source_fingerprint(sf_dir, "orders")
+    root = warehouse_root(spark)
+    csv_dir = os.path.join(root, f"orders_csv_{key}")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        tmp = f"{csv_dir}.tmp-{os.getpid()}"
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", ts_fmt)
+            .csv(tmp)
+        )
+        try:
+            os.rename(tmp, csv_dir)
+        except OSError:  # concurrent writer won the rename — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+                raise
+        for d in os.listdir(root):
+            if (
+                d.startswith("orders_csv_")
+                and ".tmp-" not in d
+                and d != f"orders_csv_{key}"
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    schema = (
+        "o_orderkey bigint, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", ts_fmt)
+        .csv(csv_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.max("o_orderdate").alias("latest_order"),
+        )
+    )
+
+
 def _idiv(a, b):
     """Exact integer floor-division for non-negative operands on both
     engines: subtract the remainder first so the double division is of
@@ -1193,6 +1253,7 @@ QUERIES = {
     "warehouse_compact_roundtrip": warehouse_compact_roundtrip,
     "warehouse_orc_roundtrip": warehouse_orc_roundtrip,
     "warehouse_json_roundtrip": warehouse_json_roundtrip,
+    "warehouse_csv_roundtrip": warehouse_csv_roundtrip,
     "star_fk_integrity": star_fk_integrity,
     "events_gapfill_locf": events_gapfill_locf,
     "dim_scd2_upsert": dim_scd2_upsert,
@@ -1276,6 +1337,16 @@ ORACLES = {
                min(c_custkey) AS min_key,
                max(c_custkey) AS max_key
         FROM customer GROUP BY 1
+    """,
+    "warehouse_csv_roundtrip": """
+        SELECT o_orderpriority,
+               count(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               max(o_orderdate) AS latest_order
+        FROM orders GROUP BY 1
     """,
     "warehouse_compact_roundtrip": """
         SELECT o_orderstatus,

@@ -76,7 +76,7 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the 33 queries added this round (epoch shuffle,
+# Round-8 rotation: the 34 queries added this round (epoch shuffle,
 # quality-filter calibration cross-tab, block-level exact dedup,
 # incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
 # gate, DSIR importance weights, hashed linear quality classifier,
@@ -87,7 +87,7 @@ _MODULES = [
 # winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
 # dimension-truncation recall, weighted-LPA communities, k-core
 # onion layers, sorted-neighborhood dedup) have no lifetime verdict
-# and enter first; the fill is the 17 oldest-verdict (round-3) names.  Audit
+# and enter first; the fill is the 16 oldest-verdict (round-3) names.  Audit
 # trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
 # included); no query has ever failed a driver verdict and stayed
 # failed.
@@ -125,6 +125,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_ivfpq_topk",
     "sim_dim_truncation_recall",
     "vocab_coverage_curve",
+    "warehouse_csv_roundtrip",
     "warehouse_json_roundtrip",
     # --- last driver verdict: round 3 (oldest-verdict fill)
     "doc_source_mix",
@@ -143,7 +144,6 @@ DRIVER_WINDOW: list[str] = [
     "events_session",
     "events_zorder_layout",
     "graph_pagerank",
-    "graph_triangles",
 ]
 
 
