@@ -76,7 +76,7 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the 34 queries added this round (epoch shuffle,
+# Round-8 rotation: the 35 queries added this round (epoch shuffle,
 # quality-filter calibration cross-tab, block-level exact dedup,
 # incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
 # gate, DSIR importance weights, hashed linear quality classifier,
@@ -87,7 +87,7 @@ _MODULES = [
 # winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
 # dimension-truncation recall, weighted-LPA communities, k-core
 # onion layers, sorted-neighborhood dedup) have no lifetime verdict
-# and enter first; the fill is the 16 oldest-verdict (round-3) names.  Audit
+# and enter first; the fill is the 15 oldest-verdict (round-3) names.  Audit
 # trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
 # included); no query has ever failed a driver verdict and stayed
 # failed.
@@ -106,6 +106,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_duplicated_spans",
     "doc_blocklist_filter",
     "doc_bm25_search",
+    "doc_domain_surprisal",
     "doc_dsir_importance",
     "doc_kneser_ney_perplexity",
     "doc_length_winsorized",
@@ -143,7 +144,6 @@ DRIVER_WINDOW: list[str] = [
     "events_range_join",
     "events_session",
     "events_zorder_layout",
-    "graph_pagerank",
 ]
 
 

@@ -180,9 +180,94 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_domain_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-LM domain-surprisal selection signal (the RHO-1 /
+    reference-model idea applied at unigram order): score every
+    document under TWO add-one unigram LMs — the global corpus model
+    and its own source's model — and report the cross-entropy gap.
+    A positive gap (cheaper in-domain than globally) marks the
+    documents that carry the source's distinctive distribution; near
+    zero marks generic/boilerplate text that any model predicts
+    equally well — the doc-level model-based twin of
+    ``doc_source_distinctive_terms``'s term-level lift.
+
+    Scale shape: one token explode feeds (doc, token) counts, global
+    token counts, and per-source token counts — all keyed hash
+    aggregations; model denominators ride in as a 1-row global frame
+    (allowlisted) and a #sources-row frame joined by key. Both
+    cross-entropies are fixed-point BIGINT reductions over 9 dp-grid
+    log2 of shared integers (the house pattern), so the gap is
+    bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tok")
+    )
+    x = tok.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    cg = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cg"))
+    gtot = tok.agg(
+        F.count(F.lit(1)).alias("ng"), F.countDistinct("tok").alias("vg")
+    )  # 1-row global model size
+    cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    stot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"), F.countDistinct("tok").alias("vs")
+    )
+
+    def _fp(cnt, n, v):
+        diff = F.round(F.log2((cnt + 1).cast("double")), 9) - F.round(
+            F.log2((n + v).cast("double")), 9
+        )
+        return F.floor(
+            F.col("x").cast("double") * diff * F.lit(1e9) + F.lit(0.5)
+        ).cast("bigint")
+
+    per = (
+        x.join(cg, "tok")
+        .join(cs, ["source", "tok"])
+        .join(stot, "source")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("x").alias("n_tokens"),
+            F.sum(_fp(F.col("cg"), F.col("ng"), F.col("vg"))).alias("_sg"),
+            F.sum(_fp(F.col("cs"), F.col("ns"), F.col("vs"))).alias("_ss"),
+        )
+    )
+    ce_g = (-F.col("_sg")).cast("double") / F.lit(1e9) / F.col(
+        "n_tokens"
+    ).cast("double")
+    ce_s = (-F.col("_ss")).cast("double") / F.lit(1e9) / F.col(
+        "n_tokens"
+    ).cast("double")
+    scored = per.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        ce_g.alias("ce_global_bits"),
+        ce_s.alias("ce_source_bits"),
+        (ce_g - ce_s).alias("domain_surprisal_gap"),
+    )
+    return (
+        d.select("doc_id", F.col("source").alias("src0"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("src0").alias("source"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("ce_global_bits", F.lit(0.0)).alias("ce_global_bits"),
+            F.coalesce("ce_source_bits", F.lit(0.0)).alias("ce_source_bits"),
+            F.coalesce("domain_surprisal_gap", F.lit(0.0)).alias(
+                "domain_surprisal_gap"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "doc_dsir_importance": doc_dsir_importance,
     "doc_quality_classifier": doc_quality_classifier,
+    "doc_domain_surprisal": doc_domain_surprisal,
 }
 
 _H64_SQL = DUCKDB_HASH64  # format with {expr}
@@ -265,3 +350,52 @@ ORACLES = {
         FROM base
     """,
 }
+
+ORACLES["doc_domain_surprisal"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    x AS (
+      SELECT doc_id, source, tok, count(1) AS x FROM tok GROUP BY 1, 2, 3
+    ),
+    cg AS (SELECT tok, count(1) AS cg FROM tok GROUP BY 1),
+    gtot AS (
+      SELECT count(1) AS ng, count(DISTINCT tok) AS vg FROM tok
+    ),
+    cs AS (SELECT source, tok, count(1) AS cs FROM tok GROUP BY 1, 2),
+    stot AS (
+      SELECT source, count(1) AS ns, count(DISTINCT tok) AS vs
+      FROM tok GROUP BY 1
+    ),
+    per AS (
+      SELECT x.doc_id, x.source,
+             CAST(sum(x.x) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(floor(CAST(x.x AS DOUBLE)
+               * (round(log2(CAST(cg.cg + 1 AS DOUBLE)), 9)
+                  - round(log2(CAST(gtot.ng + gtot.vg AS DOUBLE)), 9))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS _sg,
+             CAST(sum(CAST(floor(CAST(x.x AS DOUBLE)
+               * (round(log2(CAST(cs.cs + 1 AS DOUBLE)), 9)
+                  - round(log2(CAST(stot.ns + stot.vs AS DOUBLE)), 9))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS _ss
+      FROM x
+      JOIN cg ON cg.tok = x.tok
+      JOIN cs ON cs.source = x.source AND cs.tok = x.tok
+      JOIN stot ON stot.source = x.source
+      CROSS JOIN gtot
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(CAST(-p._sg AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_tokens AS DOUBLE), 0.0) AS ce_global_bits,
+           COALESCE(CAST(-p._ss AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_tokens AS DOUBLE), 0.0) AS ce_source_bits,
+           COALESCE(CAST(-p._sg AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_tokens AS DOUBLE)
+                    - CAST(-p._ss AS DOUBLE) / 1000000000.0
+                      / CAST(p.n_tokens AS DOUBLE), 0.0)
+             AS domain_surprisal_gap
+    FROM documents d
+    LEFT JOIN per p ON p.doc_id = d.doc_id
+"""

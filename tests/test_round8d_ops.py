@@ -407,3 +407,69 @@ def test_band_tuning_candidate_nesting(spark, sf_dir):
     ]
     recalls = [rep[c]["recall"] for c in LSH_TUNE_CONFIGS]
     assert recalls == sorted(recalls), "recall must be monotone in bands"
+
+
+def test_domain_surprisal_matches_python(spark, sf_dir):
+    """Dual-LM surprisal gap recomputed in pure python with the same
+    9 dp grid and fixed-point reductions; pins that the gap is exactly
+    ce_global - ce_source and zero for empty docs."""
+    import math
+    from collections import Counter
+
+    from content_analytics_etl_spark.plans.selection_queries import (
+        doc_domain_surprisal,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+        " ORDER BY 1"
+    ).fetchall()
+    x: Counter = Counter()
+    cg: Counter = Counter()
+    cs: Counter = Counter()
+    ns: Counter = Counter()
+    vs: dict = {}
+    ng = 0
+    vg: set = set()
+    for did, src, tx in docs:
+        for tk in _norm(tx).split(" "):
+            x[(did, src, tk)] += 1
+            cg[tk] += 1
+            cs[(src, tk)] += 1
+            ns[src] += 1
+            vs.setdefault(src, set()).add(tk)
+            ng += 1
+            vg.add(tk)
+    per: dict = {}
+    for (did, src, tk), n in x.items():
+        dg = round(math.log2(cg[tk] + 1), 9) - round(
+            math.log2(ng + len(vg)), 9
+        )
+        ds = round(math.log2(cs[(src, tk)] + 1), 9) - round(
+            math.log2(ns[src] + len(vs[src])), 9
+        )
+        sg, ss, cnt = per.get(did, (0, 0, 0))
+        per[did] = (
+            sg + math.floor(n * dg * 1e9 + 0.5),
+            ss + math.floor(n * ds * 1e9 + 0.5),
+            cnt + n,
+        )
+    want = {}
+    for did, src, _tx in docs:
+        if did in per:
+            sg, ss, n = per[did]
+            ceg, ces = -sg / 1e9 / n, -ss / 1e9 / n
+            want[did] = (src, n, ceg, ces, ceg - ces)
+        else:
+            want[did] = (src, 0, 0.0, 0.0, 0.0)
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_tokens"],
+            r["ce_global_bits"],
+            r["ce_source_bits"],
+            r["domain_surprisal_gap"],
+        )
+        for r in doc_domain_surprisal(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -97,6 +97,8 @@ ALLOW_NESTED_LOOP = {
     "(sim_ann_ivf_topk / sim_ann_pq_adc shapes composed)",
     "dedup_minhash_band_tuning": "1-row exact-truth-count aggregate "
     "broadcast onto the 3-row per-config report",
+    "doc_domain_surprisal": "1-row global-LM-size aggregate broadcast "
+    "(the doc_lm_perplexity shape; the per-source model sizes join by key)",
 }
 
 
