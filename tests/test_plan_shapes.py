@@ -32,7 +32,12 @@ MAX_SHUFFLES = {
     "dedup_ngram_jaccard_prefix": 13,
     "sim_neardup_pairs": 9,
     "sim_semantic_decontaminate": 6,
-    "sim_ann_pq_adc": 3,
+    # 3 serving-side + 1 inside the embedded cached-build lineage: the
+    # session-materialized PQ code table's one-time argmin shuffle
+    # (PERF 52) prints inside the InMemoryTableScan node, so the plan
+    # STRING counts it on every read even though it executes once per
+    # corpus snapshot
+    "sim_ann_pq_adc": 4,
     "doc_ngram_scrub": 3,  # r4: per-doc covered-array agg replaced the 3×-exploded distinct
     "doc_winnow": 1,
     "doc_chunk": 0,
