@@ -86,7 +86,10 @@ _MODULES = [
 # audit, vocab coverage curve, JSON-lines round-trip, BM25 search,
 # winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
 # dimension-truncation recall, weighted-LPA communities, k-core
-# onion layers, sorted-neighborhood dedup) have no lifetime verdict
+# onion layers, sorted-neighborhood dedup, PPS systematic sampling,
+# duplicated-span coverage, Kneser-Ney perplexity, sparse-cosine
+# top-k, graph negative sampling, residual IVF-PQ, LSH band tuning,
+# CSV round-trip, dual-LM domain surprisal) have no lifetime verdict
 # and enter first; the fill is the 15 oldest-verdict (round-3) names.  Audit
 # trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
 # included); no query has ever failed a driver verdict and stayed
