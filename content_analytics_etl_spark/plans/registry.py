@@ -76,7 +76,7 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the 35 queries added this round (epoch shuffle,
+# Round-8 rotation: the 36 queries added this round (epoch shuffle,
 # quality-filter calibration cross-tab, block-level exact dedup,
 # incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
 # gate, DSIR importance weights, hashed linear quality classifier,
@@ -89,8 +89,9 @@ _MODULES = [
 # onion layers, sorted-neighborhood dedup, PPS systematic sampling,
 # duplicated-span coverage, Kneser-Ney perplexity, sparse-cosine
 # top-k, graph negative sampling, residual IVF-PQ, LSH band tuning,
-# CSV round-trip, dual-LM domain surprisal) have no lifetime verdict
-# and enter first; the fill is the 15 oldest-verdict (round-3) names.  Audit
+# CSV round-trip, dual-LM domain surprisal, embedding drift monitor)
+# have no lifetime verdict and enter first; the fill is the 14
+# oldest-verdict (round-3) names.  Audit
 # trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
 # included); no query has ever failed a driver verdict and stayed
 # failed.
@@ -116,6 +117,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_quality_classifier",
     "doc_sparse_cosine_topk",
     "doc_rrf_fusion",
+    "embedding_drift_monitor",
     "embedding_pq_train",
     "events_asof_nearest",
     "events_key_skew_profile",
@@ -146,7 +148,6 @@ DRIVER_WINDOW: list[str] = [
     "events_partition_pruned",
     "events_range_join",
     "events_session",
-    "events_zorder_layout",
 ]
 
 

@@ -1277,10 +1277,82 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot embedding drift report — the monitoring
+    table an embedding-backed pipeline checks before re-using an index
+    or a trained probe on a refreshed corpus: per label, the population
+    share in each snapshot, the share delta, and the cosine between the
+    two snapshots' label centroids (1 − cosine = directional drift).
+    Snapshots here are the deterministic vec_id parity split (the local
+    stand-in for yesterday/today corpus snapshots; both engines derive
+    it identically, no side channel).
+
+    Scale shape: per-(snapshot, label, dim) decimal-exact means via one
+    posexplode aggregation (the label-outliers centroid pattern, keyed
+    — never a window), reassembled into a #labels-row relation per
+    snapshot and joined label-to-label; population totals ride in as
+    one 2-row broadcast. Everything downstream of the explode is
+    constant-size."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    ).withColumn(
+        "snap",
+        F.when(F.pmod("vec_id", F.lit(2)) == 0, F.lit("a")).otherwise(
+            F.lit("b")
+        ),
+    )
+    per_dim = (
+        e.select("snap", "label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("snap", "label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cent = per_dim.groupBy("snap", "label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cv")
+    )
+    counts = e.groupBy("snap", "label").agg(F.count(F.lit(1)).alias("n"))
+    tot = e.groupBy("snap").agg(F.count(F.lit(1)).alias("nt"))
+    side = lambda sfx: (  # noqa: E731
+        cent.join(counts, ["snap", "label"])
+        .join(tot, "snap")
+        .filter(F.col("snap") == sfx)
+        .select(
+            "label",
+            F.col("cv").alias(f"cv_{sfx}"),
+            F.col("n").alias(f"n_{sfx}"),
+            (F.col("n").cast("double") / F.col("nt").cast("double")).alias(
+                f"share_{sfx}"
+            ),
+        )
+    )
+    j = side("a").join(side("b"), "label")
+    cos = dot_product(F.col("cv_a"), F.col("cv_b")) / (
+        l2_norm(F.col("cv_a")) * l2_norm(F.col("cv_b"))
+    )
+    return j.select(
+        "label",
+        "n_a",
+        "n_b",
+        "share_a",
+        "share_b",
+        (F.col("share_b") - F.col("share_a")).alias("share_delta"),
+        cos.alias("centroid_cosine"),
+        (F.lit(1.0) - cos).alias("centroid_drift"),
+    )
+
+
 QUERIES = {
     "sim_ann_recall_audit": sim_ann_recall_audit,
     "sim_hard_negatives": sim_hard_negatives,
     "embedding_label_outliers": embedding_label_outliers,
+    "embedding_drift_monitor": embedding_drift_monitor,
     "sim_brute_topk": sim_brute_topk,
     "sim_dim_truncation_recall": sim_dim_truncation_recall,
     "sim_neardup_pairs": sim_neardup_pairs,
@@ -1473,6 +1545,51 @@ ORACLES = {
                p.cosine - n.cosine AS margin
         FROM r p JOIN r n ON p.query_id = n.query_id
         WHERE p.rn = 1 AND p.same AND n.rn = 1 AND NOT n.same
+    """,
+    "embedding_drift_monitor": f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, label, {_V} AS v,
+                 CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap
+          FROM embeddings
+        ),
+        ex AS (
+          SELECT snap, label, CAST(pos AS INTEGER) AS pos, v[pos + 1] AS x
+          FROM e, range(0, {DIM}) r(pos)
+        ),
+        md AS (
+          SELECT snap, label, pos,
+                 CAST(SUM({_DEC12("x")}) AS DOUBLE) / COUNT(*) AS m
+          FROM ex GROUP BY snap, label, pos
+        ),
+        c AS (
+          SELECT snap, label, list(m ORDER BY pos) AS cv
+          FROM md GROUP BY snap, label
+        ),
+        cnt AS (SELECT snap, label, count(1) AS n FROM e GROUP BY 1, 2),
+        tot AS (SELECT snap, count(1) AS nt FROM e GROUP BY 1),
+        sa AS (
+          SELECT c.label, c.cv AS cv_a, cnt.n AS n_a,
+                 CAST(cnt.n AS DOUBLE) / CAST(tot.nt AS DOUBLE) AS share_a
+          FROM c JOIN cnt ON cnt.snap = c.snap AND cnt.label = c.label
+          JOIN tot ON tot.snap = c.snap WHERE c.snap = 'a'
+        ),
+        sb AS (
+          SELECT c.label, c.cv AS cv_b, cnt.n AS n_b,
+                 CAST(cnt.n AS DOUBLE) / CAST(tot.nt AS DOUBLE) AS share_b
+          FROM c JOIN cnt ON cnt.snap = c.snap AND cnt.label = c.label
+          JOIN tot ON tot.snap = c.snap WHERE c.snap = 'b'
+        )
+        SELECT label, n_a, n_b, share_a, share_b,
+               share_b - share_a AS share_delta,
+               {_DOT(d=DIM, a="cv_a", b="cv_b")}
+                 / (sqrt({_DOT(d=DIM, a="cv_a", b="cv_a")})
+                    * sqrt({_DOT(d=DIM, a="cv_b", b="cv_b")}))
+                 AS centroid_cosine,
+               1.0 - {_DOT(d=DIM, a="cv_a", b="cv_b")}
+                 / (sqrt({_DOT(d=DIM, a="cv_a", b="cv_a")})
+                    * sqrt({_DOT(d=DIM, a="cv_b", b="cv_b")}))
+                 AS centroid_drift
+        FROM sa JOIN sb USING (label)
     """,
     "embedding_label_outliers": f"""
         WITH e AS MATERIALIZED (
