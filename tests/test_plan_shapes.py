@@ -46,6 +46,18 @@ MAX_SHUFFLES = {
     "multimodal_frame_decode": 0,
     "doc_pack_sequences": 1,
     "doc_quality_classifier": 0,  # margin folds inside the scan projection
+    # --- round-8b additions (pre-AQE string counts; producer-backed
+    # queries — kcore, negatives, the ANN paths, band tuning — are NOT
+    # pinned: their plan text embeds the session-cached build lineage,
+    # so the string count is an artifact of cache state, not shape)
+    "dedup_sorted_neighborhood": 10,  # prefix-sum rank + probe join + verify
+    "doc_duplicated_spans": 6,
+    "corpus_systematic_sample": 4,
+    "doc_kneser_ney_perplexity": 10,  # 4 count relations off one explode
+    "doc_sparse_cosine_topk": 18,  # w-lineage prints 3× pre-AQE; runtime reuses
+    "doc_domain_surprisal": 7,
+    "embedding_drift_monitor": 8,
+    "warehouse_csv_roundtrip": 1,
     # cell pre-agg + per-file rollup; the 2nd shuffle carries ≤256×256
     # cell rows, not the corpus (PERF 45)
     "lineitem_zorder_layout": 2,
