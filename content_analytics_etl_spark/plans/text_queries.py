@@ -19,7 +19,13 @@ from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
 from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
 from ..cache import session_materialized
-from ._util import DEC, rank_limited, source_fingerprint, t
+from ._util import (
+    DEC,
+    materialize_and_release,
+    rank_limited,
+    source_fingerprint,
+    t,
+)
 
 # Marker vocabularies for the language-ID heuristic. The synthetic corpus
 # draws from one shared vocabulary, so these partition that vocabulary
@@ -1330,6 +1336,9 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("df") <= SPARSE_DF_ABS)
         )
     )
+    # three consumers (norms + both posting sides) whose subtrees are
+    # NOT reuse-identical (the index side filters df >= 2) — persist the
+    # weight relation once, release after the result materializes
     w = (
         tf.join(dfreq, "term")
         .select(
@@ -1347,6 +1356,7 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
+        .persist()
     )
 
     def _fp(c: Column) -> Column:
@@ -1389,10 +1399,11 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = W.partitionBy("doc_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
+    return materialize_and_release(
         scored.withColumn("rank", F.row_number().over(wk).cast("int"))
         .filter(F.col("rank") <= SPARSE_TOPK)
-        .select("doc_id", "neighbor_id", "cosine", "rank")
+        .select("doc_id", "neighbor_id", "cosine", "rank"),
+        w,
     )
 
 
