@@ -76,78 +76,66 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-8 rotation: the 36 queries added this round (epoch shuffle,
-# quality-filter calibration cross-tab, block-level exact dedup,
-# incremental snapshot dedup, incremental MinHash-LSH dedup, blocklist
-# gate, DSIR importance weights, hashed linear quality classifier,
-# bigram-LM perplexity, PQ codebook training step, nearest as-of join,
-# join-key skew profile, mergeable quantile-sketch rollup, LogLog
-# sketch set algebra, local clustering coefficient, z-order layout
-# audit, vocab coverage curve, JSON-lines round-trip, BM25 search,
-# winsorized length stats, dedup-rate-by-source, RRF hybrid fusion,
-# dimension-truncation recall, weighted-LPA communities, k-core
-# onion layers, sorted-neighborhood dedup, PPS systematic sampling,
-# duplicated-span coverage, Kneser-Ney perplexity, sparse-cosine
-# top-k, graph negative sampling, residual IVF-PQ, LSH band tuning,
-# CSV round-trip, dual-LM domain surprisal, embedding drift monitor)
-# have no lifetime verdict and enter first; the fill is the 14
-# oldest-verdict (round-3) names.  Audit
-# trail: CORRECTNESS_r07 was 50/50 green (six first-time queries
-# included); no query has ever failed a driver verdict and stayed
-# failed.
+# Round-9 rotation: lifetime coverage is 215/215 (every registered
+# query has at least one green driver verdict), so the window is pure
+# oldest-verdict fill: the 16 remaining round-3-verdict names plus the
+# 34 alphabetically-first round-4-verdict names.  This matters extra
+# this round because the 2026-08-15 testdata regeneration (PERF 47)
+# post-dates most of these verdicts — re-hashing the oldest names
+# re-earns them on the new data.  Audit trail: CORRECTNESS_r08 was
+# 50/50 green (all 36 round-8 additions included); no query has ever
+# failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    # --- never driver-verified (new in round 8)
-    "corpus_dedup_rate_by_source",
-    "corpus_epoch_shuffle",
-    "corpus_quality_report",
-    "corpus_systematic_sample",
-    "dedup_block_exact",
-    "dedup_incremental",
-    "dedup_lsh_incremental",
-    "dedup_minhash_band_tuning",
-    "dedup_sorted_neighborhood",
-    "doc_bigram_perplexity",
-    "doc_duplicated_spans",
-    "doc_blocklist_filter",
-    "doc_bm25_search",
-    "doc_domain_surprisal",
-    "doc_dsir_importance",
-    "doc_kneser_ney_perplexity",
-    "doc_length_winsorized",
-    "doc_quality_classifier",
-    "doc_sparse_cosine_topk",
-    "doc_rrf_fusion",
-    "embedding_drift_monitor",
-    "embedding_pq_train",
-    "events_asof_nearest",
-    "events_key_skew_profile",
-    "events_quantile_sketch_rollup",
-    "events_sketch_set_ops",
-    "graph_clustering_coefficient",
-    "graph_kcore_decomposition",
-    "graph_label_propagation",
-    "graph_negative_samples",
-    "lineitem_zorder_layout",
-    "sim_ann_ivfpq_topk",
-    "sim_dim_truncation_recall",
-    "vocab_coverage_curve",
-    "warehouse_csv_roundtrip",
-    "warehouse_json_roundtrip",
-    # --- last driver verdict: round 3 (oldest-verdict fill)
-    "doc_source_mix",
-    "doc_split_assign",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "embedding_kmeans",
-    "embedding_quantize",
-    "events_asof_join",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_gapfill_locf",
-    "events_json_props",
-    "events_partition_pruned",
-    "events_range_join",
-    "events_session",
+    "events_zorder_layout",
+    "graph_pagerank",
+    "graph_triangles",
+    "join_bucketed",
+    "join_salted",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_video_decode",
+    "orders_merge_upsert",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_pq_adc",
+    "sim_neardup_pairs",
+    "warehouse_compact_roundtrip",
+    "agg_stats",
+    "bigram_frequency",
+    "bpe_first_merges",
+    "corpus_curation_funnel",
+    "corpus_curation_manifest",
+    "corpus_mix_rebalance",
+    "customer_rfm_segments",
+    "dedup_edit_distance",
+    "dedup_exact_flags",
+    "dedup_keep_best",
+    "dedup_minhash_estimate_audit",
+    "dedup_ngram_jaccard",
+    "doc_char_entropy",
+    "doc_chunk",
+    "doc_fingerprint",
+    "doc_lm_perplexity",
+    "doc_ngram_scrub",
+    "doc_quality_gates",
+    "doc_repetition",
+    "doc_rolling_hash",
+    "doc_sample_stratified",
+    "doc_token_novelty",
+    "doc_winnow",
+    "doc_winnow_overlap",
+    "events_approx_percentile_bound",
+    "events_daily_from_hourly",
+    "events_distinct_sketch_rollup",
+    "events_mad_outliers",
+    "events_trailing_window",
+    "events_type_hourly_pivot",
+    "events_value_distribution",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_zscore_outliers",
 ]
 
 
