@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DUCKDB_HASH64
 from ..functions.text_metrics import tokens
 from ._util import t
-from .text_queries import _TOKS_SQL
+from .text_queries import _TOKS_SQL, _lm_token_counts
 
 # Feature-hash width for both operators. 256 buckets is the sf-scaled
 # stand-in for DSIR's 10k-bucket hashed bigram space; the bucket table
@@ -191,27 +191,25 @@ def doc_domain_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     equally well — the doc-level model-based twin of
     ``doc_source_distinctive_terms``'s term-level lift.
 
-    Scale shape: one token explode feeds (doc, token) counts, global
+    Scale shape: the shared session-materialized unigram count table
+    (``text_queries._lm_token_counts``, one corpus explode for the
+    whole LM family — VERDICT r8 #2) feeds (doc, token) counts, global
     token counts, and per-source token counts — all keyed hash
-    aggregations; model denominators ride in as a 1-row global frame
-    (allowlisted) and a #sources-row frame joined by key. Both
-    cross-entropies are fixed-point BIGINT reductions over 9 dp-grid
-    log2 of shared integers (the house pattern), so the gap is
-    bit-identical cross-engine."""
+    aggregations over |distinct (doc, source, token)| rows; model
+    denominators ride in as a 1-row global frame (allowlisted) and a
+    #sources-row frame joined by key. Both cross-entropies are
+    fixed-point BIGINT reductions over 9 dp-grid log2 of shared
+    integers (the house pattern), so the gap is bit-identical
+    cross-engine."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "source", F.explode(tokens("text")).alias("tok")
-    )
-    x = tok.groupBy("doc_id", "source", "tok").agg(
-        F.count(F.lit(1)).alias("x")
-    )
-    cg = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cg"))
-    gtot = tok.agg(
-        F.count(F.lit(1)).alias("ng"), F.countDistinct("tok").alias("vg")
+    x = _lm_token_counts(spark, sf_dir)
+    cs = x.groupBy("source", "tok").agg(F.sum("x").alias("cs"))
+    cg = cs.groupBy("tok").agg(F.sum("cs").alias("cg"))
+    gtot = cg.agg(
+        F.sum("cg").alias("ng"), F.count(F.lit(1)).alias("vg")
     )  # 1-row global model size
-    cs = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
-    stot = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("ns"), F.countDistinct("tok").alias("vs")
+    stot = cs.groupBy("source").agg(
+        F.sum("cs").alias("ns"), F.count(F.lit(1)).alias("vs")
     )
 
     def _fp(cnt, n, v):

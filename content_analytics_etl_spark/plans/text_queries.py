@@ -1174,13 +1174,14 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lm_perplexity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    doc_tok = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    # model counts derive from the per-doc relation, not the raw token
-    # stream — the explode is scanned ONCE and the tf aggregation's
-    # input shrinks from |corpus tokens| to |distinct (doc, token)|
-    # rows (the PERF-18 build-from-the-aggregate discipline).
+    doc_tok = _lm_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("token"), F.col("x").alias("cnt")
+    )
+    # model counts derive from the shared per-(doc, token) count table
+    # (``_lm_token_counts``, one corpus explode for the whole LM
+    # family), not the raw token stream — the tf aggregation's input is
+    # |distinct (doc, token)| rows, not |corpus tokens| (the PERF-18
+    # build-from-the-aggregate discipline).
     tf = doc_tok.groupBy("token").agg(F.sum("cnt").alias("tf"))
     tot = tf.agg(
         F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("vocab")
@@ -1215,6 +1216,94 @@ def _lm_perplexity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared unigram count table: per-(doc_id, source, tok) occurrence
+    counts ``x``, session-materialized once per corpus snapshot.
+
+    This is THE relation every unigram-LM query needs — the corpus
+    token explode + (doc, token) aggregation is the dominant cost of
+    ``doc_lm_perplexity``, ``doc_domain_surprisal``, and the add-one
+    vocabulary lookup of ``doc_bigram_perplexity`` — and before round 9
+    each of them re-ran it (VERDICT r8 #2). At 100 TB this is the
+    incremental per-snapshot token-count table written once per corpus
+    build; ``cache.session_materialized`` is the local stand-in, and
+    the build cost is reported via ``producer_build_seconds``.
+
+    ``source`` rides along (functionally dependent on doc_id) so the
+    per-source model of ``doc_domain_surprisal`` derives without a join
+    back to the documents table."""
+    key = f"lm_token_doc_counts:{source_fingerprint(sf_dir, 'documents')}"
+
+    def build() -> DataFrame:
+        d = t(spark, sf_dir, "documents")
+        return (
+            d.select("doc_id", "source", F.explode(tokens("text")).alias("tok"))
+            .groupBy("doc_id", "source", "tok")
+            .agg(F.count(F.lit(1)).alias("x"))
+        )
+
+    return session_materialized(spark, key, build)
+
+
+def _lm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bigram count table: per-(doc_id, w1, w2) occurrence counts
+    ``x``, session-materialized once per corpus snapshot.
+
+    Both bigram-LM scorers (``doc_bigram_perplexity`` add-one and
+    ``doc_kneser_ney_perplexity``) consume exactly this relation; the
+    corpus explode into adjacent pairs + the (doc, pair) aggregation is
+    their dominant cost and used to run once per query (VERDICT r8 #2
+    — three of the six slowest sf1 entries). Same 100 TB posture as
+    ``_lm_token_counts``."""
+    key = f"lm_bigram_doc_counts:{source_fingerprint(sf_dir, 'documents')}"
+
+    def build() -> DataFrame:
+        d = t(spark, sf_dir, "documents")
+        toks = tokens("text")
+        pairs = F.when(
+            F.size(toks) < 2,
+            F.array().cast("array<struct<w1:string,w2:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        )
+        return (
+            d.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("x"))
+        )
+
+    return session_materialized(spark, key, build)
+
+
+def _lm_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared bigram model table (w1, w2, cb, cp, n1p, n1c): pair count,
+    prefix total, distinct-successor count N1+(w1·), and
+    distinct-predecessor count N1+(·w2) — the superset of what the
+    add-one and Kneser-Ney scorers each need, joined once and
+    session-materialized. Derives from ``_lm_bigram_counts`` (the
+    PERF-18 build-from-the-aggregate discipline: model counts aggregate
+    |distinct (doc, pair)| rows, not the raw pair stream)."""
+    key = f"lm_bigram_model:{source_fingerprint(sf_dir, 'documents')}"
+
+    def build() -> DataFrame:
+        x = _lm_bigram_counts(spark, sf_dir)
+        cb = x.groupBy("w1", "w2").agg(F.sum("x").alias("cb"))
+        cp = cb.groupBy("w1").agg(
+            F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1p")
+        )
+        n1c = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1c"))
+        return cb.join(cp, "w1").join(n1c, "w2")
+
+    return session_materialized(spark, key, build)
+
+
 def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity per document — the order-2 step from
     ``doc_lm_perplexity`` toward the 5-gram KenLM filter CCNet actually
@@ -1222,33 +1311,20 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing over the unigram vocabulary V, scored as cross-entropy
     H = −(1/n)·Σ log2 p and perplexity 2^H.
 
-    Scale shape: the model IS two relations derived from one bigram
-    explode — (w1, bigram, count) and its (w1, total) rollup — joined
-    back onto per-(doc, bigram) counts by key; every step is a keyed
-    equi-join/agg, the only broadcast is the 1-row vocabulary size.
-    Unlike the unigram model the denominator log2(c(w1·)+V) varies per
-    prefix, so it can't be factored out of the sum — each joined row
-    carries its own Δlog2 term into the fixed-point BIGINT reduction
-    (the dsir/char-entropy pattern; bit-identical cross-engine)."""
+    Scale shape: per-(doc, pair) counts and the (pair count, prefix
+    total) model both come from the session-materialized shared count
+    tables (``_lm_bigram_counts`` / ``_lm_bigram_model`` — one corpus
+    explode for the whole LM family); the scoring join is keyed
+    equi-join/agg, the only broadcast is the 1-row vocabulary size
+    (distinct tokens of the shared unigram table). Unlike the unigram
+    model the denominator log2(c(w1·)+V) varies per prefix, so it
+    can't be factored out of the sum — each joined row carries its own
+    Δlog2 term into the fixed-point BIGINT reduction (the
+    dsir/char-entropy pattern; bit-identical cross-engine)."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    bigrams = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
-    pr = d.select("doc_id", F.explode(bigrams).alias("bg")).withColumn(
-        "w1", F.split(F.col("bg"), " ").getItem(0)
-    )
-    x = pr.groupBy("doc_id", "w1", "bg").agg(F.count(F.lit(1)).alias("x"))
-    cb = x.groupBy("w1", "bg").agg(F.sum("x").alias("cb"))
-    cp = cb.groupBy("w1").agg(F.sum("cb").alias("cp"))
-    vocab = d.select(F.explode(toks).alias("tok")).agg(
+    x = _lm_bigram_counts(spark, sf_dir)
+    model = _lm_bigram_model(spark, sf_dir).select("w1", "w2", "cb", "cp")
+    vocab = _lm_token_counts(spark, sf_dir).agg(
         F.countDistinct("tok").alias("v")
     )  # 1-row vocabulary size (allowlisted broadcast)
     diff = F.round(F.log2((F.col("cb") + 1).cast("double")), 9) - F.round(
@@ -1258,8 +1334,7 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("double") * diff * F.lit(1000000000.0) + F.lit(0.5)
     ).cast("bigint")
     per = (
-        x.join(cb, ["w1", "bg"])
-        .join(cp, "w1")
+        x.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(F.sum("x").alias("n_bigrams"), F.sum(contrib).alias("_sb"))
@@ -1425,37 +1500,19 @@ def doc_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one-filtered ones. Self-scored on the corpus, so every doc
     bigram has c ≥ 1 and the interpolation only ADDS mass (p > 0).
 
-    Scale shape: the model is four relations off one bigram explode —
-    pair counts, prefix totals, distinct-successor counts N1+(w1·),
+    Scale shape: the model is four relations off ONE shared bigram
+    count table (``_lm_bigram_counts`` / ``_lm_bigram_model``, built
+    once per corpus snapshot for the whole LM family) — pair counts,
+    prefix totals, distinct-successor counts N1+(w1·),
     distinct-predecessor counts N1+(·w2) — all keyed aggregations; the
     only broadcast is the 1-row distinct-pair total. D = 3/4 is exact
     binary, the per-row p is pure IEEE arithmetic over shared integers
     (bit-identical cross-engine), and log2 lands on the 9 dp grid into
     the fixed-point BIGINT reduction (the house pattern)."""
     d = t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    pairs = F.when(
-        F.size(toks) < 2,
-        F.array().cast("array<struct<w1:string,w2:string>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        )
-    )
-    pr = d.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
-    x = pr.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("x"))
-    cb = x.groupBy("w1", "w2").agg(F.sum("x").alias("cb"))
-    cp = cb.groupBy("w1").agg(
-        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("n1p")
-    )
-    n1c = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1c"))
-    npp = cb.agg(F.count(F.lit(1)).alias("npp"))  # 1-row distinct pairs
+    x = _lm_bigram_counts(spark, sf_dir)
+    model = _lm_bigram_model(spark, sf_dir)
+    npp = model.agg(F.count(F.lit(1)).alias("npp"))  # 1-row distinct pairs
     D = F.lit(KN_DISCOUNT)
     p = (
         (F.col("cb").cast("double") - D) / F.col("cp").cast("double")
@@ -1472,9 +1529,7 @@ def doc_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     per = (
-        x.join(cb, ["w1", "w2"])
-        .join(cp, "w1")
-        .join(n1c, "w2")
+        x.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(npp))
         .groupBy("doc_id")
         .agg(F.sum("x").alias("n_bigrams"), F.sum(contrib).alias("_sb"))

@@ -53,12 +53,16 @@ MAX_SHUFFLES = {
     "dedup_sorted_neighborhood": 10,  # prefix-sum rank + probe join + verify
     "doc_duplicated_spans": 6,
     "corpus_systematic_sample": 4,
-    "doc_kneser_ney_perplexity": 10,  # 4 count relations off one explode
+    # doc_kneser_ney_perplexity / doc_domain_surprisal: unpinned in r9 —
+    # the LM family now consumes the session-materialized
+    # _lm_token_counts/_lm_bigram_counts producers (VERDICT r8 #2), so
+    # the plan string embeds the cached build lineage once per derived
+    # count relation and the string count is a cache-state artifact,
+    # same class as the other producer-backed queries above.
     # doc_sparse_cosine_topk: unpinned — its weight relation is now
     # persisted (3 non-reuse-identical consumers; 1.38 → 0.69 s at
     # sf0.1), so the plan string embeds the cached lineage 3× and the
     # count is a cache-state artifact like the producer-backed queries
-    "doc_domain_surprisal": 7,
     "embedding_drift_monitor": 8,
     "warehouse_csv_roundtrip": 1,
     # cell pre-agg + per-file rollup; the 2nd shuffle carries ≤256×256
