@@ -24,11 +24,23 @@ def materialize_and_release(result: DataFrame, *intermediates: DataFrame) -> Dat
     session lifetime (bench/correctness sweeps run all queries in one
     session). After this call the only pinned storage is the final
     result, which the ContextCleaner reclaims once the DataFrame is
-    garbage-collected."""
+    garbage-collected.
+
+    The intermediates are released in a ``finally`` so a failed
+    materialize (executor OOM mid-sweep, cancelled job) cannot pin them
+    for the session lifetime; only on failure is the half-built result
+    cache dropped too (ADVICE r8: the sparse-cosine weight relation
+    stayed pinned when the count threw)."""
     out = result.persist()
-    out.count()
-    for df in intermediates:
-        df.unpersist()
+    ok = False
+    try:
+        out.count()
+        ok = True
+    finally:
+        for df in intermediates:
+            df.unpersist()
+        if not ok:
+            out.unpersist()
     return out
 
 

@@ -323,27 +323,40 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cands = c if cands is None else cands.unionAll(c)
-    report = (
+    agg = (
         cands.join(truth, ["doc_a", "doc_b"], "left")
         .groupBy("bands", "rows_per_band")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
             F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hits"),
         )
-        .crossJoin(F.broadcast(tn))
     )
+    # Every config always appears, even when its band join yields zero
+    # candidate pairs on a degenerate corpus (groupBy drops empty
+    # groups — ADVICE r8): left-join the 3-row config literal frame,
+    # coalesce counts to 0, and NULL-guard the ratios so a vacuous
+    # config reports n_candidates=0 / precision NULL / recall 0 instead
+    # of vanishing from the report. Oracle mirrors.
+    cfg = spark.createDataFrame(
+        [(int(b), int(r)) for b, r in LSH_TUNE_CONFIGS],
+        "bands int, rows_per_band int",
+    )
+    report = cfg.join(agg, ["bands", "rows_per_band"], "left").crossJoin(
+        F.broadcast(tn)
+    )
+    nc = F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint"))
+    nh = F.coalesce(F.col("n_hits").cast("bigint"), F.lit(0).cast("bigint"))
     return report.select(
         "bands",
         "rows_per_band",
-        "n_candidates",
-        F.col("n_hits").cast("bigint").alias("n_hits"),
+        nc.alias("n_candidates"),
+        nh.alias("n_hits"),
         "n_truth",
-        (F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")).alias(
-            "precision"
-        ),
-        (F.col("n_hits").cast("double") / F.col("n_truth").cast("double")).alias(
-            "recall"
-        ),
+        F.when(nc > 0, nh.cast("double") / nc.cast("double")).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            nh.cast("double") / F.col("n_truth").cast("double"),
+        ).alias("recall"),
     )
 
 
@@ -1636,11 +1649,26 @@ ORACLES["dedup_minhash_band_tuning"] = f"""
       FROM allc c
       LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
       GROUP BY 1, 2
+    ),
+    cfg AS (
+      SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in LSH_TUNE_CONFIGS)})
+        v(bands, rows_per_band)
     )
-    SELECT CAST(bands AS INTEGER) AS bands,
-           CAST(rows_per_band AS INTEGER) AS rows_per_band,
-           n_candidates, n_hits, tn.n_truth,
-           CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) AS precision,
-           CAST(n_hits AS DOUBLE) / CAST(tn.n_truth AS DOUBLE) AS recall
-    FROM rep CROSS JOIN tn
+    SELECT CAST(cfg.bands AS INTEGER) AS bands,
+           CAST(cfg.rows_per_band AS INTEGER) AS rows_per_band,
+           CAST(COALESCE(rep.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(rep.n_hits, 0) AS BIGINT) AS n_hits,
+           tn.n_truth,
+           CASE WHEN COALESCE(rep.n_candidates, 0) > 0
+                THEN CAST(COALESCE(rep.n_hits, 0) AS DOUBLE)
+                       / CAST(rep.n_candidates AS DOUBLE)
+           END AS precision,
+           CASE WHEN tn.n_truth > 0
+                THEN CAST(COALESCE(rep.n_hits, 0) AS DOUBLE)
+                       / CAST(tn.n_truth AS DOUBLE)
+           END AS recall
+    FROM cfg
+    LEFT JOIN rep ON rep.bands = cfg.bands
+                 AND rep.rows_per_band = cfg.rows_per_band
+    CROSS JOIN tn
 """

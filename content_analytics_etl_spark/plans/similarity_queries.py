@@ -1332,17 +1332,26 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    j = side("a").join(side("b"), "label")
+    # Full outer on label: a label present in only one snapshot (an
+    # appearing/disappearing population — the strongest drift signal a
+    # monitor exists to catch) must still appear in the report, with
+    # count/share 0 on the missing side and null centroid columns
+    # (ADVICE r8). The oracle mirrors the outer join + coalesces.
+    j = side("a").join(side("b"), ["label"], "full_outer")
     cos = dot_product(F.col("cv_a"), F.col("cv_b")) / (
         l2_norm(F.col("cv_a")) * l2_norm(F.col("cv_b"))
     )
+    zero_n = F.lit(0).cast("long")
     return j.select(
         "label",
-        "n_a",
-        "n_b",
-        "share_a",
-        "share_b",
-        (F.col("share_b") - F.col("share_a")).alias("share_delta"),
+        F.coalesce("n_a", zero_n).alias("n_a"),
+        F.coalesce("n_b", zero_n).alias("n_b"),
+        F.coalesce("share_a", F.lit(0.0)).alias("share_a"),
+        F.coalesce("share_b", F.lit(0.0)).alias("share_b"),
+        (
+            F.coalesce("share_b", F.lit(0.0))
+            - F.coalesce("share_a", F.lit(0.0))
+        ).alias("share_delta"),
         cos.alias("centroid_cosine"),
         (F.lit(1.0) - cos).alias("centroid_drift"),
     )
@@ -1579,8 +1588,12 @@ ORACLES = {
           FROM c JOIN cnt ON cnt.snap = c.snap AND cnt.label = c.label
           JOIN tot ON tot.snap = c.snap WHERE c.snap = 'b'
         )
-        SELECT label, n_a, n_b, share_a, share_b,
-               share_b - share_a AS share_delta,
+        SELECT label,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+               COALESCE(share_a, 0.0) AS share_a,
+               COALESCE(share_b, 0.0) AS share_b,
+               COALESCE(share_b, 0.0) - COALESCE(share_a, 0.0)
+                 AS share_delta,
                {_DOT(d=DIM, a="cv_a", b="cv_b")}
                  / (sqrt({_DOT(d=DIM, a="cv_a", b="cv_a")})
                     * sqrt({_DOT(d=DIM, a="cv_b", b="cv_b")}))
@@ -1589,7 +1602,7 @@ ORACLES = {
                  / (sqrt({_DOT(d=DIM, a="cv_a", b="cv_a")})
                     * sqrt({_DOT(d=DIM, a="cv_b", b="cv_b")}))
                  AS centroid_drift
-        FROM sa JOIN sb USING (label)
+        FROM sa FULL JOIN sb USING (label)
     """,
     "embedding_label_outliers": f"""
         WITH e AS MATERIALIZED (

@@ -63,7 +63,11 @@ MAX_SHUFFLES = {
     # persisted (3 non-reuse-identical consumers; 1.38 → 0.69 s at
     # sf0.1), so the plan string embeds the cached lineage 3× and the
     # count is a cache-state artifact like the producer-backed queries
-    "embedding_drift_monitor": 8,
+    # r9: 8 → 10 — the label join became FULL OUTER (one-sided labels
+    # must appear; ADVICE r8), which Spark cannot broadcast, so both
+    # sides exchange on label. Both are #labels-row constant-size
+    # relations post-aggregation; the added shuffles carry ~10 rows.
+    "embedding_drift_monitor": 10,
     "warehouse_csv_roundtrip": 1,
     # cell pre-agg + per-file rollup; the 2nd shuffle carries ≤256×256
     # cell rows, not the corpus (PERF 45)
