@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +37,7 @@ from ..sources.readers import load_table
 
 __all__ = [
     "t",
+    "materialize_once",
     "dsum",
     "davg",
     "dec",
@@ -120,6 +123,38 @@ def warehouse_root(spark: SparkSession) -> str:
     if uri.startswith("file:"):
         uri = "/" + uri[len("file:"):].lstrip("/")
     return uri
+
+
+def materialize_once(
+    root: str, final_dir: str, prefix: str, write: Callable[[str], None]
+) -> None:
+    """Write-once warehouse materialization with the pid-tmp + rename +
+    prune discipline (VERDICT r7 #8 / r8 #6, applied uniformly):
+
+    - skip if ``final_dir`` already carries a ``_SUCCESS`` marker;
+    - otherwise ``write()`` into a pid-suffixed tmp dir and ``rename``
+      it into place — atomic on one filesystem, so a concurrent writer
+      either wins the rename (we discard our tmp and use theirs) or
+      loses harmlessly; a rename failure WITHOUT a complete winner
+      re-raises (perms, EXDEV — a real error, not a race);
+    - prune sibling dirs with the same logical ``prefix`` but a
+      superseded content-fingerprint suffix (testdata regeneration
+      strands one dir per old snapshot otherwise).
+    """
+    if os.path.exists(os.path.join(final_dir, "_SUCCESS")):
+        return
+    tmp = f"{final_dir}.tmp-{os.getpid()}"
+    write(tmp)
+    try:
+        os.rename(tmp, final_dir)
+    except OSError:  # concurrent writer won the rename — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(final_dir, "_SUCCESS")):
+            raise  # rename failed for a real reason (perms, EXDEV)
+    keep = os.path.basename(final_dir)
+    for d in os.listdir(root):
+        if d.startswith(prefix) and ".tmp-" not in d and d != keep:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def dec(col: Column | str) -> Column:

@@ -80,3 +80,42 @@ def test_band_tuning_reports_vacuous_configs(spark, alldistinct_dir):
         assert r["n_candidates"] == 0 and r["n_hits"] == 0 and r["n_truth"] == 0
         assert r["precision"] is None  # 0/0 guarded, not NaN
         assert r["recall"] is None
+
+
+def test_warehouse_compact_write_once_and_prune(spark, sf_dir):
+    """The compaction materialization now follows the shared
+    materialize_once discipline (VERDICT r8 #6): stale-fingerprint dirs
+    are pruned, a concurrent writer's live .tmp- dir survives, and the
+    build-scoped fragment staging dir is removed after compaction."""
+    import os
+    import shutil
+
+    from content_analytics_etl_spark.plans._util import (
+        source_fingerprint,
+        warehouse_root,
+    )
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        warehouse_compact_roundtrip,
+    )
+
+    root = warehouse_root(spark)
+    stale = os.path.join(root, "orders_compact_deadbeef0000")
+    live_tmp = os.path.join(root, "orders_compact_deadbeef0000.tmp-99999")
+    key = source_fingerprint(sf_dir, "orders")
+    live = os.path.join(root, f"orders_compact_{key}")
+    shutil.rmtree(live, ignore_errors=True)
+    for d in (stale, live_tmp):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    warehouse_compact_roundtrip(spark, sf_dir).collect()
+    assert os.path.exists(os.path.join(live, "_SUCCESS"))
+    assert not os.path.exists(stale), "stale-fingerprint compact dir not pruned"
+    assert os.path.exists(live_tmp), "concurrent writer's tmp dir was pruned"
+    shutil.rmtree(live_tmp, ignore_errors=True)
+    # no frag staging dirs left behind
+    assert not [d for d in os.listdir(root) if ".frag" in d]
+
+    mtime = os.path.getmtime(os.path.join(live, "_SUCCESS"))
+    warehouse_compact_roundtrip(spark, sf_dir).collect()
+    assert os.path.getmtime(os.path.join(live, "_SUCCESS")) == mtime
