@@ -28,7 +28,7 @@ from ..operators.dedup import (
 )
 from ..cache import session_materialized
 from ..operators.prefix_sum import distributed_prefix_sum
-from ._util import source_fingerprint, t
+from ._util import materialize_and_release, source_fingerprint, t
 
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 6
@@ -142,28 +142,42 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the principled form of a hot-shingle DF cutoff: high-DF
     shingles sort last and drop out of every prefix, so a pathological
     stop-shingle contributes no posting list at all instead of a
-    quadratic one. Costs two extra linear shuffles (DF aggregate +
-    per-doc rank window) — the right trade at 100 TB where the worst
-    posting list, not the average, sets the job's critical path."""
+    quadratic one. Costs one extra linear shuffle (the DF aggregate) —
+    the right trade at 100 TB where the worst posting list, not the
+    average, sets the job's critical path.
+
+    r9 constant-floor work (VERDICT r8 #3, PERF 57): the former
+    size+rank window pair over the DF-joined rows is fused into ONE
+    per-doc object-hash aggregate — ``sort_array(collect_list(struct(
+    df, shingle)))`` IS the global (df asc, shingle asc) ranking, its
+    size IS |A|, and ``slice`` of it IS the prefix — eliminating the
+    window exchange + two window sorts. The same persisted per-doc
+    array then feeds exact verification via ``transform(.shingle)``,
+    so the corpus is tokenized ONCE (the old plan re-tokenized
+    documents through ``shingled`` for the verify arrays). Per-doc
+    arrays are bounded by document length — the same boundedness
+    ``shingled`` already relied on."""
     d = t(spark, sf_dir, "documents")
     rows = shingle_rows(d, ["doc_id", "lang"])  # distinct shingles/doc
     df_tab = rows.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         rows.join(df_tab, ["lang", "shingle"])
-        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("shingle").asc()
-                )
-            ),
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("a")
         )
+        # two non-reuse-identical consumers (prefix rows + verify
+        # arrays) — persisted for the query, released on materialize
+        .persist()
     )
-    prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
-    ).select("doc_id", "lang", "shingle", "sz")
+    sz = F.size("a")
+    plen = (sz - F.ceil(F.lit(JACCARD_THRESHOLD) * sz) + 1).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        "lang",
+        sz.alias("sz"),
+        F.explode(F.slice("a", 1, plen)).alias("s"),
+    ).select("doc_id", "lang", "sz", F.col("s.shingle").alias("shingle"))
 
     # merge hint ⇒ shuffle reuse across the self-join (see ngram above).
     # The size predicate is PPJoin's LENGTH FILTER: J ≥ t forces
@@ -185,15 +199,20 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    arrs = shingled(d, ["doc_id"])
+    # verify against the SAME persisted per-doc arrays (no re-tokenize)
+    arrs = ranked.select(
+        "doc_id",
+        F.transform("a", lambda s: s.getField("shingle")).alias("shingles"),
+    )
     sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return materialize_and_release(out, ranked)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

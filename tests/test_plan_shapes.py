@@ -29,7 +29,12 @@ MAX_SHUFFLES = {
     "doc_tfidf_top_terms": 4,
     "dedup_minhash_lsh": 7,
     "dedup_simhash": 5,
-    "dedup_ngram_jaccard_prefix": 13,
+    # dedup_ngram_jaccard_prefix: unpinned in r9 — the per-doc ranked
+    # array is now persisted (prefix + verify consumers; 5.31 → ~0.8 s
+    # at sf0.1, PERF 57), so the plan string embeds the cached lineage
+    # per consumer and the text count became a cache-state artifact
+    # (13 → 54 TEXT exchanges while executed work dropped ~7×), same
+    # class as doc_sparse_cosine_topk / the producer-backed queries.
     "sim_neardup_pairs": 9,
     "sim_semantic_decontaminate": 6,
     # 3 serving-side + 1 inside the embedded cached-build lineage: the
