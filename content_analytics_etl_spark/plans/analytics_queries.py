@@ -692,6 +692,82 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEASON_LAG_HOURS = 24  # seasonal-naive horizon: same hour yesterday
 
 
+STL_PERIOD = 7  # weekly seasonality on the daily series
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition (the moving-average
+    STL ancestor): per event_type's daily value series, value = trend +
+    seasonal + residual, with trend a centered 7-row moving average,
+    the seasonal component the mean detrended value per day-of-week,
+    and the residual what remains. The monitoring decomposition a
+    pipeline runs before alerting on "drift" that is actually weekday
+    shape.
+
+    Exactness (the house integer-core pattern): daily values are exact
+    micro-unit BIGINTs (PERF-29 fixed point); the trend is carried as
+    the UNDIVIDED 7-row sum, detrended values as 7·v − Σ₇ (integers!),
+    and day-of-week means as (Σ dow, n) pairs — so every cross-row
+    reduction is exact integer arithmetic, and trend/seasonal/residual
+    materialize as per-row IEEE divisions over identical operands at
+    the very end. Day-of-week is epoch-day mod 7 (engine-neutral),
+    edges where the 7-row window is incomplete report NULL trend /
+    residual (mirrored in the oracle).
+
+    Scale shape: one map-side-combined daily aggregation, one keyed
+    window per event_type over the ~|days| aggregated series, one
+    |types|×7-row seasonal join — nothing wider than the day table
+    shuffles."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        ).alias("v_u")
+    )
+    half = STL_PERIOD // 2
+    w7 = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-half, half)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "v_u",
+        F.when(
+            F.count(F.lit(1)).over(w7) == STL_PERIOD, F.sum("v_u").over(w7)
+        ).alias("sum7_u"),
+        (
+            F.datediff(F.col("day"), F.to_date(F.lit("2024-01-01")))
+            % STL_PERIOD
+        ).alias("dow"),
+    )
+    seas = (
+        tr.filter(F.col("sum7_u").isNotNull())
+        .select(
+            "event_type",
+            "dow",
+            (F.lit(STL_PERIOD) * F.col("v_u") - F.col("sum7_u")).alias("d7_u"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("d7_u").alias("s_u"), F.count(F.lit(1)).alias("n_dow"))
+    )
+    j = tr.join(seas, ["event_type", "dow"], "left")
+    value = F.col("v_u").cast("double") / F.lit(1e6)
+    trend = F.col("sum7_u").cast("double") / F.lit(float(STL_PERIOD) * 1e6)
+    seasonal = F.col("s_u").cast("double") / (
+        F.lit(float(STL_PERIOD) * 1e6) * F.col("n_dow").cast("double")
+    )
+    return j.select(
+        "event_type",
+        "day",
+        value.alias("value"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (value - trend - seasonal).alias("residual"),
+    )
+
+
 def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-baseline evaluation — the first number any time-series
     effort needs: per event type, how well does 'same hour yesterday'
@@ -1245,6 +1321,7 @@ QUERIES = {
     "events_daily_mv_refresh": events_daily_mv_refresh,
     "events_ema_smoothing": events_ema_smoothing,
     "events_seasonal_naive_eval": events_seasonal_naive_eval,
+    "events_stl_decompose": events_stl_decompose,
     "part_revenue_abc": part_revenue_abc,
     "events_peak_detection": events_peak_detection,
     "events_cusum_drift": events_cusum_drift,
@@ -1832,4 +1909,43 @@ ORACLES["lineitem_zorder_layout"] = f"""
              / CAST(min(smax) - min(smin) + 1 AS DOUBLE) AS s_span_frac
     FROM pairs
     GROUP BY 1, 2
+"""
+
+# Mirror of events_stl_decompose: identical integer core (micro-unit
+# daily sums, undivided 7-row trend sums, 7·v − Σ₇ detrended integers,
+# (Σ, n) day-of-week pairs) and identical final double expressions.
+ORACLES["events_stl_decompose"] = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v_u
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, v_u,
+             CASE WHEN count(1) OVER w = {STL_PERIOD}
+                  THEN CAST(sum(v_u) OVER w AS BIGINT) END AS sum7_u,
+             date_diff('day', DATE '2024-01-01', CAST(day AS DATE))
+               % {STL_PERIOD} AS dow
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {STL_PERIOD // 2} PRECEDING
+                            AND {STL_PERIOD // 2} FOLLOWING)
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(sum({STL_PERIOD} * v_u - sum7_u) AS BIGINT) AS s_u,
+             count(1) AS n_dow
+      FROM tr WHERE sum7_u IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT tr.event_type, tr.day,
+           CAST(tr.v_u AS DOUBLE) / 1e6 AS value,
+           CAST(tr.sum7_u AS DOUBLE) / 7e6 AS trend,
+           CAST(seas.s_u AS DOUBLE)
+             / (7e6 * CAST(seas.n_dow AS DOUBLE)) AS seasonal,
+           CAST(tr.v_u AS DOUBLE) / 1e6 - CAST(tr.sum7_u AS DOUBLE) / 7e6
+             - CAST(seas.s_u AS DOUBLE)
+                 / (7e6 * CAST(seas.n_dow AS DOUBLE)) AS residual
+    FROM tr
+    LEFT JOIN seas ON seas.event_type = tr.event_type AND seas.dow = tr.dow
 """

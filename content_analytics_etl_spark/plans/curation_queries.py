@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..cache import session_materialized
 from ..functions.hashing import DUCKDB_HASH64, portable_hash64
-from ._util import source_fingerprint, t
+from ._util import rank_limited, source_fingerprint, t
 from .dedup_queries import (
     ORACLES as D_ORACLES,
     dedup_decontaminate,
@@ -349,6 +349,104 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLING_ALPHA = 0.5  # temperature T = 1/α = 2 (sqrt scaling)
+PRIORITY_SAMPLE_K = 100
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source mixing rule (XLM-R / mT5 style): sample source s with
+    probability ∝ (token share)^α instead of the raw share, so tail
+    sources are upweighted without letting any single head source
+    dominate. α = ``SAMPLING_ALPHA`` = 0.5, i.e. sqrt scaling — chosen
+    deliberately because sqrt is IEEE-754 correctly rounded in BOTH
+    engines (an arbitrary pow(x, α) is not), so the weights are
+    bit-identical cross-engine without a grid trick on the transform
+    itself.
+
+    Determinism of the NORMALIZER (the one cross-row double reduction):
+    each sqrt is snapped to the 9 dp grid and summed as exact BIGINT
+    nano-units (floor(x·10⁹ + 0.5) — the PERF-29 fixed-point pattern),
+    so Σ√n is order-free; every share/boost is then per-row IEEE
+    division over identical operands.
+
+    Scale shape: one map-side-combined aggregation to |sources| rows;
+    the totals ride back as a 1-row broadcast."""
+    d = t(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(tokens("text")).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .withColumn(
+            "w9",
+            F.floor(
+                F.round(F.sqrt(F.col("n_tokens").cast("double")), 9)
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("w9").alias("_wtot")
+    )
+    raw = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    temp = F.col("w9").cast("double") / F.col("_wtot").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        raw.alias("raw_share"),
+        temp.alias("temp_share"),
+        (temp / raw).alias("boost"),
+    )
+
+
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential priority keys (A-ES): document i gets key u_i^(1/w_i)
+    with u_i uniform and w_i its weight; the top-k keys ARE a weighted
+    sample without replacement — the distributed one-pass form of
+    weighted reservoir sampling (the sequential reservoir is inherently
+    serial; the top-k of independent per-row keys is the same
+    distribution and embarrassingly parallel).
+
+    Determinism: u_i derives from the portable 60-bit md5 hash of the
+    doc_id (seeded), and keys are COMPARED in log space —
+    log2(u)/w = (grid-snapped log2(hash) − 60)/w — a strictly monotone
+    transform of u^(1/w), so the top-k set is identical and every
+    arithmetic step is reproducible cross-engine (9 dp-grid log2 of a
+    shared integer, then one IEEE division by the integer weight).
+    Weight = n_chars (floor 1), the sample-by-content-volume policy.
+
+    Scale shape: per-row key computation inside the scan projection +
+    TakeOrderedAndProject (per-partition top-k, k-row merge — never a
+    global sort); the k-row rank comes from the house ``rank_limited``
+    array trick, no window."""
+    d = t(spark, sf_dir, "documents")
+    h = F.greatest(
+        portable_hash64(F.col("doc_id").cast("string"), seed="ares"),
+        F.lit(1),
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = (F.round(F.log2(h.cast("double")), 9) - F.lit(60.0)) / w.cast(
+        "double"
+    )
+    scored = d.select(
+        "doc_id", "source", "n_chars", key.alias("priority_key")
+    )
+    topk = scored.orderBy(F.col("priority_key").desc(), "doc_id").limit(
+        PRIORITY_SAMPLE_K
+    )
+    return rank_limited(
+        topk,
+        [(-F.col("priority_key")).alias("_nk"), F.col("doc_id")],
+        ["doc_id", "source", "n_chars", "priority_key"],
+    )
+
+
 def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-calibration cross-tab — the agreement audit you run
     BEFORE wiring a model-based filter into the keep decision: the
@@ -395,6 +493,8 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_temperature_mix": corpus_temperature_mix,
+    "corpus_priority_sample": corpus_priority_sample,
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
     "corpus_quality_report": corpus_quality_report,
     "corpus_curation_manifest": corpus_curation_manifest,
@@ -568,4 +668,50 @@ ORACLES["corpus_quality_report"] = f"""
     SELECT gates_keep, classifier_keep, dsir_selected, n_docs,
            CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS share
     FROM cells CROSS JOIN tot
+"""
+
+# Mirror of corpus_temperature_mix: sqrt is IEEE-correctly-rounded in
+# both engines; each sqrt snaps to the 9 dp grid and the normalizer sums
+# exact BIGINT nano-units, so shares divide identical integers.
+ORACLES["corpus_temperature_mix"] = f"""
+    WITH per AS (
+      SELECT source, count(1) AS n_docs,
+             CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT *,
+             CAST(floor(round(sqrt(CAST(n_tokens AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS w9
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS _tot,
+             CAST(sum(w9) AS BIGINT) AS _wtot
+      FROM w
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(_tot AS DOUBLE) AS raw_share,
+           CAST(w9 AS DOUBLE) / CAST(_wtot AS DOUBLE) AS temp_share,
+           (CAST(w9 AS DOUBLE) / CAST(_wtot AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(_tot AS DOUBLE)) AS boost
+    FROM w CROSS JOIN tot
+"""
+
+_ARES_HASH = DUCKDB_HASH64.format(expr="'ares|' || CAST(doc_id AS VARCHAR)")
+# Mirror of corpus_priority_sample: same seeded hash, same log-space
+# Efraimidis-Spirakis key, row_number top-k (ties broken by doc_id on
+# both sides).
+ORACLES["corpus_priority_sample"] = f"""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             (round(log2(CAST(GREATEST({_ARES_HASH}, 1) AS DOUBLE)), 9) - 60.0)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority_key, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY priority_key DESC, doc_id) AS rank
+      FROM k
+    ) WHERE rank <= {PRIORITY_SAMPLE_K}
 """

@@ -1984,7 +1984,121 @@ def doc_length_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAD_BUCKET = 16  # length-bucketed batching granularity (tokens)
+PAD_MAX_LEN = 80  # truncation cap (corpus docs are 10-100 tokens; both
+# constants are sf-scaled stand-ins for the production 128/8192 pair so
+# the report exercises multiple buckets AND a non-empty truncation tail)
+ZIPF_TOP_V = 1000  # vocabulary prefix the Zipf regression fits
+
+
+def doc_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching — the number a
+    training-efficiency review reads before picking bucket boundaries:
+    documents are truncated at ``PAD_MAX_LEN`` tokens and grouped into
+    ``PAD_BUCKET``-token length buckets (each doc pads up to its bucket
+    ceiling, the standard bucketed-batching contract); per bucket the
+    real vs padded token volume, the waste ratio, and the tokens lost
+    to truncation.
+
+    All-integer until the final ratio: the bucket ceiling is pure
+    integer arithmetic (m − m % B with m = len + B − 1 — identical
+    semantics in both engines for non-negative ints, no float ceil),
+    sums are BIGINT, and the one division is per-row IEEE over exact
+    integers. One map-side-combined aggregation to ≤ MAX/B rows."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(tokens("text")).cast("bigint")
+    eff = F.greatest(F.least(n, F.lit(PAD_MAX_LEN)), F.lit(1))
+    m = eff + F.lit(PAD_BUCKET - 1)
+    bucket = (m - m % F.lit(PAD_BUCKET)).alias("bucket_len")
+    per = (
+        d.select(
+            bucket,
+            eff.alias("eff"),
+            (n - eff).alias("trunc"),
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("eff").alias("real_tokens"),
+            F.sum("trunc").alias("truncated_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("bucket_len")
+    return per.select(
+        "bucket_len",
+        "n_docs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        (
+            (padded - F.col("real_tokens")).cast("double")
+            / padded.cast("double")
+        ).alias("pad_waste_ratio"),
+        "truncated_tokens",
+    )
+
+
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the frequency-ranked vocabulary — the corpus
+    health number (natural text: exponent ≈ −1; synthetic/templated
+    text flattens it) plus the fit quality: least-squares slope,
+    intercept and R² of log2(freq) against log2(rank) over the top
+    ``ZIPF_TOP_V`` terms.
+
+    Determinism: ranks come from an explicit orderBy().limit() top-k
+    (TakeOrderedAndProject — never a global-sort window) with ties
+    broken by token; log2 of the shared integers (rank, freq) snaps to
+    the 9 dp grid and scales to BIGINT nano-units, so Σx, Σy, Σxy, Σx²,
+    Σy² are EXACT (DECIMAL(38,0) products in Spark, HUGEINT in the
+    oracle — the nano-scale cancels in the slope/R² ratios); the
+    normal-equation numerators/denominators are computed exactly and
+    converted to double once (the agg_stats wide-decimal policy, with
+    the VARCHAR round-trip on the DuckDB side)."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    topv = tf.orderBy(F.col("freq").desc(), "tok").limit(ZIPF_TOP_V)
+    ranked = rank_limited(
+        topv, [(-F.col("freq")).alias("_nf"), F.col("tok")], ["tok", "freq"]
+    )
+    g9 = lambda c: F.floor(  # noqa: E731 — 9 dp grid → nano-int
+        F.round(F.log2(c.cast("double")), 9) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    dec38 = "decimal(38,0)"
+    pts = ranked.select(
+        g9(F.col("rank")).alias("x9"), g9(F.col("freq")).alias("y9")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum(F.col("x9").cast(dec38) * F.col("y9").cast(dec38)).alias("sxy"),
+        F.sum(F.col("x9").cast(dec38) * F.col("x9").cast(dec38)).alias("sxx"),
+        F.sum(F.col("y9").cast(dec38) * F.col("y9").cast(dec38)).alias("syy"),
+    )
+    nD = F.col("n").cast(dec38)
+    num = (nD * F.col("sxy") - F.col("sx").cast(dec38) * F.col("sy").cast(dec38)).cast("double")
+    den = (nD * F.col("sxx") - F.col("sx").cast(dec38) * F.col("sx").cast(dec38)).cast("double")
+    den2 = (nD * F.col("syy") - F.col("sy").cast(dec38) * F.col("sy").cast(dec38)).cast("double")
+    slope = num / den
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        * F.lit(1e-9)
+    )
+    return s.select(
+        F.col("n").cast("int").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        intercept.alias("intercept_log2"),
+        ((num * num) / (den * den2)).alias("r2"),
+    )
+
+
 QUERIES = {
+    "doc_padding_waste": doc_padding_waste,
+    "vocab_zipf_fit": vocab_zipf_fit,
     "doc_source_distinctive_terms": doc_source_distinctive_terms,
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
@@ -3042,4 +3156,80 @@ ORACLES["doc_rrf_fusion"] = f"""
       SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
       FROM fused
     ) WHERE rank <= {RRF_TOP}
+"""
+
+# Mirror of doc_padding_waste: identical integer bucket arithmetic
+# (m − m % B), BIGINT sums, one per-row double division.
+ORACLES["doc_padding_waste"] = f"""
+    WITH per AS (
+      SELECT bucket_len,
+             count(1) AS n_docs,
+             CAST(sum(eff) AS BIGINT) AS real_tokens,
+             CAST(sum(tr) AS BIGINT) AS truncated_tokens
+      FROM (
+        SELECT (m - m % {PAD_BUCKET}) AS bucket_len, eff, n - eff AS tr
+        FROM (
+          SELECT n, GREATEST(LEAST(n, {PAD_MAX_LEN}), 1) AS eff,
+                 GREATEST(LEAST(n, {PAD_MAX_LEN}), 1) + {PAD_BUCKET - 1} AS m
+          FROM (SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents)
+        )
+      )
+      GROUP BY 1
+    )
+    SELECT bucket_len, n_docs, real_tokens,
+           n_docs * bucket_len AS padded_tokens,
+           CAST(n_docs * bucket_len - real_tokens AS DOUBLE)
+             / CAST(n_docs * bucket_len AS DOUBLE) AS pad_waste_ratio,
+           truncated_tokens
+    FROM per
+"""
+
+# Mirror of vocab_zipf_fit: HUGEINT-exact normal-equation sums over the
+# same nano-int grid points, VARCHAR→double round-trip for the wide
+# numerators (the _util wide-decimal caveat), identical final double
+# expressions.
+ORACLES["vocab_zipf_fit"] = f"""
+    WITH tf AS (
+      SELECT tok, count(1) AS freq
+      FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    topv AS (
+      SELECT tok, freq, rank FROM (
+        SELECT tok, freq,
+               row_number() OVER (ORDER BY freq DESC, tok) AS rank
+        FROM tf
+      ) WHERE rank <= {ZIPF_TOP_V}
+    ),
+    g AS (
+      SELECT CAST(floor(round(log2(CAST(rank AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS x9,
+             CAST(floor(round(log2(CAST(freq AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS y9
+      FROM topv
+    ),
+    s AS (
+      SELECT CAST(count(1) AS HUGEINT) AS n,
+             CAST(sum(x9) AS HUGEINT) AS sx,
+             CAST(sum(y9) AS HUGEINT) AS sy,
+             sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+             sum(CAST(x9 AS HUGEINT) * x9) AS sxx,
+             sum(CAST(y9 AS HUGEINT) * y9) AS syy
+      FROM g
+    ),
+    e AS (
+      SELECT CAST(n AS INTEGER) AS n_terms,
+             CAST(CAST(n AS BIGINT) AS DOUBLE) AS nd,
+             CAST(CAST(sx AS BIGINT) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS BIGINT) AS DOUBLE) AS syd,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS den2
+      FROM s
+    )
+    SELECT n_terms,
+           num / den AS zipf_slope,
+           (syd - (num / den) * sxd) / nd * 1e-9 AS intercept_log2,
+           (num * num) / (den * den2) AS r2
+    FROM e
 """

@@ -101,7 +101,15 @@ def test_shuffle_count_does_not_regress(spark, sf_dir, name):
 # VERDICT r4 #3: these previously relied on Spark's silent window-group-limit
 # rewrite of ``row_number ≤ k``; the explicit orderBy().limit(k) idiom plus
 # this assertion pins the shape against refactors.
-TOPK_PINNED = ["token_pmi_cooccurrence", "events_top_paths"]
+TOPK_PINNED = [
+    "token_pmi_cooccurrence",
+    "events_top_paths",
+    # r9 additions: both are orderBy().limit() top-ks over data-sized
+    # relations (priority keys / vocab) — the rank must stay the
+    # per-partition top-k + k-row merge, never a global sort
+    "corpus_priority_sample",
+    "vocab_zipf_fit",
+]
 
 
 @pytest.mark.parametrize("name", TOPK_PINNED)

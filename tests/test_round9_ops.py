@@ -119,3 +119,104 @@ def test_warehouse_compact_write_once_and_prune(spark, sf_dir):
     mtime = os.path.getmtime(os.path.join(live, "_SUCCESS"))
     warehouse_compact_roundtrip(spark, sf_dir).collect()
     assert os.path.getmtime(os.path.join(live, "_SUCCESS")) == mtime
+
+
+def test_temperature_mix_properties(spark, sf_dir):
+    """α=0.5 semantics: temp_share ∝ √n_tokens (ratio check on exact
+    integers), shares sum to ~1, and temperature compresses the mix —
+    head sources are damped (boost < 1), tail sources lifted (> 1)."""
+    from content_analytics_etl_spark.plans.curation_queries import (
+        corpus_temperature_mix,
+    )
+
+    rows = corpus_temperature_mix(spark, sf_dir).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-12
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    if big["n_tokens"] > small["n_tokens"]:
+        assert big["boost"] < 1.0 < small["boost"]
+    for r in rows:
+        # ∝ sqrt: temp_share / sqrt(n_tokens) constant across sources
+        assert abs(
+            r["temp_share"] / r["n_tokens"] ** 0.5
+            - rows[0]["temp_share"] / rows[0]["n_tokens"] ** 0.5
+        ) < 1e-12
+
+
+def test_priority_sample_is_weighted_topk(spark, sf_dir):
+    """A-ES keys: exactly k rows, rank follows key order, deterministic
+    across invocations, and every key is negative (log2 of a uniform)."""
+    from content_analytics_etl_spark.plans.curation_queries import (
+        PRIORITY_SAMPLE_K,
+        corpus_priority_sample,
+    )
+
+    a = corpus_priority_sample(spark, sf_dir).collect()
+    b = corpus_priority_sample(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == PRIORITY_SAMPLE_K
+    keys = [r["priority_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k < 0 for k in keys)
+    assert [r["rank"] for r in a] == list(range(1, PRIORITY_SAMPLE_K + 1))
+
+
+def test_padding_waste_invariants(spark, sf_dir):
+    from content_analytics_etl_spark.plans.text_queries import (
+        PAD_BUCKET,
+        PAD_MAX_LEN,
+        doc_padding_waste,
+    )
+
+    rows = doc_padding_waste(spark, sf_dir).collect()
+    assert len(rows) > 1, "corpus should span multiple length buckets"
+    for r in rows:
+        assert r["bucket_len"] % PAD_BUCKET == 0
+        assert r["bucket_len"] <= PAD_MAX_LEN + PAD_BUCKET - 1
+        assert r["padded_tokens"] >= r["real_tokens"] > 0
+        assert 0.0 <= r["pad_waste_ratio"] < 1.0
+        assert r["truncated_tokens"] >= 0
+    assert any(r["truncated_tokens"] > 0 for r in rows), (
+        "cap chosen so the truncation path is exercised non-vacuously"
+    )
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    from content_analytics_etl_spark.plans.text_queries import vocab_zipf_fit
+
+    r = vocab_zipf_fit(spark, sf_dir).collect()[0]
+    assert r["n_terms"] > 10
+    assert r["zipf_slope"] < 0, "frequency must fall with rank"
+    assert 0.0 < r["r2"] <= 1.0
+
+
+def test_stl_identity_and_edges(spark, sf_dir):
+    """residual ≡ value − trend − seasonal where defined; trend is NULL
+    exactly on the 3 edge rows at each end of every event_type series;
+    per-(type, dow) the seasonal component equals the mean detrended
+    value (the defining property)."""
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        events_stl_decompose,
+    )
+
+    rows = events_stl_decompose(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        n = len(rs)
+        for i, r in enumerate(rs):
+            edge = i < 3 or i >= n - 3
+            assert (r["trend"] is None) == edge, (et, i)
+            if r["trend"] is not None and r["seasonal"] is not None:
+                assert abs(
+                    r["residual"] - (r["value"] - r["trend"] - r["seasonal"])
+                ) < 1e-9
+        # seasonal sums (weighted by n_dow) to ~0: Σ detrended over all
+        # full-window rows is Σ (7v − Σ7)/7 which telescopes near zero
+        mid = [r for r in rs if r["trend"] is not None]
+        tot_resid = sum(r["value"] - r["trend"] for r in mid)
+        tot_seas = sum(r["seasonal"] for r in mid)
+        assert abs(tot_resid - tot_seas) < 1e-6

@@ -68,6 +68,8 @@ ALLOW_NESTED_LOOP = {
     "64x64 cumulative self-join + 3-row quantile inversion broadcasts",
     "doc_dsir_importance": "1-row corpus bigram-total aggregate broadcast "
     "(DSIR normalizer) onto the per-doc aggs",
+    "corpus_temperature_mix": "1-row (token total, sqrt-weight total) "
+    "aggregate broadcast onto the |sources|-row table",
     "lineitem_zorder_layout": "1-row min/max bounds aggregate broadcast "
     "(range-bin scaling) onto the scan",
     "doc_bigram_perplexity": "1-row vocabulary-size aggregate broadcast "
