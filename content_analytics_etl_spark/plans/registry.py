@@ -86,6 +86,11 @@ _MODULES = [
 # 50/50 green (all 36 round-8 additions included); no query has ever
 # failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "corpus_priority_sample",
+    "corpus_temperature_mix",
+    "doc_padding_waste",
+    "events_stl_decompose",
+    "vocab_zipf_fit",
     "events_zorder_layout",
     "graph_pagerank",
     "graph_triangles",
@@ -131,11 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "events_distinct_sketch_rollup",
     "events_mad_outliers",
     "events_trailing_window",
-    "events_type_hourly_pivot",
-    "events_value_distribution",
-    "events_value_histogram",
-    "events_value_percentiles",
-    "events_zscore_outliers",
 ]
 
 
