@@ -90,6 +90,7 @@ DRIVER_WINDOW: list[str] = [
     "corpus_temperature_mix",
     "doc_padding_waste",
     "events_stl_decompose",
+    "sim_ann_multiprobe_topk",
     "vocab_zipf_fit",
     "events_zorder_layout",
     "graph_pagerank",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "events_daily_from_hourly",
     "events_distinct_sketch_rollup",
     "events_mad_outliers",
-    "events_trailing_window",
 ]
 
 

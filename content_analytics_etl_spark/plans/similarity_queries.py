@@ -345,6 +345,54 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes its
+    own 6-plane signature bucket AND the 6 buckets at Hamming distance 1
+    (one hyperplane flipped) — the standard recall lever that costs ZERO
+    extra index tables and no extra corpus passes, only a 7× wider (still
+    bounded: ≤ 20×7 rows) broadcast query side. Candidates remain an
+    equi-join on the bucket id — the linear-shuffle LSH property — and
+    every candidate lives in exactly one bucket, so probing disjoint
+    buckets can't duplicate a pair. Exact cosine re-rank, top-3; the
+    candidate set is a superset of ``sim_ann_lsh_topk``'s, so per-query
+    top-k cosines dominate single-probe pointwise
+    (tests/test_round9_ops.py pins that).
+
+    Index table shared with the single-probe path via the
+    session-materialized producer."""
+    bucketed = _lsh_bucket_table(spark, sf_dir)
+    q = bucketed.filter(_query_side()).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(N_PLANES)
+                ],
+            )
+        ).alias("qbucket"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("bucket").alias("cbucket"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    cos = dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("cbucket") == F.col("qbucket"))
+        & (F.col("cand_id") != F.col("query_id")),
+    ).select("query_id", "cand_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ANN_TOPK
+    )
+
+
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization into IVF_CELLS cells, queries
     probe their IVF_NPROBE nearest cells, exact cosine re-rank, top-3.
@@ -1368,6 +1416,7 @@ QUERIES = {
     "sim_semantic_decontaminate": sim_semantic_decontaminate,
     "sim_neardup_exact": sim_neardup_exact,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
+    "sim_ann_multiprobe_topk": sim_ann_multiprobe_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_ann_pq_adc": sim_ann_pq_adc,
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
@@ -2009,6 +2058,31 @@ ORACLES = {
                CAST(len(list_filter(codes, x -> abs(x) = 127.0)) AS BIGINT)
                  AS n_sat
         FROM r
+    """,
+    # Mirror of sim_ann_multiprobe_topk: same bucket expression, the
+    # query side lateral-unnested over the 7 probe masks (own bucket +
+    # one-bit flips), same exact-cosine re-rank.
+    "sim_ann_multiprobe_topk": f"""
+        WITH e AS ({_E_CTE}),
+        bucketed AS (
+          SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM e
+        ),
+        q AS (
+          SELECT vec_id, v, nrm, xor(bucket, CAST(t.p AS INTEGER)) AS qbucket
+          FROM (SELECT * FROM bucketed WHERE {_Q_SIDE})
+          CROSS JOIN unnest([0, 1, 2, 4, 8, 16, 32]) AS t(p)
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm) AS cosine
+          FROM bucketed c
+          JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= {ANN_TOPK}
     """,
     "sim_ann_lsh_topk": f"""
         WITH e AS ({_E_CTE}),

@@ -220,3 +220,25 @@ def test_stl_identity_and_edges(spark, sf_dir):
         tot_resid = sum(r["value"] - r["trend"] for r in mid)
         tot_seas = sum(r["seasonal"] for r in mid)
         assert abs(tot_resid - tot_seas) < 1e-6
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe's candidate set is a strict superset per query (own
+    bucket + 6 one-bit flips), so its rank-r cosine must be >= the
+    single-probe rank-r cosine for every query, pointwise."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_ann_lsh_topk,
+        sim_ann_multiprobe_topk,
+    )
+
+    single = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in sim_ann_lsh_topk(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in sim_ann_multiprobe_topk(spark, sf_dir).collect()
+    }
+    assert set(q for q, _ in single) <= set(q for q, _ in multi)
+    for key, cos in single.items():
+        assert multi[key] >= cos - 1e-12, key
