@@ -128,6 +128,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prefix_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, keys: list[str], thr: float
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair with J ≥ ``thr`` via EXACT
+    prefix filtering (AllPairs/PPJoin), optionally blocked on ``keys``
+    (e.g. same-lang). Shared by ``dedup_ngram_jaccard_prefix`` (lang
+    block) and the band-tuning truth set (no block — MinHash bands
+    don't see lang either). See ``dedup_ngram_jaccard_prefix`` for the
+    prefix theorem and the r9 fused-aggregate construction."""
+    d = t(spark, sf_dir, "documents")
+    rows = shingle_rows(d, ["doc_id", *keys])  # distinct shingles/doc
+    df_tab = rows.groupBy(*keys, "shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        rows.join(df_tab, [*keys, "shingle"])
+        .groupBy("doc_id", *keys)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("a")
+        )
+        # two non-reuse-identical consumers (prefix rows + verify
+        # arrays) — persisted for the query, released on materialize
+        .persist()
+    )
+    sz = F.size("a")
+    plen = (sz - F.ceil(F.lit(thr) * sz) + 1).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        *keys,
+        sz.alias("sz"),
+        F.explode(F.slice("a", 1, plen)).alias("s"),
+    ).select("doc_id", *keys, "sz", F.col("s.shingle").alias("shingle"))
+
+    # merge hint ⇒ shuffle reuse across the self-join; the size
+    # predicate is PPJoin's length filter (see the public docstring)
+    a, b = prefix.alias("a"), prefix.alias("b").hint("merge")
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.sz").cast("double") >= F.lit(thr) * F.col("a.sz"))
+        & (F.col("a.sz").cast("double") >= F.lit(thr) * F.col("b.sz"))
+    )
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify against the SAME persisted per-doc arrays (no re-tokenize)
+    arrs = ranked.select(
+        "doc_id",
+        F.transform("a", lambda s: s.getField("shingle")).alias("shingles"),
+    )
+    sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= thr)
+    )
+    return materialize_and_release(out, ranked)
+
+
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result set as ``dedup_ngram_jaccard`` (identical oracle) via
     EXACT prefix filtering (AllPairs/PPJoin): order shingles globally by
@@ -156,63 +219,15 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the corpus is tokenized ONCE (the old plan re-tokenized
     documents through ``shingled`` for the verify arrays). Per-doc
     arrays are bounded by document length — the same boundedness
-    ``shingled`` already relied on."""
-    d = t(spark, sf_dir, "documents")
-    rows = shingle_rows(d, ["doc_id", "lang"])  # distinct shingles/doc
-    df_tab = rows.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        rows.join(df_tab, ["lang", "shingle"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("a")
-        )
-        # two non-reuse-identical consumers (prefix rows + verify
-        # arrays) — persisted for the query, released on materialize
-        .persist()
-    )
-    sz = F.size("a")
-    plen = (sz - F.ceil(F.lit(JACCARD_THRESHOLD) * sz) + 1).cast("int")
-    prefix = ranked.select(
-        "doc_id",
-        "lang",
-        sz.alias("sz"),
-        F.explode(F.slice("a", 1, plen)).alias("s"),
-    ).select("doc_id", "lang", "sz", F.col("s.shingle").alias("shingle"))
+    ``shingled`` already relied on.
 
-    # merge hint ⇒ shuffle reuse across the self-join (see ngram above).
-    # The size predicate is PPJoin's LENGTH FILTER: J ≥ t forces
-    # t·|A| ≤ |B| ≤ |A|/t (c ≤ min(|A|,|B|) and c ≥ t·max(|A|,|B|)), so
-    # pairs failing it are provably below threshold — result parity is
-    # preserved while the verify fan-out shrinks (74k → 56k candidate
-    # pairs at sf0.1, measured; the win grows with size variance).
-    a, b = prefix.alias("a"), prefix.alias("b").hint("merge")
-    thr = F.lit(JACCARD_THRESHOLD)
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.sz").cast("double") >= thr * F.col("a.sz"))
-            & (F.col("a.sz").cast("double") >= thr * F.col("b.sz")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # verify against the SAME persisted per-doc arrays (no re-tokenize)
-    arrs = ranked.select(
-        "doc_id",
-        F.transform("a", lambda s: s.getField("shingle")).alias("shingles"),
-    )
-    sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    out = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard("sh_a", "sh_b").alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-    return materialize_and_release(out, ranked)
+    The size predicate inside the shared helper is PPJoin's LENGTH
+    FILTER: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t (c ≤ min(|A|,|B|) and
+    c ≥ t·max(|A|,|B|)), so pairs failing it are provably below
+    threshold — result parity is preserved while the verify fan-out
+    shrinks (74k → 56k candidate pairs at sf0.1, measured; the win
+    grows with size variance)."""
+    return _prefix_jaccard_pairs(spark, sf_dir, ["lang"], JACCARD_THRESHOLD)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,37 +299,15 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16
     )
 
-    # exact truth: distinct-shingle inverted index, J >= t (no lang
-    # block — MinHash bands don't see lang either)
-    drows = shingle_rows(d, ["doc_id"])
-    sizes = drows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ta, tb = drows.alias("ta"), drows.alias("tb").hint("merge")
-    shared = (
-        ta.join(
-            tb,
-            (F.col("ta.shingle") == F.col("tb.shingle"))
-            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
-        )
-        .groupBy(
-            F.col("ta.doc_id").alias("doc_a"),
-            F.col("tb.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jv = F.col("c").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("c")
-    ).cast("double")
-    truth = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
-            "doc_b",
-        )
-        .filter(jv >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.lit(1).alias("is_true"))
+    # exact truth: J >= t pairs via the prefix-filtered construction
+    # (no lang block — MinHash bands don't see lang either). r9: the
+    # former raw shared-shingle self-join was QUADRATIC on this corpus
+    # profile (fixed trigram space ⇒ posting lists grow linearly with
+    # rows ⇒ sf1→sf3 exponent 2.7); _prefix_jaccard_pairs produces the
+    # identical pair set — the prefix theorem — with bounded posting
+    # lists, and its result is persisted (two consumers below).
+    truth = _prefix_jaccard_pairs(spark, sf_dir, [], JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
     )
     tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
 
@@ -584,46 +577,78 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     with both directions' values (the asymmetry tells curation WHICH
     side is the fragment).
 
-    Same inverted-index physical shape as ``dedup_ngram_jaccard`` —
-    shingles explode once, pairs materialize only on shared shingles
-    (C ≥ t ⇒ ≥ 1 shared), equi-join + count + two size joins; the
-    hot-shingle caveat and its prefix-filter remedy carry over
-    unchanged (containment's prefix uses the |A|-side bound)."""
+    r9 scale form (sf1→sf3 exponent was 2.36 on the raw inverted
+    index — this corpus's fixed trigram space makes every posting list
+    grow linearly with rows): ASYMMETRIC prefix probing. The pair
+    qualifies iff c ≥ t·min(|A|,|B|), so the SMALLER doc's
+    (df asc, shingle asc) prefix of length |S| − ⌈t·|S|⌉ + 1 provably
+    contains a shared shingle — probing every doc's prefix against the
+    FULL posting rows finds every qualifying pair (the Jaccard
+    two-sided prefix does NOT apply: c can be ≪ t·|L|). Prefix shingles
+    are low-DF by construction, so their posting lists are short —
+    the hot stop-shingle contributes no probe at all. Exact containment
+    re-verified on the persisted per-doc arrays (one tokenize pass,
+    the r9 jaccard-prefix construction)."""
     d = t(spark, sf_dir, "documents")
     rows = shingle_rows(d, ["doc_id", "lang"])
-    sizes = rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = rows.alias("a"), rows.alias("b").hint("merge")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    df_tab = rows.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        rows.join(df_tab, ["lang", "shingle"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("a")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # prefix probe + full index + verify arrays
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    ca = F.col("c").cast("double") / F.col("sz_a").cast("double")
-    cb = F.col("c").cast("double") / F.col("sz_b").cast("double")
-    return (
-        shared.join(sa, "doc_a")
+    sz = F.size("a")
+    plen = (sz - F.ceil(F.lit(CONTAIN_THRESHOLD) * sz) + 1).cast("int")
+    prefix = ranked.select(
+        "doc_id",
+        "lang",
+        F.explode(F.slice("a", 1, plen)).alias("s"),
+    ).select("doc_id", "lang", F.col("s.shingle").alias("shingle"))
+    full = ranked.select(
+        F.col("doc_id").alias("f_doc"),
+        "lang",
+        F.explode(F.transform("a", lambda s: s.getField("shingle"))).alias(
+            "shingle"
+        ),
+    )
+    cand = (
+        prefix.join(full.hint("merge"), ["lang", "shingle"])
+        .filter(F.col("doc_id") != F.col("f_doc"))
+        .select(
+            F.least("doc_id", "f_doc").alias("doc_a"),
+            F.greatest("doc_id", "f_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    arrs = ranked.select(
+        "doc_id",
+        F.transform("a", lambda s: s.getField("shingle")).alias("shingles"),
+    )
+    sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    out = (
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.col("c").alias("n_shared"),
-            ca.alias("containment_a"),
-            cb.alias("containment_b"),
+            inter.alias("n_shared"),
+            (inter.cast("double") / F.size("sh_a").cast("double")).alias(
+                "containment_a"
+            ),
+            (inter.cast("double") / F.size("sh_b").cast("double")).alias(
+                "containment_b"
+            ),
         )
         .filter(
             F.greatest("containment_a", "containment_b") >= CONTAIN_THRESHOLD
         )
     )
+    return materialize_and_release(out, ranked)
 
 
 EDIT_PREFIX = 16  # blocking key: normalized-text prefix length
