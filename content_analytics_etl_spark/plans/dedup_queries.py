@@ -1191,7 +1191,7 @@ ORACLES = {
         FROM documents
     """,
     "dedup_ngram_jaccard": f"""
-        WITH sh AS ({_SHINGLES_CTE})
+        WITH sh AS MATERIALIZED ({_SHINGLES_CTE})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
@@ -1203,7 +1203,7 @@ ORACLES = {
               >= {JACCARD_THRESHOLD}
     """,
     "dedup_minhash_lsh": f"""
-        WITH sh AS ({_SHINGLES_CTE}),
+        WITH sh AS MATERIALIZED ({_SHINGLES_CTE}),
         shnz AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
         hb AS (
           SELECT doc_id, {_TOK_HASH} AS h
@@ -1276,7 +1276,7 @@ ORACLES = {
         JOIN shnz xb ON xb.doc_id = e.doc_b
     """,
     "dedup_simhash": f"""
-        WITH sh AS ({_SHINGLES_CTE}),
+        WITH sh AS MATERIALIZED ({_SHINGLES_CTE}),
         hs AS (
           SELECT doc_id, lang,
                  list_transform(shingles, x -> {_TOK_HASH}) AS hashes
@@ -1331,7 +1331,7 @@ ORACLES["dedup_keep_best"] = f"""
 """
 
 ORACLES["dedup_decontaminate"] = f"""
-    WITH sh AS ({_SHINGLES_CTE}),
+    WITH sh AS MATERIALIZED ({_SHINGLES_CTE}),
     shs AS (
       SELECT s.doc_id, d.source, s.shingles
       FROM sh s JOIN documents d USING (doc_id)
@@ -1374,7 +1374,7 @@ ORACLES["dedup_edit_distance"] = f"""
 # Mirror of dedup_containment: same distinct-shingle lists, pairwise
 # intersection count via list_intersect, both containment directions.
 ORACLES["dedup_containment"] = f"""
-    WITH sh AS ({_SHINGLES_CTE})
+    WITH sh AS MATERIALIZED ({_SHINGLES_CTE})
     SELECT doc_a, doc_b, n_shared, containment_a, containment_b
     FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1557,7 +1557,7 @@ ORACLES["dedup_sorted_neighborhood"] = f"""
       FROM ranked a JOIN ranked b
         ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
     ),
-    sh AS ({_SHINGLES_CTE}),
+    sh AS MATERIALIZED ({_SHINGLES_CTE}),
     scored AS (
       SELECT c.doc_a, c.doc_b, c.rank_gap,
              CASE WHEN len(sa.shingles) > 0 AND len(sb.shingles) > 0 THEN
