@@ -236,6 +236,89 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_affinity_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with Apriori pruning — the level-3 step of
+    association mining on the co-purchase data (part_affinity is
+    level 2): candidate triples extend per-order FREQUENT pairs by a
+    third in-order item and are pruned unless all three 2-subsets are
+    frequent (the Apriori property: support is anti-monotone), then
+    counted and support-filtered. Reports the triple support, all three
+    pair supports, and the {a,b}→c rule confidence.
+
+    Scale shape: everything is keyed on the order key or on bounded
+    itemsets — per-order fan-out is Σ C(k,3) under the ~7-line order
+    cap (linear in orders, never |parts|³); the Apriori semi-joins
+    shrink the candidate stream BEFORE the counting shuffle, which is
+    the property that keeps level-k mining feasible at 100 TB."""
+    op = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pb"))
+    c = op.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pc"))
+    pairs = (
+        a.join(b.hint("merge"), "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= AFFINITY_MIN_BOTH)
+    )
+    po = (
+        a.join(b.hint("merge"), "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(pairs.select("pa", "pb"), ["pa", "pb"], "left_semi")
+    )
+    cand = (
+        po.join(c.hint("merge"), "okey")
+        .filter(F.col("pc") > F.col("pb"))
+        # Apriori prune: {a,c} and {b,c} must be frequent too
+        .join(
+            pairs.select(F.col("pa"), F.col("pb").alias("pc")),
+            ["pa", "pc"],
+            "left_semi",
+        )
+        .join(
+            pairs.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
+            ["pb", "pc"],
+            "left_semi",
+        )
+    )
+    tri = (
+        cand.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+        .filter(F.col("n_abc") >= AFFINITY_MIN_BOTH)
+    )
+    j = (
+        tri.join(pairs.select("pa", "pb", "n_ab"), ["pa", "pb"])
+        .join(
+            pairs.select(
+                "pa", F.col("pb").alias("pc"), F.col("n_ab").alias("n_ac")
+            ),
+            ["pa", "pc"],
+        )
+        .join(
+            pairs.select(
+                F.col("pa").alias("pb"),
+                F.col("pb").alias("pc"),
+                F.col("n_ab").alias("n_bc"),
+            ),
+            ["pb", "pc"],
+        )
+    )
+    return j.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("pc").alias("part_c"),
+        "n_abc",
+        "n_ab",
+        "n_ac",
+        "n_bc",
+        (F.col("n_abc").cast("double") / F.col("n_ab").cast("double")).alias(
+            "conf_ab_c"
+        ),
+    )
+
+
 def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt (`DataFrame.unpivot`, the inverse of the
     reference's A4 pivot) over lineitem's four measure columns, then
@@ -765,6 +848,49 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend.alias("trend"),
         seasonal.alias("seasonal"),
         (value - trend - seasonal).alias("residual"),
+    )
+
+
+STL_ANOM_Z = 2.0  # robust-z cutoff on the deseasonalized residual
+
+
+def events_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized anomaly detection — the composition the STL
+    decomposition exists for: a day is anomalous when its RESIDUAL
+    (value minus trend minus weekday shape) exceeds ``STL_ANOM_Z``
+    robust-z of the per-type residual distribution. Plain value
+    thresholds fire on weekday shape and trend drift; CUSUM
+    (events_cusum_drift) catches sustained shifts; this catches the
+    single bad day that both miss.
+
+    Robust-z = |r − median(r)| / (1.4826·MAD(r)) — the
+    events_mad_outliers model applied to residuals: two exact
+    percentile aggregations to a #types-row relation broadcast back,
+    per-row IEEE scoring. Residual doubles are bit-identical
+    cross-engine by events_stl_decompose's integer-core construction,
+    so the medians select identical values."""
+    d = events_stl_decompose(spark, sf_dir).filter(
+        F.col("residual").isNotNull()
+    )
+    med = d.groupBy("event_type").agg(
+        F.percentile("residual", 0.5).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "value",
+        "residual",
+        "med",
+        F.abs(F.col("residual") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    z = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(z > STL_ANOM_Z)
+        .select(
+            "event_type", "day", "value", "residual", z.alias("robust_z")
+        )
     )
 
 
@@ -1313,6 +1439,7 @@ QUERIES = {
     "lineitem_unpivot": lineitem_unpivot,
     "customer_rfm_segments": customer_rfm_segments,
     "part_affinity": part_affinity,
+    "part_affinity_triples": part_affinity_triples,
     "events_value_distribution": events_value_distribution,
     "events_zscore_outliers": events_zscore_outliers,
     "events_value_histogram": events_value_histogram,
@@ -1322,6 +1449,7 @@ QUERIES = {
     "events_ema_smoothing": events_ema_smoothing,
     "events_seasonal_naive_eval": events_seasonal_naive_eval,
     "events_stl_decompose": events_stl_decompose,
+    "events_stl_residual_anomaly": events_stl_residual_anomaly,
     "part_revenue_abc": part_revenue_abc,
     "events_peak_detection": events_peak_detection,
     "events_cusum_drift": events_cusum_drift,
@@ -1948,4 +2076,66 @@ ORACLES["events_stl_decompose"] = f"""
                  / (7e6 * CAST(seas.n_dow AS DOUBLE)) AS residual
     FROM tr
     LEFT JOIN seas ON seas.event_type = tr.event_type AND seas.dow = tr.dow
+"""
+
+
+# Mirror of events_stl_residual_anomaly: the STL oracle as a CTE,
+# quantile_cont for the exact medians (the verified percentile pairing),
+# identical per-row robust-z expression.
+ORACLES["events_stl_residual_anomaly"] = f"""
+    WITH stl AS MATERIALIZED ({ORACLES["events_stl_decompose"]}),
+    d AS (SELECT * FROM stl WHERE residual IS NOT NULL),
+    med AS (
+      SELECT event_type, quantile_cont(residual, 0.5) AS med
+      FROM d GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.value, d.residual, med.med,
+             abs(d.residual - med.med) AS adev
+      FROM d JOIN med ON med.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type, dev.day, dev.value, dev.residual,
+           dev.adev / (1.4826 * mad.mad) AS robust_z
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE dev.adev / (1.4826 * mad.mad) > {STL_ANOM_Z}
+"""
+
+
+# Mirror of part_affinity_triples: same distinct (order, part) base,
+# frequent pairs, Apriori-pruned candidate triples, support filter.
+ORACLES["part_affinity_triples"] = f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS p FROM lineitem
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb, count(1) AS n_ab
+      FROM op a JOIN op b ON a.okey = b.okey AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(1) >= {AFFINITY_MIN_BOTH}
+    ),
+    po AS (
+      SELECT a.okey, a.p AS pa, b.p AS pb
+      FROM op a JOIN op b ON a.okey = b.okey AND a.p < b.p
+      WHERE EXISTS (SELECT 1 FROM pairs f WHERE f.pa = a.p AND f.pb = b.p)
+    ),
+    cand AS (
+      SELECT po.pa, po.pb, c.p AS pc
+      FROM po JOIN op c ON c.okey = po.okey AND c.p > po.pb
+      WHERE EXISTS (SELECT 1 FROM pairs f WHERE f.pa = po.pa AND f.pb = c.p)
+        AND EXISTS (SELECT 1 FROM pairs f WHERE f.pa = po.pb AND f.pb = c.p)
+    ),
+    tri AS (
+      SELECT pa, pb, pc, count(1) AS n_abc
+      FROM cand GROUP BY 1, 2, 3 HAVING count(1) >= {AFFINITY_MIN_BOTH}
+    )
+    SELECT tri.pa AS part_a, tri.pb AS part_b, tri.pc AS part_c,
+           tri.n_abc, ab.n_ab, ac.n_ab AS n_ac, bc.n_ab AS n_bc,
+           CAST(tri.n_abc AS DOUBLE) / CAST(ab.n_ab AS DOUBLE) AS conf_ab_c
+    FROM tri
+    JOIN pairs ab ON ab.pa = tri.pa AND ab.pb = tri.pb
+    JOIN pairs ac ON ac.pa = tri.pa AND ac.pb = tri.pc
+    JOIN pairs bc ON bc.pa = tri.pb AND bc.pb = tri.pc
 """

@@ -89,7 +89,10 @@ DRIVER_WINDOW: list[str] = [
     "corpus_priority_sample",
     "corpus_temperature_mix",
     "doc_padding_waste",
+    "embedding_pca_top2",
     "events_stl_decompose",
+    "events_stl_residual_anomaly",
+    "part_affinity_triples",
     "sim_ann_multiprobe_topk",
     "vocab_zipf_fit",
     "events_zorder_layout",
@@ -133,9 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_winnow",
     "doc_winnow_overlap",
     "events_approx_percentile_bound",
-    "events_daily_from_hourly",
-    "events_distinct_sketch_rollup",
-    "events_mad_outliers",
 ]
 
 

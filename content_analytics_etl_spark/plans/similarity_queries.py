@@ -882,11 +882,6 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     30). The reduction integers are unchanged: multiply/add/floor are
     single IEEE ops in both numpy and the JVM, and the per-element
     quantize-then-BIGINT-sum is associative across batches."""
-    import math
-
-    import numpy as np
-    import pandas as pd
-
     # persist once: each of the 3 iterations re-references the decoded
     # corpus (PERF 27). The explicit repartition matters at scale: the
     # sf1 parquet arrives as 2 input splits, so without it every
@@ -898,19 +893,54 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
+    w, norm = _power_rounds(e)  # r9: loop shared with embedding_pca_top2
+    # final frame from the already-collected O(dim) vector — the same
+    # _centroid_df convention embedding_kmeans uses; re-deriving it from
+    # lineage would run the third corpus pass a second time
+    out = spark.createDataFrame(
+        [(d, float(z)) for d, z in enumerate(w)], "d int, w double"
+    ).select(
+        "d",
+        (F.col("w") / F.lit(norm)).alias("loading"),
+        F.lit(norm).alias("spectral_norm"),
+    )
+    return materialize_and_release(out, e)
+
+
+def _power_rounds(e: DataFrame, deflate: list | None = None):
+    """PCA_ITERS power-iteration rounds over the persisted corpus
+    frame ``e`` (column ``x``: array<double>), optionally against the
+    rank-1-DEFLATED corpus x' = x − (x·v₁)·v₁ — the classical
+    Hotelling deflation that turns top-1 power iteration into top-k.
+    Returns (w, norm) of the final round. Bit-for-bit the
+    embedding_power_iteration arithmetic (see its docstring for the
+    fixed-point reduction rationale): the deflation is two extra
+    single-IEEE-op element chains (mul, sub) applied identically in the
+    oracle's list_transform, so hash-exactness carries over."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     v = [PCA_SEED] * DIM
-    w = []
+    w: list = []
+    norm = 1.0
+    d1 = None if deflate is None else np.asarray(deflate, dtype=np.float64)
     for _ in range(PCA_ITERS):
         varr = np.asarray(v, dtype=np.float64)
 
-        def partials(batches, varr=varr):
+        def partials(batches, varr=varr, d1=d1):
             tot = np.zeros(DIM, dtype=np.int64)
             for pdf in batches:
                 X = np.vstack(pdf["x"].to_numpy())
-                # left fold d-ascending: acc ← acc + (x_d · v_d), the
-                # exact op sequence of functions/vectors.dot_product —
-                # NOT X @ v (pairwise/SIMD summation associates
-                # differently and breaks the fixed-point hash)
+                if d1 is not None:
+                    acc1 = np.zeros(len(X), dtype=np.float64)
+                    for d in range(DIM):
+                        acc1 = acc1 + X[:, d] * d1[d]
+                    Xp = np.empty_like(X)
+                    for d in range(DIM):
+                        Xp[:, d] = X[:, d] - acc1 * d1[d]
+                    X = Xp
                 acc = np.zeros(len(X), dtype=np.float64)
                 for d in range(DIM):
                     acc = acc + X[:, d] * varr[d]
@@ -930,15 +960,40 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             s += z * z
         norm = math.sqrt(s)
         v = [z / norm for z in w]
-    # final frame from the already-collected O(dim) vector — the same
-    # _centroid_df convention embedding_kmeans uses; re-deriving it from
-    # lineage would run the third corpus pass a second time
+    return w, norm
+
+
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal directions by power iteration + Hotelling
+    DEFLATION — the step from a single spectral direction
+    (``embedding_power_iteration``) to an actual PCA basis: component 1
+    is the plain 3-round power iterate; component 2 re-runs the same
+    rounds on the rank-1-deflated corpus x' = x − (x·v₁)·v₁, which is
+    exactly power iteration on the residual covariance (X'ᵀX' =
+    XᵀX − λ₁v₁v₁ᵀ at convergence). Output: 2×64 loadings + each
+    component's spectral-norm estimate — the 2-D projection basis for
+    embedding visualization/whitening.
+
+    Iterative and still hash-exact: both components use the identical
+    fixed-point mapInPandas reduction (see embedding_power_iteration);
+    the deflation adds two single-IEEE-op element chains mirrored in
+    the oracle's list_transform. Driver round-trips stay O(dim) per
+    round. The oracle is the 6-round chained-CTE sequence with the
+    deflated corpus as an intermediate MATERIALIZED relation."""
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("x"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    w1, n1 = _power_rounds(e)
+    v1 = [z / n1 for z in w1]
+    w2, n2 = _power_rounds(e, deflate=v1)
+    rows = [(1, d, float(z / n1), float(n1)) for d, z in enumerate(w1)] + [
+        (2, d, float(z / n2), float(n2)) for d, z in enumerate(w2)
+    ]
     out = spark.createDataFrame(
-        [(d, float(z)) for d, z in enumerate(w)], "d int, w double"
-    ).select(
-        "d",
-        (F.col("w") / F.lit(norm)).alias("loading"),
-        F.lit(norm).alias("spectral_norm"),
+        rows, "component int, d int, loading double, spectral_norm double"
     )
     return materialize_and_release(out, e)
 
@@ -1425,6 +1480,7 @@ QUERIES = {
     "sim_semdedup": sim_semdedup,
     "sim_mmr_diversify": sim_mmr_diversify,
     "embedding_power_iteration": embedding_power_iteration,
+    "embedding_pca_top2": embedding_pca_top2,
     "embedding_quantize": embedding_quantize,
     "embedding_kmeans": embedding_kmeans,
 }
@@ -2320,4 +2376,122 @@ ORACLES["sim_dim_truncation_recall"] = f"""
     base AS (SELECT query_id, count(1) AS n_true FROM truth GROUP BY 1),
     {", ".join(_trunc_td_cte(d_) for d_ in TRUNC_DIMS)}
     {" UNION ALL ".join(_trunc_sel(d_) for d_ in TRUNC_DIMS)}
+"""
+
+
+# Mirror of embedding_pca_top2: the power-iteration chain twice — the
+# second time over the MATERIALIZED rank-1-deflated corpus
+# x' = x − (x·v1)·v1 (same element-wise IEEE op order as the numpy
+# deflation: one fold for the dot, then per-element mul+sub).
+ORACLES["embedding_pca_top2"] = f"""
+    WITH e AS MATERIALIZED (SELECT {_V} AS v FROM embeddings),
+    a_d1 AS (
+      SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+               i -> v[i] * {PCA_SEED})) AS dot
+      FROM e
+    ),
+    a_w1 AS MATERIALIZED (
+      SELECT CAST(r.i - 1 AS INT) AS d,
+             CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+      FROM a_d1, range(1, {DIM + 1}) r(i) GROUP BY 1
+    ),
+    a_n1 AS (
+      SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+      FROM (SELECT list(w ORDER BY d) AS wv FROM a_w1)
+    ),
+    a_d2 AS (
+      SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+               i -> v[i] * (a_n1.wv[i] / a_n1.nrm))) AS dot
+      FROM e, a_n1
+    ),
+    a_w2 AS MATERIALIZED (
+      SELECT CAST(r.i - 1 AS INT) AS d,
+             CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+      FROM a_d2, range(1, {DIM + 1}) r(i) GROUP BY 1
+    ),
+    a_n2 AS (
+      SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+      FROM (SELECT list(w ORDER BY d) AS wv FROM a_w2)
+    ),
+    a_d3 AS (
+      SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+               i -> v[i] * (a_n2.wv[i] / a_n2.nrm))) AS dot
+      FROM e, a_n2
+    ),
+    a_w3 AS MATERIALIZED (
+      SELECT CAST(r.i - 1 AS INT) AS d,
+             CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+      FROM a_d3, range(1, {DIM + 1}) r(i) GROUP BY 1
+    ),
+    a_n3 AS (
+      SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+      FROM (SELECT list(w ORDER BY d) AS wv FROM a_w3)
+    ),
+    e2 AS MATERIALIZED (
+      SELECT list_transform(range(1, {DIM + 1}),
+               i -> x.v[i] - x.dot1 * (a_n3.wv[i] / a_n3.nrm)) AS v
+      FROM (
+        SELECT e.v,
+               list_sum(list_transform(range(1, {DIM + 1}),
+                 i -> e.v[i] * (a_n3.wv[i] / a_n3.nrm))) AS dot1
+        FROM e, a_n3
+      ) x, a_n3
+    ),
+    b_d1 AS (
+      SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+               i -> v[i] * {PCA_SEED})) AS dot
+      FROM e2
+    ),
+    b_w1 AS MATERIALIZED (
+      SELECT CAST(r.i - 1 AS INT) AS d,
+             CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+      FROM b_d1, range(1, {DIM + 1}) r(i) GROUP BY 1
+    ),
+    b_n1 AS (
+      SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+      FROM (SELECT list(w ORDER BY d) AS wv FROM b_w1)
+    ),
+    b_d2 AS (
+      SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+               i -> v[i] * (b_n1.wv[i] / b_n1.nrm))) AS dot
+      FROM e2, b_n1
+    ),
+    b_w2 AS MATERIALIZED (
+      SELECT CAST(r.i - 1 AS INT) AS d,
+             CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+      FROM b_d2, range(1, {DIM + 1}) r(i) GROUP BY 1
+    ),
+    b_n2 AS (
+      SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm, wv
+      FROM (SELECT list(w ORDER BY d) AS wv FROM b_w2)
+    ),
+    b_d3 AS (
+      SELECT v, list_sum(list_transform(range(1, {DIM + 1}),
+               i -> v[i] * (b_n2.wv[i] / b_n2.nrm))) AS dot
+      FROM e2, b_n2
+    ),
+    b_w3 AS MATERIALIZED (
+      SELECT CAST(r.i - 1 AS INT) AS d,
+             CAST(SUM(CAST(floor(v[r.i] * dot * 1000000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
+      FROM b_d3, range(1, {DIM + 1}) r(i) GROUP BY 1
+    ),
+    b_n3 AS (
+      SELECT sqrt(list_sum(list_transform(wv, z -> z * z))) AS nrm
+      FROM (SELECT list(w ORDER BY d) AS wv FROM b_w3)
+    )
+    SELECT CAST(1 AS INT) AS component, d,
+           w / (SELECT nrm FROM a_n3) AS loading,
+           (SELECT nrm FROM a_n3) AS spectral_norm
+    FROM a_w3
+    UNION ALL
+    SELECT CAST(2 AS INT), d,
+           w / (SELECT nrm FROM b_n3),
+           (SELECT nrm FROM b_n3)
+    FROM b_w3
 """

@@ -242,3 +242,50 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     assert set(q for q, _ in single) <= set(q for q, _ in multi)
     for key, cos in single.items():
         assert multi[key] >= cos - 1e-12, key
+
+
+def test_pca_top2_basis_properties(spark, sf_dir):
+    """Deflation must yield a second direction (a) near-orthogonal to
+    the first, (b) unit-norm, (c) with a smaller spectral estimate."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        embedding_pca_top2,
+    )
+
+    rows = embedding_pca_top2(spark, sf_dir).collect()
+    v = {1: [0.0] * 64, 2: [0.0] * 64}
+    norm = {}
+    for r in rows:
+        v[r["component"]][r["d"]] = r["loading"]
+        norm[r["component"]] = r["spectral_norm"]
+    dot = sum(a * b for a, b in zip(v[1], v[2]))
+    n1 = sum(a * a for a in v[1]) ** 0.5
+    n2 = sum(a * a for a in v[2]) ** 0.5
+    assert abs(n1 - 1) < 1e-9 and abs(n2 - 1) < 1e-9
+    assert abs(dot) < 1e-3, f"components not orthogonal: {dot}"
+    assert norm[1] >= norm[2] > 0
+
+
+def test_stl_anomaly_nonvacuous(spark, sf_dir):
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        events_stl_residual_anomaly,
+    )
+
+    rows = events_stl_residual_anomaly(spark, sf_dir).collect()
+    assert len(rows) > 0, "threshold chosen so the detector fires non-vacuously"
+    for r in rows:
+        assert r["robust_z"] > 2.0
+
+
+def test_affinity_triples_apriori_consistency(spark, sf_dir):
+    """Every reported triple's support must not exceed any of its pair
+    supports (anti-monotonicity), and confidence in (0, 1]."""
+    from content_analytics_etl_spark.plans.analytics_queries import (
+        part_affinity_triples,
+    )
+
+    rows = part_affinity_triples(spark, sf_dir).collect()
+    assert rows, "support threshold chosen non-vacuously for this corpus"
+    for r in rows:
+        assert r["part_a"] < r["part_b"] < r["part_c"]
+        assert r["n_abc"] <= min(r["n_ab"], r["n_ac"], r["n_bc"])
+        assert 0 < r["conf_ab_c"] <= 1.0
