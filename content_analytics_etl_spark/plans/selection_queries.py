@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DUCKDB_HASH64
 from ..functions.text_metrics import tokens
 from ._util import t
-from .text_queries import _TOKS_SQL, _lm_token_counts
+from .text_queries import _TOKS_SQL, _lm_bigram_counts, _lm_token_counts
 
 # Feature-hash width for both operators. 256 buckets is the sf-scaled
 # stand-in for DSIR's 10k-bucket hashed bigram space; the bucket table
@@ -61,19 +61,6 @@ def _l2(col: Column) -> Column:
     return F.round(F.log2(col.cast("double")), 9)
 
 
-def _bigrams(toks: Column) -> Column:
-    # sequence(1, 0) counts DOWN in Spark — single-token docs must map
-    # to an empty list explicitly (same guard as bigram_frequency).
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
-
-
 def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weight per document.
 
@@ -86,17 +73,25 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with no bigrams carry logw = 0 and are not selected.
     """
     d = t(spark, sf_dir, "documents")
-    db = d.select(
+    # r9: project the shared session-materialized bigram count table
+    # (text_queries._lm_bigram_counts — one corpus explode per
+    # snapshot) into the hashed-bucket space instead of re-exploding
+    # the corpus; inputs shrink to |distinct (doc, bigram)| rows and
+    # occurrence weights ride in the x column.
+    db = _lm_bigram_counts(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.explode(_bigrams(tokens("text"))).alias("bg"),
-    ).withColumn("b", F.pmod(_h64("dsir|", F.col("bg")), F.lit(N_BUCKETS)))
+        "x",
+        F.pmod(
+            _h64("dsir|", F.concat_ws(" ", "w1", "w2")), F.lit(N_BUCKETS)
+        ).alias("b"),
+    )
 
-    x = db.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("x"))
+    x = db.groupBy("doc_id", "b").agg(F.sum("x").alias("x"))
     stats = db.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
+        F.sum("x").alias("cr"),
         F.sum(
-            F.when(F.col("lang") == TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("lang") == TARGET_LANG, F.col("x")).otherwise(F.lit(0))
         ).alias("ct"),
     )
     totals = stats.agg(
