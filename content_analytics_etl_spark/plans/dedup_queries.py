@@ -230,6 +230,31 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prefix_jaccard_pairs(spark, sf_dir, ["lang"], JACCARD_THRESHOLD)
 
 
+def _minhash_sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15) — the k=16 MinHash signature table,
+    session-materialized once per corpus snapshot. Four registered
+    queries consume it verbatim (``dedup_minhash_lsh``,
+    ``dedup_minhash_band_tuning``, ``dedup_minhash_estimate_audit``,
+    ``dedup_lsh_incremental``) and each used to re-run the shingle
+    explode + 1 md5/shingle + 16 min-aggs per invocation. At 100 TB
+    this IS the signature index written once per corpus build; the
+    session cache is the local stand-in and the build cost reports via
+    ``producer_build_seconds`` (the ANN index-producer pattern,
+    PERF 51)."""
+    key = f"minhash_sig16:{source_fingerprint(sf_dir, 'documents')}"
+
+    def build() -> DataFrame:
+        d = t(spark, sf_dir, "documents")
+        # distinct=False: min over the shingle multiset equals min over
+        # its set, so MinHash skips the distinct shuffle entirely
+        rows = shingle_rows(d, ["doc_id"], distinct=False)
+        return minhash_signature_agg(
+            shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16
+        )
+
+    return session_materialized(spark, key, build)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4 bands × 4 rows) candidate generation →
     exact-Jaccard verification. The candidate join is an equi-join on the
@@ -240,10 +265,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band explode → equi self-join → verify. No interpreted lambdas, no
     expression re-inlining (see operators/dedup.py module docstring)."""
     d = t(spark, sf_dir, "documents")
-    # distinct=False: min over the shingle multiset equals min over its
-    # set, so MinHash skips the distinct shuffle entirely
-    rows = shingle_rows(d, ["doc_id"], distinct=False)
-    sig = minhash_signature_agg(shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16)
+    sig = _minhash_sig16(spark, sf_dir)  # shared session-materialized index
     bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
 
     # merge hint ⇒ shuffle reuse across the self-join (see ngram above)
@@ -294,10 +316,7 @@ def dedup_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the inverted-index exact join (never all-pairs); the final
     report is a 3-row aggregate with the 1-row truth count broadcast."""
     d = t(spark, sf_dir, "documents")
-    rows = shingle_rows(d, ["doc_id"], distinct=False)
-    sig = minhash_signature_agg(
-        shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16
-    )
+    sig = _minhash_sig16(spark, sf_dir)  # shared session-materialized index
 
     # exact truth: J >= t pairs via the prefix-filtered construction
     # (no lang block — MinHash bands don't see lang either). r9: the
@@ -386,8 +405,7 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over the two joined signatures, division done once as
     doubles (IEEE-exact both engines)."""
     d = t(spark, sf_dir, "documents")
-    rows = shingle_rows(d, ["doc_id"], distinct=False)
-    sig = minhash_signature_agg(shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16)
+    sig = _minhash_sig16(spark, sf_dir)  # shared session-materialized index
     bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
     ba, bb = bands.alias("ba"), bands.alias("bb").hint("merge")
     cand = (
@@ -858,10 +876,10 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays, and base×base pairs are never re-examined."""
     d = t(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id"), F.lit(4)) == 3
-    rows = shingle_rows(d, ["doc_id"], distinct=False)
-    sig = minhash_signature_agg(
-        shingle_hashes(rows, ["doc_id"]), ["doc_id"], k=16
-    )
+    # shared session-materialized signature index: at 100 TB the batch
+    # would sign only its own docs; locally the full-corpus index is the
+    # same table the base side needs anyway (see docstring)
+    sig = _minhash_sig16(spark, sf_dir)
     bands = lsh_band_keys(sig, ["doc_id"], bands=4, rows=4)
     base_bands = bands.filter(~is_batch)
     batch_bands = bands.filter(is_batch)
