@@ -24,6 +24,7 @@ duration) push down to the parquet scan before any payload is touched.
 
 from __future__ import annotations
 
+import math
 import struct
 from collections.abc import Iterator
 
@@ -42,6 +43,8 @@ __all__ = [
     "decode_bmp24",
     "decode_bmp24_gray",
     "resize_bmp_nn",
+    "phash_bmp",
+    "phash_images",
     "resize_images",
     "encode_wav16",
     "decode_wav16",
@@ -228,6 +231,77 @@ def resize_images(assets: DataFrame) -> DataFrame:
     px_cols = ", ".join(f"p{k} int" for k in range(RESIZE_W * RESIZE_H))
     schema = f"asset_id long, width int, height int, {px_cols}, mean_thumb double"
     return assets.select("asset_id", "payload").mapInPandas(run, schema=schema)
+
+
+PHASH_SCALE = 1024  # DCT basis scaled to integers: round(1024·cos)
+# 8×8 DCT-II basis, integer-scaled ONCE here and shared verbatim by the
+# Spark-side hash and the oracle SQL (embedded as a literal matrix) — so
+# neither engine evaluates a cosine at query time and the transform is
+# exact int64 arithmetic end to end.
+DCT_C = [
+    [
+        round(math.cos((2 * t + 1) * u * math.pi / 16) * PHASH_SCALE)
+        for t in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def phash_bmp(data: bytes) -> tuple[int, int, int]:
+    """64-bit-family perceptual hash of a real BMP (pHash scheme):
+    decode the bytes, NN-resample the pixel grid to 8×8, 2-D integer
+    DCT-II, then one bit per AC coefficient (63 of them — the DC cell
+    carries brightness and is dropped, which is exactly what makes the
+    hash brightness-invariant) set iff the coefficient exceeds the
+    MEDIAN AC coefficient. 63 is odd, so the median is the unique
+    order statistic sorted[31] — no averaging, no ties policy beyond
+    strict '>'. Returns (width, height, phash); phash < 2⁶³ fits
+    BIGINT. Everything after the decode is integer arithmetic."""
+    w, h, rows = decode_bmp24_gray(data)
+    P = [[rows[(y * h) // 8][(x * w) // 8] for x in range(8)] for y in range(8)]
+    T8 = [
+        [
+            sum(
+                DCT_C[u][y] * DCT_C[v][x] * P[y][x]
+                for y in range(8)
+                for x in range(8)
+            )
+            for v in range(8)
+        ]
+        for u in range(8)
+    ]
+    ac = [T8[u][v] for u in range(8) for v in range(8)][1:]
+    med = sorted(ac)[31]
+    ph = 0
+    for k, val in enumerate(ac):
+        if val > med:
+            ph |= 1 << k
+    return w, h, ph
+
+
+def phash_images(assets: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing over real BMP payloads
+    (``mapInPandas``, no shuffle): (asset_id, width, height, phash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "phash": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ph = phash_bmp(bytes(payload))
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema="asset_id long, width int, height int, phash long"
+    )
 
 
 def encode_wav16(sample_rate: int, samples: list[int]) -> bytes:

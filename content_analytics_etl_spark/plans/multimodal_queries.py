@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import (
+    DCT_C,
     audio_window_stats,
+    phash_images,
     decode_gif_properties,
     decode_planned_frames,
     decode_png_properties,
@@ -136,6 +138,29 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_properties(assets)
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal counterpart of
+    dedup_exact: decode each REAL BMP payload, 8×8 NN-resample, 2-D
+    INTEGER DCT-II (basis scaled to int64 once at import — no runtime
+    trig in either engine), one bit per AC coefficient vs the unique
+    63-element median (multimodal.phash_bmp — brightness-invariant by
+    dropping DC, which is why same-geometry images differing only in
+    base brightness collapse into one group here), then a hash-groupBy
+    to (phash, n_assets, canonical). Exact-phash grouping is ONE linear
+    shuffle on a 63-bit key — the image twin of content-fingerprint
+    dedup, and the oracle recomputes the full decode→resample→DCT→bits
+    pipeline from the generative formulas in SQL, so a single wrong
+    pixel, DCT cell or threshold bit anywhere fails the hash."""
+    assets = synthetic_media_assets(t(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "image"
+    )
+    ph = phash_images(assets)
+    return ph.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.min("asset_id").alias("canonical_id"),
+    )
+
+
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image preprocessing: encode genuine BMPs, then decode AND
     nearest-neighbor-resize the pixel grid to a fixed 4×2 thumbnail in
@@ -184,6 +209,7 @@ def multimodal_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_decode": multimodal_frame_decode,
     "multimodal_audio_windows": multimodal_audio_windows,
@@ -374,3 +400,58 @@ ORACLES = {
         FROM bytes
     """,
 }
+
+_DCT_SQL = (
+    "[" + ", ".join("[" + ", ".join(str(c) for c in row) + "]" for row in DCT_C) + "]"
+)
+# Mirror of multimodal_phash_dedup: the SAME integer DCT basis literal
+# (DCT_C, scaled cosines rounded once in Python) over the 8×8 grid the
+# NN resample of the generative pixel formula produces — the whole
+# pipeline is int64-exact, so the only way to match is to agree on
+# every pixel, coefficient and threshold bit.
+ORACLES["multimodal_phash_dedup"] = f"""
+    WITH imgs AS (
+      SELECT doc_id AS asset_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+             doc_id % 251 AS base
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    px AS (
+      SELECT asset_id,
+             list_transform(range(0, 64), k ->
+               (base + ((k % 8) * w) // 8 + ((k // 8) * h) // 8) % 256) AS p
+      FROM imgs
+    ),
+    cmat AS (SELECT {_DCT_SQL} AS c),
+    rowt AS (
+      -- separable DCT pass 1: R[u·8+x] = Σ_y C[u][y]·P[y][x] (exact
+      -- int64, so the re-association vs the one-pass form is lossless)
+      SELECT asset_id,
+             list_transform(range(0, 64), j ->
+               list_sum(list_transform(range(0, 8), y ->
+                 c[j // 8 + 1][y + 1] * p[y * 8 + (j % 8) + 1]))) AS r
+      FROM px, cmat
+    ),
+    dct AS (
+      -- pass 2: T[u·8+v] = Σ_x C[v][x]·R[u·8+x]
+      SELECT asset_id,
+             list_transform(range(0, 64), idx ->
+               list_sum(list_transform(range(0, 8), x ->
+                 c[idx % 8 + 1][x + 1] * r[(idx // 8) * 8 + x + 1]))) AS t
+      FROM rowt, cmat
+    ),
+    med AS (
+      SELECT asset_id,
+             list_transform(range(2, 65), i -> t[i]) AS a,
+             list_sort(list_transform(range(2, 65), i -> t[i]))[32] AS med
+      FROM dct
+    ),
+    ph AS (
+      SELECT asset_id,
+             CAST(list_sum(list_transform(range(1, 64), i ->
+               CASE WHEN a[i] > med THEN CAST(1 AS BIGINT) << (i - 1)
+                    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      FROM med
+    )
+    SELECT phash, count(1) AS n_assets, min(asset_id) AS canonical_id
+    FROM ph GROUP BY 1
+"""

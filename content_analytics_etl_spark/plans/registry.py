@@ -92,6 +92,7 @@ DRIVER_WINDOW: list[str] = [
     "embedding_pca_top2",
     "events_stl_decompose",
     "events_stl_residual_anomaly",
+    "multimodal_phash_dedup",
     "part_affinity_triples",
     "sim_ann_multiprobe_topk",
     "vocab_zipf_fit",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_token_novelty",
     "doc_winnow",
     "doc_winnow_overlap",
-    "events_approx_percentile_bound",
 ]
 
 

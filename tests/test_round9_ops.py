@@ -289,3 +289,29 @@ def test_affinity_triples_apriori_consistency(spark, sf_dir):
         assert r["part_a"] < r["part_b"] < r["part_c"]
         assert r["n_abc"] <= min(r["n_ab"], r["n_ac"], r["n_bc"])
         assert 0 < r["conf_ab_c"] <= 1.0
+
+
+def test_phash_brightness_invariance_and_geometry_sensitivity():
+    """The DC-dropped pHash must be invariant to a base-brightness shift
+    (same geometry ⇒ identical 63 AC bits) and sensitive to geometry."""
+    from content_analytics_etl_spark.multimodal import encode_bmp24, phash_bmp
+
+    w1, h1, a = phash_bmp(encode_bmp24(12, 6, 10))
+    _, _, b = phash_bmp(encode_bmp24(12, 6, 200))
+    _, _, c = phash_bmp(encode_bmp24(9, 5, 10))
+    assert (w1, h1) == (12, 6)
+    assert a == b, "brightness shift must not move any AC bit"
+    assert a != c
+    assert 0 <= a < 2**63
+
+
+def test_phash_dedup_groups(spark, sf_dir):
+    from content_analytics_etl_spark.plans.multimodal_queries import (
+        multimodal_phash_dedup,
+    )
+
+    rows = multimodal_phash_dedup(spark, sf_dir).collect()
+    assert rows
+    assert any(r["n_assets"] > 1 for r in rows), "perceptual groups collapse"
+    for r in rows:
+        assert 0 <= r["phash"] < 2**63
