@@ -88,6 +88,7 @@ _MODULES = [
 DRIVER_WINDOW: list[str] = [
     "corpus_priority_sample",
     "corpus_temperature_mix",
+    "corpus_token_kl_drift",
     "doc_padding_waste",
     "embedding_pca_top2",
     "events_stl_decompose",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_sample_stratified",
     "doc_token_novelty",
     "doc_winnow",
-    "doc_winnow_overlap",
 ]
 
 

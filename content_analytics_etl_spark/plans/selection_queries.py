@@ -139,6 +139,62 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level distribution-shift table: per source, the KL
+    divergence (bits/token) of its unigram distribution from the whole
+    corpus — the one-number-per-source rollup a mix review reads next
+    to ``doc_domain_surprisal``'s per-document gap and
+    ``doc_source_distinctive_terms``'s per-term lift. A source whose
+    KL spikes after an ingest is the text twin of
+    ``embedding_drift_monitor``'s centroid drift.
+
+    No smoothing needed: support(p_source) ⊆ support(p_corpus) by
+    construction, so every term's log ratio is finite. Exactness: the
+    per-(source, term) contribution c_st·(log2(c_st·N) − log2(n_s·c_t))
+    uses grid-snapped log2 of SHARED integer products (all < 2⁶³ here;
+    at larger scales the products become decimal before the cast) and
+    sums as fixed-point BIGINT; one division per source at read-out.
+
+    Scale shape: two keyed re-aggregations of the shared
+    session-materialized ``_lm_token_counts`` table (corpus exploded
+    once per snapshot) + a 1-row totals broadcast — nothing wider than
+    the (source, term) relation shuffles."""
+    x = _lm_token_counts(spark, sf_dir)
+    cs = x.groupBy("source", "tok").agg(F.sum("x").alias("cst"))
+    ct = cs.groupBy("tok").agg(F.sum("cst").alias("ct"))
+    ns = cs.groupBy("source").agg(
+        F.sum("cst").alias("ns"), F.count(F.lit(1)).alias("n_types")
+    )
+    tot = ct.agg(F.sum("ct").alias("nn"))
+    j = (
+        cs.join(ct, "tok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    delta = _l2(F.col("cst") * F.col("nn")) - _l2(F.col("ns") * F.col("ct"))
+    contrib = F.floor(
+        F.col("cst").cast("double") * delta * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.min("ns").alias("n_tokens"),
+            F.min("n_types").alias("n_types"),
+            F.sum(contrib).alias("_s"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.col("n_types").cast("bigint").alias("n_types"),
+            (
+                F.col("_s").cast("double")
+                / F.lit(1e9)
+                / F.col("n_tokens").cast("double")
+            ).alias("kl_bits_per_token"),
+        )
+    )
+
+
 def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality classifier over hashed token features, shuffle-free.
 
@@ -258,6 +314,7 @@ def doc_domain_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "corpus_token_kl_drift": corpus_token_kl_drift,
     "doc_dsir_importance": doc_dsir_importance,
     "doc_quality_classifier": doc_quality_classifier,
     "doc_domain_surprisal": doc_domain_surprisal,
@@ -391,4 +448,37 @@ ORACLES["doc_domain_surprisal"] = f"""
              AS domain_surprisal_gap
     FROM documents d
     LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+# Mirror of corpus_token_kl_drift: same (source, term) counts off the
+# token stream, grid log2 of shared integer products, fixed-point sum.
+ORACLES["corpus_token_kl_drift"] = f"""
+    WITH tok AS MATERIALIZED (
+      SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    cs AS MATERIALIZED (
+      SELECT source, tok, CAST(count(1) AS BIGINT) AS cst
+      FROM tok GROUP BY 1, 2
+    ),
+    ct AS (SELECT tok, CAST(sum(cst) AS BIGINT) AS ct FROM cs GROUP BY 1),
+    ns AS (
+      SELECT source, CAST(sum(cst) AS BIGINT) AS ns,
+             count(1) AS n_types
+      FROM cs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM ct)
+    SELECT cs.source,
+           MIN(ns.ns) AS n_tokens,
+           CAST(MIN(ns.n_types) AS BIGINT) AS n_types,
+           CAST(sum(CAST(floor(CAST(cs.cst AS DOUBLE)
+             * (round(log2(CAST(cs.cst * tot.nn AS DOUBLE)), 9)
+                - round(log2(CAST(ns.ns * ct.ct AS DOUBLE)), 9))
+             * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0
+             / CAST(MIN(ns.ns) AS DOUBLE) AS kl_bits_per_token
+    FROM cs
+    JOIN ct ON ct.tok = cs.tok
+    JOIN ns ON ns.source = cs.source
+    CROSS JOIN tot
+    GROUP BY 1
 """

@@ -315,3 +315,19 @@ def test_phash_dedup_groups(spark, sf_dir):
     assert any(r["n_assets"] > 1 for r in rows), "perceptual groups collapse"
     for r in rows:
         assert 0 <= r["phash"] < 2**63
+
+
+def test_kl_drift_nonnegative(spark, sf_dir):
+    """Gibbs' inequality: KL(p_source || p_corpus) >= 0, with equality
+    only if the source's distribution equals the corpus's — on this
+    mixed corpus every source must be strictly positive (up to the
+    1e-9 fixed-point grid)."""
+    from content_analytics_etl_spark.plans.selection_queries import (
+        corpus_token_kl_drift,
+    )
+
+    rows = corpus_token_kl_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_bits_per_token"] > -1e-9
+    assert max(r["kl_bits_per_token"] for r in rows) > 0
