@@ -492,7 +492,71 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAL_DECILES = 9  # interior decile thresholds (0.1 .. 0.9)
+
+
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the model-based quality filter — the table
+    you read before picking the classifier's keep threshold: documents
+    bucketed into score DECILES (percentile thresholds, never a global
+    ntile sort), and per decile the Gopher-gate pass rate. A monotone
+    curve says the cheap hashed classifier ranks quality the way the
+    heuristics do; a flat one says its score is noise at that range.
+    Completes the calibration family: corpus_quality_report is the
+    3-signal agreement cross-tab, this is the threshold-response curve
+    for one signal.
+
+    Scale shape: the per-doc score/gate pipelines join on doc_id; the
+    9 interior decile thresholds ride in as a 1-row exact-percentile
+    broadcast (the customer_rfm_segments binning pattern — the verified
+    percentile ↔ quantile_cont pairing, array form) and the decile
+    index is a per-row fold over that 9-element array; one 10-row
+    aggregation. Mean score per decile is a fixed-point BIGINT sum
+    (scores are exact rationals; the 1e-9 grid keeps the mean
+    order-free)."""
+    from .selection_queries import doc_quality_classifier
+
+    sc = doc_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    g = doc_quality_gates(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gates_keep")
+    )
+    thr = sc.agg(
+        F.percentile(
+            "score",
+            F.array(*[F.lit((i + 1) / 10.0) for i in range(CAL_DECILES)]),
+        ).alias("q")
+    )
+    j = sc.join(g, "doc_id").crossJoin(F.broadcast(thr))
+    decile = F.lit(1) + F.aggregate(
+        "q",
+        F.lit(0),
+        lambda acc, x: acc + F.when(F.col("score") > x, 1).otherwise(0),
+    )
+    s9 = F.floor(F.col("score") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    return (
+        j.select(
+            decile.alias("decile"),
+            F.col("gates_keep").cast("int").alias("gk"),
+            s9.alias("s9"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("gk").cast("bigint").alias("n_pass_gates"),
+            (
+                F.sum("gk").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("gates_pass_rate"),
+            (
+                F.sum("s9").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_quality_calibration": corpus_quality_calibration,
     "corpus_temperature_mix": corpus_temperature_mix,
     "corpus_priority_sample": corpus_priority_sample,
     "corpus_epoch_shuffle": corpus_epoch_shuffle,
@@ -714,4 +778,32 @@ ORACLES["corpus_priority_sample"] = f"""
       SELECT *, row_number() OVER (ORDER BY priority_key DESC, doc_id) AS rank
       FROM k
     ) WHERE rank <= {PRIORITY_SAMPLE_K}
+"""
+
+# Mirror of corpus_quality_calibration: same per-doc score/gate oracles,
+# quantile_cont array thresholds, list_filter decile fold, fixed-point
+# mean.
+ORACLES["corpus_quality_calibration"] = f"""
+    WITH sc AS MATERIALIZED ({S_ORACLES["doc_quality_classifier"]}),
+    g AS MATERIALIZED ({T_ORACLES["doc_quality_gates"]}),
+    thr AS (
+      SELECT quantile_cont(score,
+               [{", ".join(str((i + 1) / 10.0) for i in range(CAL_DECILES))}])
+             AS q
+      FROM sc
+    ),
+    j AS (
+      SELECT CAST(1 + len(list_filter(thr.q, x -> sc.score > x)) AS INT)
+               AS decile,
+             CASE WHEN g.keep THEN 1 ELSE 0 END AS gk,
+             CAST(floor(sc.score * 1000000000.0 + 0.5) AS BIGINT) AS s9
+      FROM sc JOIN g ON g.doc_id = sc.doc_id CROSS JOIN thr
+    )
+    SELECT decile, count(1) AS n_docs,
+           CAST(sum(gk) AS BIGINT) AS n_pass_gates,
+           CAST(sum(gk) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+             AS gates_pass_rate,
+           CAST(CAST(sum(s9) AS BIGINT) AS DOUBLE) / 1000000000.0
+             / CAST(count(1) AS DOUBLE) AS mean_score
+    FROM j GROUP BY 1
 """

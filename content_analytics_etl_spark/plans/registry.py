@@ -87,6 +87,7 @@ _MODULES = [
 # failed a driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     "corpus_priority_sample",
+    "corpus_quality_calibration",
     "corpus_temperature_mix",
     "corpus_token_kl_drift",
     "doc_padding_waste",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_rolling_hash",
     "doc_sample_stratified",
     "doc_token_novelty",
-    "doc_winnow",
 ]
 
 

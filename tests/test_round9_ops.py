@@ -331,3 +331,25 @@ def test_kl_drift_nonnegative(spark, sf_dir):
     for r in rows:
         assert r["kl_bits_per_token"] > -1e-9
     assert max(r["kl_bits_per_token"] for r in rows) > 0
+
+
+def test_quality_calibration_curve(spark, sf_dir):
+    """Deciles partition the corpus (sum of n_docs = corpus size, all 10
+    present on this data), mean_score is monotone non-decreasing in the
+    decile index (by construction of the thresholds), and pass rates
+    are valid probabilities."""
+    from content_analytics_etl_spark.plans.curation_queries import (
+        corpus_quality_calibration,
+    )
+
+    rows = sorted(
+        corpus_quality_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    means = [r["mean_score"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(means, means[1:]))
+    for r in rows:
+        assert 0.0 <= r["gates_pass_rate"] <= 1.0
