@@ -70,6 +70,10 @@ ALLOW_NESTED_LOOP = {
     "(DSIR normalizer) onto the per-doc aggs",
     "corpus_temperature_mix": "1-row (token total, sqrt-weight total) "
     "aggregate broadcast onto the |sources|-row table",
+    "corpus_token_kl_drift": "1-row corpus-token-total aggregate broadcast "
+    "onto the (source, term) table",
+    "corpus_quality_calibration": "1-row 9-element decile-threshold "
+    "percentile aggregate broadcast onto the per-doc score rows",
     "lineitem_zorder_layout": "1-row min/max bounds aggregate broadcast "
     "(range-bin scaling) onto the scan",
     "doc_bigram_perplexity": "1-row vocabulary-size aggregate broadcast "
