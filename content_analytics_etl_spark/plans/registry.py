@@ -76,66 +76,69 @@ _MODULES = [
 # ``tests/test_driver_window.py`` asserts DRIVER_WINDOW == the canonical
 # computation, so a skipped rotation is a red test, not a judge finding.
 #
-# Round-9 rotation: lifetime coverage is 215/215 (every registered
-# query has at least one green driver verdict), so the window is pure
-# oldest-verdict fill: the 16 remaining round-3-verdict names plus the
-# 34 alphabetically-first round-4-verdict names.  This matters extra
-# this round because the 2026-08-15 testdata regeneration (PERF 47)
-# post-dates most of these verdicts — re-hashing the oldest names
-# re-earns them on the new data.  Audit trail: CORRECTNESS_r08 was
-# 50/50 green (all 36 round-8 additions included); no query has ever
-# failed a driver verdict and stayed failed.
+# Round-9 rotation (history, reworded per ADVICE r9): the window led
+# with the 12 never-verified round-9 additions, then filled with the 16
+# remaining round-3-verdict names plus the 22 alphabetically-first
+# round-4-verdict names (12 + 16 + 22 = 50).  CORRECTNESS_r09 came back
+# 50/50 green, lifting lifetime coverage to 227/227.
+#
+# Round-10 rotation: lifetime coverage is 227/227, so this window is a
+# pure oldest-verdict fill — the remaining round-4-verdict names (the
+# round-4 era is the oldest cohort left after r09 consumed its first 22).
+# Canonical computation: ``python tools/rotate_window.py`` (checked by
+# tests/test_driver_window.py).  Audit trail: no query has ever failed a
+# driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    "corpus_priority_sample",
-    "corpus_quality_calibration",
-    "corpus_temperature_mix",
-    "corpus_token_kl_drift",
-    "doc_padding_waste",
-    "embedding_pca_top2",
-    "events_stl_decompose",
-    "events_stl_residual_anomaly",
-    "multimodal_phash_dedup",
-    "part_affinity_triples",
-    "sim_ann_multiprobe_topk",
-    "vocab_zipf_fit",
-    "events_zorder_layout",
-    "graph_pagerank",
-    "graph_triangles",
-    "join_bucketed",
-    "join_salted",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_metadata",
-    "multimodal_video_decode",
-    "orders_merge_upsert",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_pq_adc",
-    "sim_neardup_pairs",
-    "warehouse_compact_roundtrip",
-    "agg_stats",
-    "bigram_frequency",
-    "bpe_first_merges",
-    "corpus_curation_funnel",
-    "corpus_curation_manifest",
-    "corpus_mix_rebalance",
-    "customer_rfm_segments",
-    "dedup_edit_distance",
-    "dedup_exact_flags",
-    "dedup_keep_best",
-    "dedup_minhash_estimate_audit",
-    "dedup_ngram_jaccard",
-    "doc_char_entropy",
-    "doc_chunk",
-    "doc_fingerprint",
-    "doc_lm_perplexity",
-    "doc_ngram_scrub",
-    "doc_quality_gates",
-    "doc_repetition",
-    "doc_rolling_hash",
-    "doc_sample_stratified",
-    "doc_token_novelty",
+    "doc_winnow",
+    "doc_winnow_overlap",
+    "events_approx_percentile_bound",
+    "events_daily_from_hourly",
+    "events_distinct_sketch_rollup",
+    "events_mad_outliers",
+    "events_trailing_window",
+    "events_type_hourly_pivot",
+    "events_value_distribution",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_zscore_outliers",
+    "join_bloom_prefilter",
+    "lang_id_confusion",
+    "lineitem_unpivot",
+    "multimodal_audio_windows",
+    "multimodal_frame_decode",
+    "multimodal_image_resize",
+    "multimodal_png_decode",
+    "part_affinity",
+    "sim_ann_recall_audit",
+    "sim_neardup_exact",
+    "sim_semantic_decontaminate",
+    "sim_semdedup",
+    "token_cms_heavy_hitters",
+    "token_frequency",
+    "window_extras",
+    "category_recode",
+    "corpus_training_manifest",
+    "dedup_containment",
+    "doc_dup_aware_sampling",
+    "doc_perplexity_buckets",
+    "doc_rake_keywords",
+    "embedding_power_iteration",
+    "events_active_streaks",
+    "events_attribution",
+    "events_cusum_drift",
+    "events_daily_mv_refresh",
+    "events_ema_smoothing",
+    "events_markov_transitions",
+    "events_multitouch_attribution",
+    "events_peak_detection",
+    "events_seasonal_naive_eval",
+    "events_top_paths",
+    "flagship_profile",
+    "graph_common_neighbors",
+    "graph_common_neighbors_pruned",
+    "multimodal_gif_decode",
+    "orders_open_backlog",
+    "part_revenue_abc",
 ]
 
 
