@@ -868,7 +868,14 @@ def events_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile aggregations to a #types-row relation broadcast back,
     per-row IEEE scoring. Residual doubles are bit-identical
     cross-engine by events_stl_decompose's integer-core construction,
-    so the medians select identical values."""
+    so the medians select identical values.
+
+    Degenerate-MAD guard (ADVICE r9): when half or more residuals equal
+    the median, MAD = 0 and the z denominator vanishes — Spark would
+    emit Infinity (passing the filter) while DuckDB's 0-division
+    behavior is setting-dependent; the z score is NULL-guarded with
+    ``mad > 0`` (matching CASE in the oracle) so such types simply
+    report no anomalies, the same contract as the band-tuning ratios."""
     d = events_stl_decompose(spark, sf_dir).filter(
         F.col("residual").isNotNull()
     )
@@ -884,7 +891,9 @@ def events_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("residual") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
-    z = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    z = F.when(
+        F.col("mad") > 0, F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .filter(z > STL_ANOM_Z)
@@ -2099,9 +2108,11 @@ ORACLES["events_stl_residual_anomaly"] = f"""
       FROM dev GROUP BY 1
     )
     SELECT dev.event_type, dev.day, dev.value, dev.residual,
-           dev.adev / (1.4826 * mad.mad) AS robust_z
+           CASE WHEN mad.mad > 0
+                THEN dev.adev / (1.4826 * mad.mad) END AS robust_z
     FROM dev JOIN mad ON mad.event_type = dev.event_type
-    WHERE dev.adev / (1.4826 * mad.mad) > {STL_ANOM_Z}
+    WHERE CASE WHEN mad.mad > 0
+               THEN dev.adev / (1.4826 * mad.mad) END > {STL_ANOM_Z}
 """
 
 

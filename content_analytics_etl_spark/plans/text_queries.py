@@ -2005,11 +2005,19 @@ def doc_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (m − m % B with m = len + B − 1 — identical
     semantics in both engines for non-negative ints, no float ceil),
     sums are BIGINT, and the one division is per-row IEEE over exact
-    integers. One map-side-combined aggregation to ≤ MAX/B rows."""
+    integers. One map-side-combined aggregation to ≤ MAX/B rows.
+
+    Zero-token docs (ADVICE r9): ``eff = least(n, MAX)`` is the true
+    kept-token count, so ``trunc = n − eff`` can never go negative and
+    no phantom real token is counted; only the bucket assignment clamps
+    to ≥ 1 so degenerate docs land in the first bucket rather than a
+    bucket 0. (Under the house whitespace tokenizer an empty string
+    splits to [''] — n ≥ 1 in both engines — but the formula no longer
+    depends on that quirk.)"""
     d = t(spark, sf_dir, "documents")
     n = F.size(tokens("text")).cast("bigint")
-    eff = F.greatest(F.least(n, F.lit(PAD_MAX_LEN)), F.lit(1))
-    m = eff + F.lit(PAD_BUCKET - 1)
+    eff = F.least(n, F.lit(PAD_MAX_LEN))
+    m = F.greatest(eff, F.lit(1)) + F.lit(PAD_BUCKET - 1)
     bucket = (m - m % F.lit(PAD_BUCKET)).alias("bucket_len")
     per = (
         d.select(
@@ -3170,7 +3178,7 @@ ORACLES["doc_padding_waste"] = f"""
       FROM (
         SELECT (m - m % {PAD_BUCKET}) AS bucket_len, eff, n - eff AS tr
         FROM (
-          SELECT n, GREATEST(LEAST(n, {PAD_MAX_LEN}), 1) AS eff,
+          SELECT n, LEAST(n, {PAD_MAX_LEN}) AS eff,
                  GREATEST(LEAST(n, {PAD_MAX_LEN}), 1) + {PAD_BUCKET - 1} AS m
           FROM (SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n FROM documents)
         )

@@ -1,0 +1,103 @@
+"""Round-10 edge-semantics fixtures (ADVICE r9).
+
+- ``doc_padding_waste`` on a zero-token document must report 0 real
+  tokens and 0 truncated tokens (never the old -1 trunc / phantom real
+  token), with the empty doc landing in the first length bucket.
+- ``events_stl_residual_anomaly`` on a degenerate series whose residual
+  MAD is 0 must NULL-guard the robust z (emit no anomaly rows) instead
+  of dividing by zero to Infinity — the cross-engine divergence ADVICE
+  r9 flagged.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from content_analytics_etl_spark.plans.analytics_queries import (
+    events_stl_residual_anomaly,
+)
+from content_analytics_etl_spark.plans.text_queries import (
+    PAD_BUCKET,
+    PAD_MAX_LEN,
+    doc_padding_waste,
+)
+
+
+@pytest.fixture(scope="module")
+def emptydoc_dir(spark, tmp_path_factory) -> str:
+    """documents table with an empty doc, a whitespace-only doc, a
+    normal doc and an over-cap doc (> PAD_MAX_LEN tokens)."""
+    out = tmp_path_factory.mktemp("emptydoc_sf")
+    long_text = " ".join(["tok"] * (PAD_MAX_LEN + 25))
+    rows = [
+        (0, "", "en", "web", 0),
+        (1, "   ", "en", "web", 3),
+        (2, "three plain words", "en", "web", 17),
+        (3, long_text, "en", "web", len(long_text)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_padding_waste_zero_token_doc(spark, emptydoc_dir):
+    rows = {r["bucket_len"]: r for r in doc_padding_waste(spark, emptydoc_dir).collect()}
+    # no negative truncation anywhere, ratios in [0, 1]
+    for r in rows.values():
+        assert r["truncated_tokens"] >= 0
+        assert r["real_tokens"] >= 0
+        assert 0.0 <= r["pad_waste_ratio"] <= 1.0
+    # the empty/whitespace docs tokenize to [''] (split semantics, n=1,
+    # identical in DuckDB) and land in the first bucket with the 3-word
+    # doc; nothing truncates there
+    first = rows[PAD_BUCKET]
+    assert first["n_docs"] == 3
+    assert first["real_tokens"] == 5  # 1 + 1 + 3
+    assert first["truncated_tokens"] == 0
+    # the over-cap doc is clamped to PAD_MAX_LEN and truncates the rest
+    capped = rows[max(rows)]
+    assert capped["real_tokens"] == PAD_MAX_LEN
+    assert capped["truncated_tokens"] == 25
+
+
+@pytest.fixture(scope="module")
+def flatseries_dir(spark, tmp_path_factory) -> str:
+    """events table where one type's daily series is flat except a
+    single spike near the series END: the spike's own residual is NULL
+    (incomplete trend window) but it contaminates a minority of defined
+    residuals through the trend/seasonal terms, so the residual MAD is
+    exactly 0 while several absolute deviations are > 0 — the precise
+    old-code 0-division-to-Infinity trigger ADVICE r9 described."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("flatseries_sf")
+    (out / "events.parquet").mkdir()
+    days = np.arange(1, 29)
+    base = np.datetime64("2024-01-01 12:00:00", "us")
+    pq.write_table(
+        pa.table({
+            "event_id": days.astype("int64") - 1,
+            "ts": pa.array(base + ((days - 1) * 86_400_000_000).astype("timedelta64[us]")),
+            "user_id": np.ones(len(days), dtype="int64"),
+            "event_type": ["flat"] * len(days),
+            "value": np.where(days == 27, 1000.0, 5.0),
+            "props": ["{}"] * len(days),
+        }),
+        str(out / "events.parquet" / "part-0.parquet"),
+    )
+    return str(out)
+
+
+def test_stl_anomaly_mad_zero_guard(spark, flatseries_dir):
+    got = events_stl_residual_anomaly(spark, flatseries_dir).collect()
+    # MAD over the flat-dominated residuals is 0 -> z is NULL-guarded:
+    # no Infinity rows may pass the > cutoff filter
+    for r in got:
+        assert r["robust_z"] is not None
+        assert math.isfinite(r["robust_z"])
+    assert got == [], "MAD=0 series must report no anomalies, not Inf rows"
