@@ -101,3 +101,21 @@ def test_stl_anomaly_mad_zero_guard(spark, flatseries_dir):
         assert r["robust_z"] is not None
         assert math.isfinite(r["robust_z"])
     assert got == [], "MAD=0 series must report no anomalies, not Inf rows"
+
+
+def test_recall_audit_has_multiprobe_row_dominating_lsh(spark, sf_dir):
+    """VERDICT r9 #5: the published recall table carries the multi-probe
+    path, and its recall@k dominates single-probe LSH per query (same
+    index, superset candidates)."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_ann_recall_audit,
+    )
+
+    rows = sim_ann_recall_audit(spark, sf_dir).collect()
+    methods = {r["method"] for r in rows}
+    assert methods == {"lsh", "lsh_mp", "ivf", "pq", "ivfpq"}
+    lsh = {r["query_id"]: r["recall"] for r in rows if r["method"] == "lsh"}
+    mp = {r["query_id"]: r["recall"] for r in rows if r["method"] == "lsh_mp"}
+    assert set(mp) == set(lsh)
+    for q in lsh:
+        assert mp[q] >= lsh[q], f"multiprobe recall regressed for query {q}"
