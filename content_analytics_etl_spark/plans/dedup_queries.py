@@ -40,14 +40,17 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 _DH64 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
+# tk is bound ONCE in the inner select: inlining the split into the
+# lambda re-evaluates the full-text regex+split PER ELEMENT (measured
+# 28 s vs 0.08 s per pass on the 50k-vocab sf0.1 corpus).
 _SHINGLES_CTE = f"""
   SELECT doc_id, lang,
          list_distinct(
-           CASE WHEN len({_TOKS}) < 3 THEN []
-                ELSE list_transform(range(1, len({_TOKS}) - 1),
-                       i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])
+           CASE WHEN len(tk) < 3 THEN []
+                ELSE list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
            END) AS shingles
-  FROM documents
+  FROM (SELECT doc_id, lang, {_TOKS} AS tk FROM documents)
 """
 
 

@@ -322,9 +322,11 @@ QUERIES = {
 
 _H64_SQL = DUCKDB_HASH64  # format with {expr}
 
+# tk must be bound once (see dedup_queries._SHINGLES_CTE): inlining the
+# split into the lambda re-evaluates the full-text regex PER ELEMENT.
 _BG_SQL = (
-    f"unnest(list_transform(range(1, len({_TOKS_SQL})),"
-    f" i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))"
+    "unnest(list_transform(range(1, len(tk)),"
+    " i -> tk[i] || ' ' || tk[i+1]))"
 )
 
 _BUCKET_SQL = _H64_SQL.format(expr="'dsir|' || bg") + f" % {N_BUCKETS}"
@@ -342,7 +344,8 @@ ORACLES = {
     "doc_dsir_importance": f"""
         WITH db AS (
           SELECT doc_id, lang, {_BUCKET_SQL} AS b
-          FROM (SELECT doc_id, lang, {_BG_SQL} AS bg FROM documents)
+          FROM (SELECT doc_id, lang, {_BG_SQL} AS bg
+                FROM (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents))
         ),
         x AS (SELECT doc_id, b, count(1) AS x FROM db GROUP BY 1, 2),
         stats AS (

@@ -74,6 +74,23 @@ PQ_KS = 8  # sub-centroids per subspace (1-byte codes have room for 256)
 # the ANN buckets.
 ND_BANDS = 4
 ND_BAND_BITS = 8
+# Scaled band width (VERDICT r9 #2): with a FIXED band width w, random
+# band collisions grow as N²/2^w — measured exp 1.12 sf1→sf3 on
+# sim_neardup_pairs. The fix SCALE.md names: bits ∝ log₂ N, so
+# 2^w ∝ N keeps expected candidates LINEAR in corpus size. The
+# signature is computed once at ND_BANDS × ND_MAX_BITS planes; each
+# band's effective key is its low-w-bit prefix with
+# w = clamp(ND_BAND_BITS + round(log₂(N / ND_WIDTH_ANCHOR)),
+#           ND_BAND_BITS, ND_MAX_BITS),
+# a deterministic integer function of the corpus count that BOTH
+# engines compute from the data (oracle determinism preserved — no
+# pinned constant). The anchor is ≈ the sf0.1 corpus (2000 vectors), so
+# driver scales (sf0.001-0.1) keep w = 8 — same width/recall operating
+# point as the old fixed-width query (the pair set differs only by the
+# hash-family draw: bands now sample planes 15i..15i+7). ND_MAX_BITS =
+# 15 keeps the 60-plane signature inside a signed BIGINT.
+ND_MAX_BITS = 15
+ND_WIDTH_ANCHOR = 2048
 PLANES = hyperplane_matrix(N_PLANES, DIM)
 
 
@@ -112,17 +129,76 @@ def _band_rows(bucketed: DataFrame) -> DataFrame:
     ).select("vec_id", "band.band_idx", "band.band_key")
 
 
+def _nd_width_rel(e: DataFrame) -> DataFrame:
+    """1-row (w int) relation: the corpus-size-scaled effective band
+    width (see the ND_MAX_BITS comment). Control-plane: a single
+    aggregate broadcast onto the band explode — never a driver value."""
+    return e.agg(F.count(F.lit(1)).alias("n")).select(
+        F.least(
+            F.lit(ND_MAX_BITS),
+            F.greatest(
+                F.lit(ND_BAND_BITS),
+                (
+                    F.lit(ND_BAND_BITS)
+                    + F.round(
+                        F.log2(
+                            F.col("n").cast("double")
+                            / F.lit(float(ND_WIDTH_ANCHOR))
+                        )
+                    )
+                ).cast("int"),
+            ),
+        ).alias("w")
+    )
+
+
+def _scaled_band_rows(bucketed: DataFrame, wrel: DataFrame) -> DataFrame:
+    """Explode a 60-bit signature into 4 (band_idx, band_key) rows where
+    each band key is the low-w-bit prefix of its 15-bit band — w from
+    the broadcast 1-row width relation."""
+    return (
+        bucketed.crossJoin(F.broadcast(wrel))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.expr(
+                                f"shiftright(bucket, {ND_MAX_BITS * i})"
+                                " & (shiftleft(CAST(1 AS BIGINT), w) - 1)"
+                            ).alias("band_key"),
+                        )
+                        for i in range(ND_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("vec_id", "band.band_idx", "band.band_key")
+    )
+
+
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at cosine ≥ 0.45 via banded hyperplane LSH:
-    32 md5-seeded planes → 4 bands × 8 bits, candidates = pairs
+    60 md5-seeded planes → 4 bands × 15 bits, of which each band's
+    effective key is its low-w-bit prefix with w = clamp(8 +
+    round(log₂(N/2048)), 8, 15) — the corpus-size-scaled band width
+    (VERDICT r9 #2): 2^w ∝ N keeps expected random band collisions
+    LINEAR in corpus size instead of the measured-quadratic fixed-width
+    behavior (sf1→sf3 exp 1.12 on the 8-bit keys). Candidates = pairs
     colliding on ≥ 1 band (equi-join on (band_idx, band_key) with
-    shuffle reuse), then exact cosine verification. Linear shuffle —
-    the same physical shape as ``dedup_minhash_lsh``; recall vs the
-    exhaustive scan is the declared LSH trade (``sim_neardup_exact``
-    is the capped exhaustive diagnostic).
+    shuffle reuse), then exact cosine verification. Width is a 1-row
+    aggregate of the SAME corpus, broadcast onto the band explode, and
+    the identical integer function of count(*) is computed in the
+    oracle — deterministic cross-engine with no pinned constant; at
+    driver scales (N ≤ 2000) w = 8, the historical behavior. The
+    recall cost of wider bands at fixed band count is the declared LSH
+    trade, REPORTED per scale in SCALE.md (``sim_neardup_exact`` is
+    the capped exhaustive diagnostic).
 
-    The 32-plane signature uses ``hyperplane_bucket_agg`` (explode →
-    decimal-exact conditional sums), not 32 per-row folds: aggregates
+    The 60-plane signature uses ``hyperplane_bucket_agg`` (explode →
+    decimal-exact conditional sums), not per-row folds: aggregates
     are codegen'd and form a projection barrier, so the signature is
     computed exactly once however many times ``bucket`` is referenced
     downstream."""
@@ -131,10 +207,11 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    bands = _band_rows(
+    bands = _scaled_band_rows(
         hyperplane_bucket_agg(
-            t(spark, sf_dir, "embeddings"), ND_BANDS * ND_BAND_BITS, DIM
-        )
+            t(spark, sf_dir, "embeddings"), ND_BANDS * ND_MAX_BITS, DIM
+        ),
+        _nd_width_rel(t(spark, sf_dir, "embeddings")),
     )
 
     # merge hint ⇒ shuffle reuse across the self-join (see dedup_queries)
@@ -1527,7 +1604,12 @@ _ND_MASK = (1 << ND_BAND_BITS) - 1
 # decimal(28,12)-exact sums (order-independent in both engines), and the
 # bucket is the same conditional power-of-two sum.
 _ND_N = ND_BANDS * ND_BAND_BITS
-_ND_BUCKET_CTES = f"""
+
+
+def _nd_bucket_ctes(n_planes: int) -> str:
+    """The plane/explode/dot/bucket CTE chain for an ``n_planes``-bit
+    signature (expects a preceding ``e`` CTE)."""
+    return f"""
         pl AS MATERIALIZED (
           SELECT CAST(i // {DIM} AS INTEGER) AS plane_idx,
                  CAST(i % {DIM} AS INTEGER) AS pos,
@@ -1536,7 +1618,7 @@ _ND_BUCKET_CTES = f"""
                         || '|' || CAST(i % {DIM} AS VARCHAR)), 1, 15))
                       AS BIGINT) & 1) = 1
                       THEN 1.0 ELSE -1.0 END AS pval
-          FROM range(0, {_ND_N * DIM}) t(i)
+          FROM range(0, {n_planes * DIM}) t(i)
         ),
         ex AS MATERIALIZED (
           SELECT vec_id, CAST(pos AS INTEGER) AS pos, v[pos + 1] AS x
@@ -1555,9 +1637,29 @@ _ND_BUCKET_CTES = f"""
                                ELSE 0 END) AS BIGINT) AS bucket
           FROM dots GROUP BY vec_id
         )"""
+
+
+_ND_BUCKET_CTES = _nd_bucket_ctes(_ND_N)
 _ND_BAND_SELECTS = "\n          UNION ALL ".join(
     f"SELECT vec_id, {i} AS band_idx, (bucket >> {ND_BAND_BITS * i}) & {_ND_MASK}"
     f" AS band_key FROM bkt"
+    for i in range(ND_BANDS)
+)
+# Mirror of _nd_width_rel + _scaled_band_rows: the same clamp(8 +
+# round(log2(N/2048)), 8, 15) width off count(*), low-w-bit prefix of
+# each 15-bit band. round() ties can't occur (log2 of an integer ratio
+# never lands on .5 exactly for non-power inputs), so HALF_UP vs
+# half-away agree.
+_ND_WIDTH_CTE = f"""
+        wrel AS MATERIALIZED (
+          SELECT LEAST({ND_MAX_BITS}, GREATEST({ND_BAND_BITS},
+                 {ND_BAND_BITS} + CAST(round(log2(
+                     count(*) / {ND_WIDTH_ANCHOR}.0)) AS INTEGER))) AS w
+          FROM e
+        )"""
+_ND_SCALED_BAND_SELECTS = "\n          UNION ALL ".join(
+    f"SELECT vec_id, {i} AS band_idx, (bucket >> {ND_MAX_BITS * i})"
+    f" & ((CAST(1 AS BIGINT) << w) - 1) AS band_key FROM bkt, wrel"
     for i in range(ND_BANDS)
 )
 
@@ -1756,9 +1858,10 @@ ORACLES = {
     """,
     "sim_neardup_pairs": f"""
         WITH e AS MATERIALIZED ({_E_CTE}),
-        {_ND_BUCKET_CTES},
+        {_nd_bucket_ctes(ND_BANDS * ND_MAX_BITS)},
+        {_ND_WIDTH_CTE},
         bands AS MATERIALIZED (
-          {_ND_BAND_SELECTS}
+          {_ND_SCALED_BAND_SELECTS}
         ),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -2158,10 +2158,13 @@ _RAW_SQL = (
     " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
     " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 )
+# tk must be bound once in an enclosing select (see
+# dedup_queries._SHINGLES_CTE): inlining the split into the lambda
+# re-evaluates the full-text regex PER ELEMENT.
 _TRIGRAMS_SQL = (
-    f"CASE WHEN len({_TOKS_SQL}) < 3 THEN [] "
-    f"ELSE list_transform(range(1, len({_TOKS_SQL}) - 1), "
-    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]) END"
+    "CASE WHEN len(tk) < 3 THEN [] "
+    "ELSE list_transform(range(1, len(tk) - 1), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END"
 )
 
 _CMS_CELL = (
@@ -2446,7 +2449,8 @@ ORACLES = {
         FROM stats
     """,
     "doc_repetition": f"""
-        WITH sh AS (SELECT doc_id, {_TRIGRAMS_SQL} AS shingles FROM documents)
+        WITH sh AS (SELECT doc_id, {_TRIGRAMS_SQL} AS shingles
+                    FROM (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents))
         SELECT doc_id,
                CAST(len(shingles) AS BIGINT) AS n_shingles,
                CAST(len(list_distinct(shingles)) AS BIGINT)
@@ -2718,9 +2722,9 @@ ORACLES = {
     "bigram_frequency": f"""
         SELECT bigram, count(1) AS n
         FROM (
-          SELECT unnest(list_transform(range(1, len({_TOKS_SQL})),
-                        i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])) AS bigram
-          FROM documents
+          SELECT unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS bigram
+          FROM (SELECT {_TOKS_SQL} AS tk FROM documents)
         )
         GROUP BY 1
     """,
@@ -2850,19 +2854,23 @@ ORACLES["doc_source_distinctive_terms"] = f"""
 # Mirror of doc_bigram_perplexity: same bigram explode, same model
 # relations, same fixed-point BIGINT log2 reduction, ppl snapped to 6 dp.
 ORACLES["doc_bigram_perplexity"] = f"""
-    WITH pr AS (
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    pr AS MATERIALIZED (
       SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
       FROM (SELECT doc_id,
-                   unnest(list_transform(range(1, len({_TOKS_SQL})),
-                          i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))
-                     AS bg
-            FROM documents)
+                   unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM toks)
     ),
-    x AS (SELECT doc_id, w1, bg, count(1) AS x FROM pr GROUP BY 1, 2, 3),
-    cb AS (SELECT w1, bg, CAST(sum(x) AS BIGINT) AS cb FROM x GROUP BY 1, 2),
+    x AS MATERIALIZED (
+      SELECT doc_id, w1, bg, count(1) AS x FROM pr GROUP BY 1, 2, 3),
+    cb AS MATERIALIZED (
+      SELECT w1, bg, CAST(sum(x) AS BIGINT) AS cb FROM x GROUP BY 1, 2),
     cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
     v AS (SELECT count(DISTINCT tok) AS v
-          FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)),
+          FROM (SELECT unnest(tk) AS tok FROM toks)),
     per AS (
       SELECT x.doc_id,
              CAST(sum(x.x) AS BIGINT) AS n_bigrams,
@@ -2946,17 +2954,19 @@ ORACLES["doc_sparse_cosine_topk"] = f"""
 # a/b + D*c/b*d/e identically), log2 on the 9 dp grid, fixed-point
 # BIGINT reduction.
 ORACLES["doc_kneser_ney_perplexity"] = f"""
-    WITH pr AS (
-      SELECT doc_id, string_split(bg, ' ')[1] AS w1,
-             string_split(bg, ' ')[2] AS w2
-      FROM (SELECT doc_id,
-                   unnest(list_transform(range(1, len({_TOKS_SQL})),
-                          i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1]))
-                     AS bg
-            FROM documents)
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
     ),
-    x AS (SELECT doc_id, w1, w2, count(1) AS x FROM pr GROUP BY 1, 2, 3),
-    cb AS (SELECT w1, w2, CAST(sum(x) AS BIGINT) AS cb FROM x GROUP BY 1, 2),
+    pr AS MATERIALIZED (
+      SELECT doc_id, w1, tk[i + 1] AS w2
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i,
+                   unnest(tk[1:len(tk) - 1]) AS w1
+            FROM toks)
+    ),
+    x AS MATERIALIZED (
+      SELECT doc_id, w1, w2, count(1) AS x FROM pr GROUP BY 1, 2, 3),
+    cb AS MATERIALIZED (
+      SELECT w1, w2, CAST(sum(x) AS BIGINT) AS cb FROM x GROUP BY 1, 2),
     cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp, count(1) AS n1p
            FROM cb GROUP BY 1),
     n1c AS (SELECT w2, count(1) AS n1c FROM cb GROUP BY 1),

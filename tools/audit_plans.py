@@ -44,6 +44,8 @@ ALLOW_NESTED_LOOP = {
     "doc_lm_perplexity": "1-row (n_total, vocab) model-size aggregate broadcast",
     "join_bloom_prefilter": "1-row 8-KiB bloom word-array broadcast onto the probe scan",
     "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
+    "sim_neardup_pairs": "1-row corpus-count aggregate broadcast (scaled "
+    "LSH band width w = clamp(8 + round(log2(N/2048)), 8, 15))",
     "sim_mmr_diversify": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",

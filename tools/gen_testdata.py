@@ -9,9 +9,14 @@ lines-per-order, vocab, embedding cluster geometry) at an arbitrary sf.
 
 It is NOT a byte-for-byte re-implementation of the driver's seed-42
 generator: correctness stays gated on the driver's own sf0.01 data; this
-output is used only for relative timing (sf0.1 vs sf1 on the SAME
-generator would be ideal, but exponents computed against the driver's
-sf0.1 are fine because distributions match).
+output is used only for relative timing.
+
+DELIBERATE divergence since round 10 (VERDICT r9 #1): documents.text
+uses a Zipf ~50k-token vocabulary (see ``_zipf_vocab``) instead of the
+driver's 31-word toy vocab, which made trigram space fixed and distorted
+every posting-list scaling exponent.  Exponents must therefore be
+computed between two scratch scales from THIS generator (sf0.1 vs sf1 vs
+sf3), never scratch-vs-driver.
 
 Usage: python tools/gen_testdata.py SF OUTDIR   (e.g. 1 /root/repo/.scratch/sf1)
 """
@@ -27,12 +32,49 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+# The 31 anchor words shared with the driver corpus (marker/stopword
+# vocabularies in the text queries reference these, so they stay the
+# TOP Zipf ranks — naturally frequent, like real stopwords).
 VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
     "filter", "group", "hash", "join", "key", "line", "merge", "order",
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window",
 ]
+# Realistic-vocabulary mode (VERDICT r9 #1): documents.text draws from a
+# Zipf-distributed ~50k-token vocabulary instead of the driver's 31-word
+# toy vocab.  The toy vocab made trigram space FIXED, so posting lists
+# grew linearly with rows and shared-pair counts quadratically — it both
+# manufactured round-9's two quadratics and flattered/distorted every
+# posting-list-shaped scaling exponent.  Zipf s ≈ 1.07 (natural-text
+# range); the 31 anchors occupy ranks 1-31 so marker-based queries stay
+# non-degenerate; tail words are deterministic CV-syllable pseudo-words.
+ZIPF_VOCAB_SIZE = 50_000
+ZIPF_S = 1.07
+
+
+def _zipf_vocab(rng: "np.random.Generator", size: int) -> "np.ndarray":
+    """size unique lowercase words: the 31 anchors first, then seeded
+    1-4-syllable consonant-vowel pseudo-words (collisions re-drawn)."""
+    cons = np.array(list("bcdfghjklmnprstvz"))
+    vow = np.array(list("aeiou"))
+    words = list(VOCAB)
+    seen = set(words)
+    while len(words) < size:
+        k = size - len(words)
+        nsyl = rng.integers(2, 5, k)  # 2-4 syllables, 4-8 chars
+        total = int(nsyl.sum())
+        syl = np.char.add(
+            cons[rng.integers(0, len(cons), total)],
+            vow[rng.integers(0, len(vow), total)],
+        )
+        offs = np.concatenate([[0], np.cumsum(nsyl)])
+        for i in range(k):
+            w = "".join(syl[offs[i]:offs[i + 1]])
+            if w not in seen:
+                seen.add(w)
+                words.append(w)
+    return np.array(words)
 PART_ADJ = ["large", "hot", "blue", "small", "red", "green", "cold", "dim"]
 PART_NOUN = ["ring", "bolt", "screw", "cap", "plate", "gear", "rod", "pin"]
 SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
@@ -137,9 +179,12 @@ def generate(sf: float, out: Path) -> None:
     })
 
     n_doc = int(50_000 * sf)
-    vocab = np.array(VOCAB)
+    vocab = _zipf_vocab(np.random.default_rng(20260815), ZIPF_VOCAB_SIZE)
+    ranks = np.arange(1, ZIPF_VOCAB_SIZE + 1, dtype=np.float64)
+    p = ranks ** -ZIPF_S
+    p /= p.sum()
     lens = rng.integers(10, 101, n_doc)
-    flat = vocab[rng.integers(0, len(vocab), int(lens.sum()))]
+    flat = vocab[rng.choice(ZIPF_VOCAB_SIZE, int(lens.sum()), p=p)]
     offs = np.concatenate([[0], np.cumsum(lens)])
     texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(n_doc)]
     # ~0.2% exact duplicates, mirroring the driver corpus's dup rate
@@ -148,6 +193,30 @@ def generate(sf: float, out: Path) -> None:
     dup_src = rng.choice(n_doc, n_dup)
     for d, s in zip(dup_dst, dup_src):
         texts[d] = texts[s]
+    # ~0.5% of docs belong to exact-duplicate CLUSTERS (size 4-6): real
+    # crawl corpora repeat boilerplate docs many times, and the LSH
+    # near-dup graph needs ≥3-cliques for the wedge-based
+    # link-prediction queries to stay non-vacuous (the
+    # check_correctness MIN_ROWS floor).
+    n_clusters = max(2, n_doc // 1000)
+    pool = rng.choice(n_doc, n_clusters * 7, replace=False)
+    pi = 0
+    for _ in range(n_clusters):
+        size = int(rng.integers(4, 7))
+        members = pool[pi:pi + size]
+        pi += size
+        for m in members[1:]:
+            texts[m] = texts[members[0]]
+    # ~0.2% NEAR-duplicates: a source doc with ~10% of tokens resampled
+    # — the Jaccard gray zone that minhash band tuning exists for.
+    n_near = max(2, n_doc // 500)
+    near_dst = rng.choice(n_doc, n_near, replace=False)
+    near_src = rng.choice(n_doc, n_near)
+    for d, s in zip(near_dst, near_src):
+        toks = texts[s].split(" ")
+        for j in rng.choice(len(toks), max(1, len(toks) // 10), replace=False):
+            toks[j] = vocab[rng.choice(ZIPF_VOCAB_SIZE, p=p)]
+        texts[d] = " ".join(toks)
     _write(out, "documents", {
         "doc_id": np.arange(n_doc),
         "text": texts,
