@@ -1,0 +1,89 @@
+"""Candidate-count / recall evidence for the scaled LSH band width.
+
+For one sf_dir, reports (VERDICT r9 #2's asked-for columns):
+- n_vectors and the effective band width w the 1-row relation derives;
+- n_candidates: distinct band-colliding pairs BEFORE cosine verify
+  (the quantity the width knob exists to keep linear in N);
+- n_pairs: verified near-dup pairs emitted;
+- recall vs exact on the vec_id < EXACT_CAP subpopulation: the banded
+  pairs under the cap over sim_neardup_exact's exhaustive pairs under
+  the same cap (both sides verify the same cosine threshold, so the
+  banded set is a subset and the ratio IS recall@threshold).
+
+Usage: python tools/neardup_scale_report.py SF_DIR [OUT.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from content_analytics_etl_spark.operators.similarity import (  # noqa: E402
+    hyperplane_bucket_agg,
+)
+from content_analytics_etl_spark.plans.similarity_queries import (  # noqa: E402
+    DIM,
+    EXACT_CAP,
+    ND_BANDS,
+    ND_MAX_BITS,
+    _nd_width_rel,
+    _scaled_band_rows,
+    sim_neardup_exact,
+    sim_neardup_pairs,
+)
+from content_analytics_etl_spark.plans._util import t  # noqa: E402
+from content_analytics_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    spark = get_spark("neardup-scale-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = t(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    w = _nd_width_rel(emb).collect()[0]["w"]
+    bands = _scaled_band_rows(
+        hyperplane_bucket_agg(emb, ND_BANDS * ND_MAX_BITS, DIM),
+        _nd_width_rel(emb),
+    )
+    a, b = bands.alias("a"), bands.alias("b").hint("merge")
+    n_cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .distinct()
+        .count()
+    )
+    pairs = sim_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    n_pairs = pairs.count()
+    capped = pairs.filter(
+        (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP)
+    ).count()
+    exact = sim_neardup_exact(spark, sf_dir).count()
+    out = {
+        "sf_dir": sf_dir,
+        "n_vectors": n_vec,
+        "band_width_bits": w,
+        "n_candidates": n_cand,
+        "n_pairs": n_pairs,
+        "n_exact_pairs_cap": exact,
+        "n_banded_pairs_cap": capped,
+        "recall_at_threshold_cap": (capped / exact) if exact else None,
+    }
+    print(json.dumps(out))
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
