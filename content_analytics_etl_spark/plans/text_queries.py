@@ -2105,9 +2105,223 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAPS_CHECKPOINTS = 10  # doc_id-percentile prefixes the Heaps fit samples
+OOV_BUDGET = 4096  # tokenizer-vocabulary budget for the OOV-rate audit
+NOVELTY_BUCKETS = 10  # corpus-order deciles for the bigram novelty curve
+
+
+def _g9(c: Column) -> Column:
+    """log2 snapped to the 9 dp grid, scaled to exact BIGINT nano-units
+    (the vocab_zipf_fit fixed-point regression grid)."""
+    return F.floor(
+        F.round(F.log2(c.cast("double")), 9) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+
+
+def _loglog_fit(pts: DataFrame, slope_name: str) -> DataFrame:
+    """Least-squares slope/intercept/R² of y9 against x9 (exact
+    DECIMAL(38,0) normal equations over the nano-int grid — the
+    vocab_zipf_fit policy, shared so Heaps and Zipf fits stay
+    numerically identical in both engines)."""
+    dec38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x9").alias("sx"),
+        F.sum("y9").alias("sy"),
+        F.sum(F.col("x9").cast(dec38) * F.col("y9").cast(dec38)).alias("sxy"),
+        F.sum(F.col("x9").cast(dec38) * F.col("x9").cast(dec38)).alias("sxx"),
+        F.sum(F.col("y9").cast(dec38) * F.col("y9").cast(dec38)).alias("syy"),
+    )
+    nD = F.col("n").cast(dec38)
+    num = (
+        nD * F.col("sxy") - F.col("sx").cast(dec38) * F.col("sy").cast(dec38)
+    ).cast("double")
+    den = (
+        nD * F.col("sxx") - F.col("sx").cast(dec38) * F.col("sx").cast(dec38)
+    ).cast("double")
+    den2 = (
+        nD * F.col("syy") - F.col("sy").cast(dec38) * F.col("sy").cast(dec38)
+    ).cast("double")
+    # degenerate guards: den = 0 (no x variance) or den2 = 0 (no y
+    # variance — e.g. a vocabulary-capped corpus keeps V constant) make
+    # the fit undefined; report NULL rather than divide by zero (the
+    # driver's toy 31-word corpus hits den2 = 0 on the Heaps fit).
+    slope = F.when(den != 0, num / den)
+    intercept = F.when(
+        den != 0,
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        * F.lit(1e-9),
+    )
+    return s.select(
+        F.col("n").cast("int").alias("n_points"),
+        slope.alias(slope_name),
+        intercept.alias("intercept_log2"),
+        F.when((den != 0) & (den2 != 0), (num * num) / (den * den2)).alias(
+            "r2"
+        ),
+    )
+
+
+def vocab_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β over corpus-order prefixes — the
+    companion corpus-health number to ``vocab_zipf_fit``: natural text
+    grows vocabulary as a sublinear power of token count (β ≈ 0.4-0.6);
+    a capped or templated corpus bends the curve. The fit is the
+    measurement behind tokenizer-budget and dedup-saturation planning:
+    it says how much NEW vocabulary the next 10× of data will bring.
+
+    Sampling: 10 doc_id-percentile checkpoints (exact interpolated
+    percentiles, a 1-row aggregate exploded to 10 rows and broadcast —
+    never a global sort). V(ck) counts tokens whose FIRST document
+    (min doc_id — an exact integer per token) falls inside the prefix;
+    n(ck) sums prefix token counts. Both are exact integers, so the
+    log-log points land on the shared 9 dp grid and the regression is
+    the exact-decimal ``_loglog_fit``. Token relation from the shared
+    ``_lm_token_counts`` producer — no extra corpus pass."""
+    tc = _lm_token_counts(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    ks = range(1, HEAPS_CHECKPOINTS + 1)
+    cps = d.agg(
+        *[
+            F.percentile("doc_id", i / HEAPS_CHECKPOINTS).alias(f"c{i}")
+            for i in ks
+        ]
+    )
+    cp = cps.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ck"), F.col(f"c{i}").alias("c"))
+                    for i in ks
+                ]
+            )
+        ).alias("s")
+    ).select("s.ck", "s.c")
+    first = tc.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    v = (
+        first.join(F.broadcast(cp), F.col("first_doc") <= F.col("c"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("x").alias("n_toks"))
+    n = (
+        dl.join(F.broadcast(cp), F.col("doc_id") <= F.col("c"))
+        .groupBy("ck")
+        .agg(F.sum("n_toks").alias("n"))
+    )
+    pts = v.join(n, "ck").select(
+        _g9(F.col("n")).alias("x9"), _g9(F.col("v")).alias("y9")
+    )
+    return _loglog_fit(pts, "heaps_beta")
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit against a fixed tokenizer budget: the
+    per-source token share NOT covered by the ``OOV_BUDGET`` most
+    frequent corpus tokens — the number that says which sources a
+    budget-V tokenizer will shred into bytes/unknowns (and therefore
+    which sources inflate sequence lengths after tokenization).
+
+    Shape: global term frequencies re-aggregate the shared
+    ``_lm_token_counts`` producer; the budget vocabulary is an
+    ``orderBy().limit()`` top-k (TakeOrderedAndProject, ties broken by
+    token) whose size is the CONSTANT budget — broadcast onto the count
+    table for a null-means-OOV left join; one per-source aggregation
+    out. The corpus never shuffles beyond the producer's build."""
+    tc = _lm_token_counts(spark, sf_dir)
+    tf = tc.groupBy("tok").agg(F.sum("x").alias("freq"))
+    vocab = (
+        tf.orderBy(F.col("freq").desc(), "tok")
+        .limit(OOV_BUDGET)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    per = tc.join(F.broadcast(vocab), "tok", "left")
+    n_oov = F.sum(
+        F.when(F.col("in_v").isNull(), F.col("x")).otherwise(F.lit(0))
+    ).cast("bigint")
+    return per.groupBy("source").agg(
+        F.sum("x").cast("bigint").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (
+            n_oov.cast("double") / F.sum("x").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+def corpus_bigram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty curve over corpus order — the dataset-ordering
+    diagnostic a curriculum/repetition review reads: per corpus-order
+    decile, how much of the bigram VOLUME was already seen in an
+    earlier decile (repeat share rises as the corpus saturates; a flat
+    curve means the source mix keeps injecting novelty, a cliff means
+    the tail is recycled boilerplate), plus the count of new bigram
+    types each decile introduces.
+
+    Buckets are doc_id-percentile deciles (1-row percentile aggregate
+    broadcast; bucket = #thresholds below the doc's id — pure per-row
+    arithmetic, no global sort). First-seen bucket per bigram is an
+    exact MIN; instances re-use the shared ``_lm_bigram_counts``
+    producer, so the corpus pays no new explode. Repeat semantics are
+    bucket-level: an instance is 'repeat' iff its bigram first occurred
+    in a STRICTLY earlier bucket."""
+    bc = _lm_bigram_counts(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    ths = range(1, NOVELTY_BUCKETS)
+    cps = d.agg(
+        *[
+            F.percentile("doc_id", i / NOVELTY_BUCKETS).alias(f"c{i}")
+            for i in ths
+        ]
+    )
+    bucket = sum(
+        [
+            F.when(F.col("doc_id") > F.col(f"c{i}"), 1).otherwise(0)
+            for i in ths
+        ],
+        F.lit(0),
+    ).cast("int")
+    db = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(cps))
+        .select("doc_id", bucket.alias("bucket"))
+    )
+    inst = bc.join(db, "doc_id").select("w1", "w2", "bucket", "x")
+    firstb = inst.groupBy("w1", "w2").agg(F.min("bucket").alias("first_bucket"))
+    per = (
+        inst.join(firstb, ["w1", "w2"])
+        .groupBy("bucket")
+        .agg(
+            F.sum("x").cast("bigint").alias("n_instances"),
+            F.sum(
+                F.when(F.col("first_bucket") < F.col("bucket"), F.col("x"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("n_repeat_instances"),
+        )
+    )
+    nt = firstb.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    return per.join(nt, "bucket", "left").select(
+        "bucket",
+        "n_instances",
+        "n_repeat_instances",
+        (
+            F.col("n_repeat_instances").cast("double")
+            / F.col("n_instances").cast("double")
+        ).alias("repeat_share"),
+        F.coalesce(F.col("n_new_types"), F.lit(0)).cast("bigint").alias(
+            "n_new_types"
+        ),
+    )
+
+
 QUERIES = {
     "doc_padding_waste": doc_padding_waste,
     "vocab_zipf_fit": vocab_zipf_fit,
+    "vocab_heaps_law_fit": vocab_heaps_law_fit,
+    "vocab_oov_rate": vocab_oov_rate,
+    "corpus_bigram_novelty_decay": corpus_bigram_novelty_decay,
     "doc_source_distinctive_terms": doc_source_distinctive_terms,
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
@@ -3001,6 +3215,148 @@ ORACLES["doc_kneser_ney_perplexity"] = f"""
              AS perplexity
     FROM documents d
     LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+# Mirror of vocab_heaps_law_fit: same 10 quantile_cont checkpoints (the
+# verified percentile pairing), exact-integer V/n per checkpoint, the
+# zipf fit's HUGEINT normal equations with the VARCHAR round-trip.
+ORACLES["vocab_heaps_law_fit"] = f"""
+    WITH tc AS MATERIALIZED (
+      SELECT doc_id, tok, count(1) AS x
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+      GROUP BY 1, 2
+    ),
+    cps AS (
+      SELECT {", ".join(
+          f"quantile_cont(doc_id, {i}/{HEAPS_CHECKPOINTS}.0) AS c{i}"
+          for i in range(1, HEAPS_CHECKPOINTS + 1))}
+      FROM documents
+    ),
+    cp AS (
+      SELECT unnest(range(1, {HEAPS_CHECKPOINTS + 1})) AS ck,
+             unnest([{", ".join(f"c{i}" for i in range(1, HEAPS_CHECKPOINTS + 1))}]) AS c
+      FROM cps
+    ),
+    first AS (SELECT tok, min(doc_id) AS first_doc FROM tc GROUP BY 1),
+    v AS (SELECT ck, count(1) AS v
+          FROM first JOIN cp ON first_doc <= c GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(sum(x) AS BIGINT) AS n_toks
+           FROM tc GROUP BY 1),
+    n AS (SELECT ck, CAST(sum(n_toks) AS BIGINT) AS n
+          FROM dl JOIN cp ON doc_id <= c GROUP BY 1),
+    g AS (
+      SELECT CAST(floor(round(log2(CAST(n AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS x9,
+             CAST(floor(round(log2(CAST(v AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS y9
+      FROM v JOIN n USING (ck)
+    ),
+    s AS (
+      SELECT CAST(count(1) AS HUGEINT) AS n,
+             CAST(sum(x9) AS HUGEINT) AS sx,
+             CAST(sum(y9) AS HUGEINT) AS sy,
+             sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+             sum(CAST(x9 AS HUGEINT) * x9) AS sxx,
+             sum(CAST(y9 AS HUGEINT) * y9) AS syy
+      FROM g
+    ),
+    e AS (
+      SELECT CAST(n AS INTEGER) AS n_points,
+             CAST(CAST(n AS BIGINT) AS DOUBLE) AS nd,
+             CAST(CAST(sx AS BIGINT) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS BIGINT) AS DOUBLE) AS syd,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS den,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS den2
+      FROM s
+    )
+    SELECT n_points,
+           CASE WHEN den <> 0 THEN num / den END AS heaps_beta,
+           CASE WHEN den <> 0
+                THEN (syd - (num / den) * sxd) / nd * 1e-9
+           END AS intercept_log2,
+           CASE WHEN den <> 0 AND den2 <> 0
+                THEN (num * num) / (den * den2) END AS r2
+    FROM e
+"""
+
+# Mirror of vocab_oov_rate: same top-OOV_BUDGET vocabulary (freq DESC,
+# tok row_number), null-means-OOV left join, per-source integer sums.
+ORACLES["vocab_oov_rate"] = f"""
+    WITH tc AS MATERIALIZED (
+      SELECT doc_id, source, tok, count(1) AS x
+      FROM (SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok
+            FROM documents)
+      GROUP BY 1, 2, 3
+    ),
+    tf AS (SELECT tok, CAST(sum(x) AS BIGINT) AS freq FROM tc GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS r
+        FROM tf
+      ) WHERE r <= {OOV_BUDGET}
+    )
+    SELECT source,
+           CAST(sum(x) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN x ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN x ELSE 0 END) AS DOUBLE)
+             / CAST(sum(x) AS DOUBLE) AS oov_rate
+    FROM tc LEFT JOIN vocab v ON tc.tok = v.tok
+    GROUP BY 1
+"""
+
+# Mirror of corpus_bigram_novelty_decay: same 9 quantile_cont
+# thresholds, threshold-count bucket arithmetic, exact MIN first-seen
+# bucket, strictly-earlier repeat semantics.
+ORACLES["corpus_bigram_novelty_decay"] = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ),
+    bg AS MATERIALIZED (
+      SELECT doc_id, w1, tk[i + 1] AS w2, count(1) AS x
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i,
+                   unnest(tk[1:len(tk) - 1]) AS w1
+            FROM toks)
+      GROUP BY 1, 2, 3
+    ),
+    cps AS (
+      SELECT {", ".join(
+          f"quantile_cont(doc_id, {i}/{NOVELTY_BUCKETS}.0) AS c{i}"
+          for i in range(1, NOVELTY_BUCKETS))}
+      FROM documents
+    ),
+    db AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"(CASE WHEN doc_id > c{i} THEN 1 ELSE 0 END)"
+                 for i in range(1, NOVELTY_BUCKETS))} AS INTEGER) AS bucket
+      FROM documents, cps
+    ),
+    inst AS MATERIALIZED (
+      SELECT bg.w1, bg.w2, db.bucket, bg.x
+      FROM bg JOIN db USING (doc_id)
+    ),
+    firstb AS MATERIALIZED (
+      SELECT w1, w2, min(bucket) AS first_bucket FROM inst GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT bucket,
+             CAST(sum(x) AS BIGINT) AS n_instances,
+             CAST(sum(CASE WHEN first_bucket < bucket THEN x ELSE 0 END)
+                  AS BIGINT) AS n_repeat_instances
+      FROM inst JOIN firstb USING (w1, w2)
+      GROUP BY 1
+    ),
+    nt AS (
+      SELECT first_bucket AS bucket, count(1) AS n_new_types
+      FROM firstb GROUP BY 1
+    )
+    SELECT per.bucket, per.n_instances, per.n_repeat_instances,
+           CAST(per.n_repeat_instances AS DOUBLE)
+             / CAST(per.n_instances AS DOUBLE) AS repeat_share,
+           CAST(COALESCE(nt.n_new_types, 0) AS BIGINT) AS n_new_types
+    FROM per LEFT JOIN nt ON nt.bucket = per.bucket
 """
 
 _BM25_IN = "(" + ", ".join(f"'{t_}'" for t_ in BM25_TERMS) + ")"

@@ -119,3 +119,54 @@ def test_recall_audit_has_multiprobe_row_dominating_lsh(spark, sf_dir):
     assert set(mp) == set(lsh)
     for q in lsh:
         assert mp[q] >= lsh[q], f"multiprobe recall regressed for query {q}"
+
+
+def test_heaps_fit_on_growing_vocab(spark, tmp_path_factory):
+    """Heaps fit invariants on a corpus whose vocabulary actually grows:
+    0 < beta < 1, r2 close to 1; on a vocabulary-capped (flat-V) corpus
+    the fit NULL-guards r2 instead of dividing by zero."""
+    from content_analytics_etl_spark.plans.text_queries import (
+        vocab_heaps_law_fit,
+    )
+
+    out = tmp_path_factory.mktemp("heaps_sf")
+    # token universe grows with doc_id -> genuine Heaps curve
+    rows = [
+        (i, " ".join(f"w{(i * 17 + j * 13) % (10 + i)}" for j in range(30)),
+         "en", "web", 0)
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(out / "documents.parquet"))
+    r = vocab_heaps_law_fit(spark, str(out)).collect()[0]
+    assert r["n_points"] == 10
+    assert 0.0 < r["heaps_beta"] < 1.0
+    assert r["r2"] is not None and r["r2"] > 0.5
+
+    flat = tmp_path_factory.mktemp("heaps_flat_sf")
+    rows = [
+        (i, " ".join(f"w{j % 7}" for j in range(30)), "en", "web", 0)
+        for i in range(100)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(flat / "documents.parquet"))
+    rf = vocab_heaps_law_fit(spark, str(flat)).collect()[0]
+    assert rf["heaps_beta"] == 0.0  # constant V: slope exactly 0
+    assert rf["r2"] is None  # no y variance: R^2 undefined, not Inf/NaN
+
+
+def test_novelty_decay_monotone_semantics(spark, sf_dir):
+    """Bucket 0 can have no repeats (nothing is earlier); repeat counts
+    never exceed instances; every bigram type is new exactly once."""
+    from content_analytics_etl_spark.plans.text_queries import (
+        corpus_bigram_novelty_decay,
+    )
+
+    rows = corpus_bigram_novelty_decay(spark, sf_dir).collect()
+    by_b = {r["bucket"]: r for r in rows}
+    assert by_b[0]["n_repeat_instances"] == 0
+    for r in rows:
+        assert 0 <= r["n_repeat_instances"] <= r["n_instances"]
+        assert 0.0 <= r["repeat_share"] <= 1.0

@@ -64,6 +64,11 @@ ALLOW_NESTED_LOOP = {
     "broadcast onto the (source, term) table",
     "vocab_coverage_curve": "5-row literal cutoff table broadcast theta "
     "join (rank <= K) against the vocab-sized ranked frame",
+    "vocab_heaps_law_fit": "10-row percentile-checkpoint relation "
+    "broadcast theta join (first_doc <= c) against the vocab-sized "
+    "first-seen frame",
+    "corpus_bigram_novelty_decay": "1-row percentile-threshold "
+    "aggregate broadcast onto the documents scan (decile bucketing)",
     "events_key_skew_profile": "1-row (n_keys, max_cnt, gini-numerator) "
     "aggregate broadcast back onto the key-count ranked frame",
     "events_quantile_sketch_rollup": "64-row fixed-bin sketch: bounded "
