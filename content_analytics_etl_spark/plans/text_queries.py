@@ -1364,7 +1364,15 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARSE_DF_DEN = 5  # fractional cap: terms in > N/5 docs leave the index
-SPARSE_DF_ABS = 10_000  # absolute posting-list ceiling (binds at scale)
+# Absolute posting-list ceiling. The old 10_000 was never a real bound:
+# on the round-10 Zipf corpus at sf1, dozens of mid-rank terms sit just
+# under it and the posting self-join fans out to Σ df² ≈ billions of
+# rows (measured: >75 GB shuffle spill, disk exhaustion). 256 is the
+# production impact-index posture — Σ df² ≤ 256·Σ df keeps candidate
+# volume a small multiple of the term-instance count at ANY corpus
+# size, and the Zipf tail below df=256 is where sparse retrieval's
+# discriminative terms live anyway (higher-df terms carry ~no idf).
+SPARSE_DF_ABS = 256
 SPARSE_TOPK = 5
 
 
@@ -1388,17 +1396,15 @@ def doc_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query doc (per-group rows bounded by Σ df over its terms).
     Only broadcast: the 1-row corpus doc count for idf.
 
-    Corpus caveat (measured at the local sf1): the synthetic corpus
-    draws uniformly from a 31-word vocabulary, so past ~10k docs EVERY
-    unigram exceeds N/5 and the index is legitimately empty — on a
-    uniform-vocab corpus every term IS a stop term. Real corpora are
-    Zipfian (a rare tail survives any N), which is the regime this
-    operator — and every sparse-retrieval DF cut — is built for.
-    Bigram/trigram terms were measured and rejected: on this generator
-    they are uniformly mid-df, fanning the posting self-join out to
-    7-21 BILLION rows at sf1 (the exact hot-term blowup the cut
-    prevents). The dense ANN family covers similarity on this corpus
-    at scale."""
+    Corpus caveat: on the DRIVER corpus (uniform 31-word vocabulary)
+    every unigram exceeds N/5 past ~10k docs and the index is
+    legitimately empty — on a uniform-vocab corpus every term IS a stop
+    term (the oracle agrees: verified-empty). On the round-10 Zipf
+    scratch corpus the operator does real work (25k neighbor rows at
+    sf0.1, 0.65 s at sf1) — and that corpus is also what exposed the
+    old SPARSE_DF_ABS=10_000 ceiling as vacuous: mid-rank Zipf terms
+    sat just under it and Σ df² fanned past 10⁹ rows (>75 GB spill)
+    before the 256 ceiling made the bound real."""
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
