@@ -82,13 +82,18 @@ _MODULES = [
 # round-4-verdict names (12 + 16 + 22 = 50).  CORRECTNESS_r09 came back
 # 50/50 green, lifting lifetime coverage to 227/227.
 #
-# Round-10 rotation: lifetime coverage is 227/227, so this window is a
-# pure oldest-verdict fill — the remaining round-4-verdict names (the
-# round-4 era is the oldest cohort left after r09 consumed its first 22).
+# Round-10 rotation: the 3 never-verified round-10 additions lead
+# (unverified-first), then the oldest-verdict fill — the remaining
+# round-4-verdict names (the round-4 era is the oldest cohort left
+# after r09 consumed its first 22; its three alphabetically-last names
+# yield to the new queries and return next round).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "corpus_bigram_novelty_decay",
+    "vocab_heaps_law_fit",
+    "vocab_oov_rate",
     "doc_winnow",
     "doc_winnow_overlap",
     "events_approx_percentile_bound",
@@ -136,9 +141,6 @@ DRIVER_WINDOW: list[str] = [
     "flagship_profile",
     "graph_common_neighbors",
     "graph_common_neighbors_pruned",
-    "multimodal_gif_decode",
-    "orders_open_backlog",
-    "part_revenue_abc",
 ]
 
 
