@@ -170,3 +170,24 @@ def test_novelty_decay_monotone_semantics(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_repeat_instances"] <= r["n_instances"]
         assert 0.0 <= r["repeat_share"] <= 1.0
+
+
+def test_scaled_band_width_values(spark):
+    """Pin the corpus-size-scaled LSH band width at the corpus sizes the
+    scaling evidence cites: driver scales stay at 8 bits; sf1/sf3
+    scratch sizes get 11/13; the clamp caps at ND_MAX_BITS."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        ND_MAX_BITS,
+        _nd_width_rel,
+    )
+
+    def w(n: int) -> int:
+        df = spark.range(n).selectExpr("id AS vec_id")
+        return _nd_width_rel(df).collect()[0]["w"]
+
+    assert w(20) == 8       # sf0.001
+    assert w(200) == 8      # sf0.01
+    assert w(2000) == 8     # sf0.1 (anchor)
+    assert w(20000) == 11   # sf1
+    assert w(60000) == 13   # sf3
+    assert w(20_000_000) == ND_MAX_BITS  # clamp
