@@ -191,3 +191,31 @@ def test_scaled_band_width_values(spark):
     assert w(20000) == 11   # sf1
     assert w(60000) == 13   # sf3
     assert w(20_000_000) == ND_MAX_BITS  # clamp
+
+
+def test_neardup_banded_subset_of_exact(spark):
+    """The width-scaled banded pairs are a SUBSET of the exhaustive
+    threshold pairs (same cosine verify — LSH only prunes candidates),
+    and the operating point is non-vacuous at driver sf0.01 scale
+    (the 20-vector sf0.001 corpus has no threshold pairs to find)."""
+    from pyspark.sql import functions as F
+
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        EXACT_CAP,
+        sim_neardup_exact,
+        sim_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim_neardup_exact(spark, sf).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim_neardup_pairs(spark, sf)
+        .filter((F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP))
+        .collect()
+    }
+    assert banded, "driver-scale operating point must find some pairs"
+    assert banded <= exact, "a banded pair failing the exact scan is a bug"
