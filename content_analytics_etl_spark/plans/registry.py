@@ -87,60 +87,68 @@ _MODULES = [
 # round-4-verdict names (the round-4 era is the oldest cohort left
 # after r09 consumed its first 22; its three alphabetically-last names
 # yield to the new queries and return next round).
+# Round-11 rotation: CORRECTNESS_r10 came back 50/50 (lifetime
+# 230/230), and the lifetime record is now CONTENT-KEYED (ADVICE r10,
+# medium): each verdict carries a fingerprint of the query's plan
+# source + oracle SQL (tools/qfp.py), and rotate_window treats a
+# fingerprint mismatch as unverified — so the round-11 rewrites
+# (sim_neardup_pairs band-count scaling, sim_ann_ivfpq_topk re-rank,
+# sim_ann_recall_audit candidate counts) lead this window ahead of the
+# oldest-verdict fill (the r06/r07 cohorts: TPC-H + the agg family).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    "corpus_bigram_novelty_decay",
-    "vocab_heaps_law_fit",
-    "vocab_oov_rate",
-    "doc_winnow",
-    "doc_winnow_overlap",
-    "events_approx_percentile_bound",
-    "events_daily_from_hourly",
-    "events_distinct_sketch_rollup",
-    "events_mad_outliers",
-    "events_trailing_window",
-    "events_type_hourly_pivot",
-    "events_value_distribution",
-    "events_value_histogram",
-    "events_value_percentiles",
-    "events_zscore_outliers",
-    "join_bloom_prefilter",
-    "lang_id_confusion",
-    "lineitem_unpivot",
-    "multimodal_audio_windows",
-    "multimodal_frame_decode",
-    "multimodal_image_resize",
-    "multimodal_png_decode",
-    "part_affinity",
-    "sim_ann_recall_audit",
-    "sim_neardup_exact",
-    "sim_semantic_decontaminate",
-    "sim_semdedup",
-    "token_cms_heavy_hitters",
-    "token_frequency",
-    "window_extras",
-    "category_recode",
-    "corpus_training_manifest",
-    "dedup_containment",
-    "doc_dup_aware_sampling",
-    "doc_perplexity_buckets",
-    "doc_rake_keywords",
-    "embedding_power_iteration",
-    "events_active_streaks",
-    "events_attribution",
-    "events_cusum_drift",
-    "events_daily_mv_refresh",
-    "events_ema_smoothing",
-    "events_markov_transitions",
-    "events_multitouch_attribution",
-    "events_peak_detection",
-    "events_seasonal_naive_eval",
-    "events_top_paths",
-    "flagship_profile",
-    "graph_common_neighbors",
-    "graph_common_neighbors_pruned",
+    "multimodal_gif_decode",
+    "orders_open_backlog",
+    "part_revenue_abc",
+    "pivot_explicit",
+    "sentinel_filter_3vl",
+    "sim_mmr_diversify",
+    "token_pmi_cooccurrence",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_volume",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_diversity",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    "tpch_q2_best_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "union_strategy2",
+    "agg_conditional",
+    "agg_cube",
+    "agg_family",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "corpus_token_budget_sample",
+    "date_funcs",
+    "dedup_clusters",
+    "dedup_decontaminate",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_simhash",
+    "device_count_distinct",
+    "device_count_rows",
+    "dim_scd2_upsert",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_source_distinctive_terms",
 ]
 
 

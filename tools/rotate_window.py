@@ -4,13 +4,18 @@ Policy (VERDICT r6 #1 — staleness rotation):
 
 1. every registered query with NO lifetime driver verdict comes first
    (new queries must be hashed before anything is re-hashed);
+   since round 11 (ADVICE r10, medium) this includes every query whose
+   CONTENT FINGERPRINT (tools/qfp.py: sha256 of plan source + oracle
+   SQL) no longer matches the one recorded with its verdict — a
+   rewritten query is unverified no matter how recent its green round;
 2. the remaining slots are filled with the queries whose most recent
    green driver verdict is OLDEST, ties broken by name.
 
-``tools/lifetime_driver_verified.json`` records ``{name: last_green_round}``
-(migrated in round 7 from the flat round-6 list).  With 173+ queries and a
-50-slot window, every query is re-hashed against the drifting tree every
-~3-4 rounds.
+``tools/lifetime_driver_verified.json`` records
+``{name: {"r": last_green_round, "fp": fingerprint}}`` (bare-int values
+are pre-round-11 records without fingerprints, treated as verified
+until re-hashed).  With 230 queries and a 50-slot window, every query
+is re-hashed against the drifting tree every ~4-5 rounds.
 
 Usage:
     python tools/rotate_window.py          # print the canonical 50 names
@@ -32,19 +37,51 @@ WINDOW_SIZE = 50
 
 
 def lifetime_rounds() -> dict[str, int]:
+    """{name: last_green_round} regardless of on-disk record shape."""
     with open(LIFETIME) as f:
         data = json.load(f)
     if isinstance(data, list):  # pre-round-7 flat list: round unknown
         return {n: 0 for n in data}
-    return data
+    return {
+        n: (v["r"] if isinstance(v, dict) else v) for n, v in data.items()
+    }
+
+
+def lifetime_fps() -> dict[str, str]:
+    """{name: recorded_fingerprint} for records that carry one."""
+    with open(LIFETIME) as f:
+        data = json.load(f)
+    if isinstance(data, list):
+        return {}
+    return {
+        n: v["fp"]
+        for n, v in data.items()
+        if isinstance(v, dict) and v.get("fp")
+    }
 
 
 def canonical_window(registered: list[str]) -> list[str]:
-    """Unverified-first, then oldest-verdict-first (ties by name)."""
+    """Unverified-first (never verified OR content fingerprint drifted
+    since the recorded verdict), then oldest-verdict-first (ties by
+    name)."""
+    sys.path.insert(0, HERE)
+    from qfp import all_fingerprints
+
     rounds = lifetime_rounds()
-    unverified = sorted(n for n in registered if n not in rounds)
+    recorded_fp = lifetime_fps()
+    current_fp = all_fingerprints()
+
+    def verified(n: str) -> bool:
+        if n not in rounds:
+            return False
+        rec = recorded_fp.get(n)
+        # bare-int records (pre-round-11) carry no fingerprint: verified
+        # until the rotation re-hashes them and stamps one.
+        return rec is None or rec == current_fp.get(n)
+
+    unverified = sorted(n for n in registered if not verified(n))
     stale = sorted(
-        ((rounds[n], n) for n in registered if n in rounds),
+        ((rounds[n], n) for n in registered if verified(n)),
     )
     out = unverified[:WINDOW_SIZE]
     out += [n for _, n in stale[: WINDOW_SIZE - len(out)]]

@@ -4,13 +4,22 @@ Usage:
     python tools/update_lifetime.py CORRECTNESS_r07.json
 
 Reads the round's correctness record, and for every query with a green
-driver verdict sets ``lifetime[name] = round`` (the round number is
-parsed from the filename).  Since round 7 the lifetime record is a dict
-``{name: last_green_round}`` — the staleness rotation
-(``tools/rotate_window.py``) sorts on these rounds to pick the next
-DRIVER_WINDOW.  Run at the START of the round after a green
-CORRECTNESS_r0N lands, then rotate DRIVER_WINDOW
-(``python tools/rotate_window.py`` prints the canonical 50;
+driver verdict sets ``lifetime[name] = {"r": round, "fp": fingerprint}``
+(the round number is parsed from the filename; the fingerprint is
+``tools/qfp.py``'s sha256 of the query's plan source + oracle SQL,
+computed from the CURRENT tree).  Since round 11 (ADVICE r10, medium)
+the verdict is content-keyed: ``tools/rotate_window.py`` treats a query
+whose current fingerprint differs from its recorded one as UNVERIFIED,
+so a rewritten query re-enters the window even if its name carries a
+recent green round.  Pre-round-11 records are bare ints (no
+fingerprint); they are treated as verified-at-that-round until the
+rotation re-hashes them, at which point they acquire fingerprints.
+
+MUST run at the START of the round, BEFORE any plan/oracle edits: the
+fingerprints stamped here assert "this content is what the driver
+verified", which is only true while the tree still matches the one the
+driver ran on.  Then rotate DRIVER_WINDOW (``python
+tools/rotate_window.py`` prints the canonical 50;
 tests/test_driver_window.py fails until registry.py matches).
 """
 
@@ -60,13 +69,22 @@ def main() -> None:
     fresh = green_names(record)
     if not fresh:
         sys.exit(f"no green verdicts found in {sys.argv[1]} — check its shape")
+    sys.path.insert(0, HERE)
+    from qfp import all_fingerprints
+
+    fps = all_fingerprints()
     with open(LIFETIME) as f:
         lifetime = json.load(f)
     if isinstance(lifetime, list):  # migrate pre-round-7 flat list
         lifetime = {n: 0 for n in lifetime}
     added = sorted(n for n in fresh if n not in lifetime)
+
+    def _round_of(v) -> int:
+        return v["r"] if isinstance(v, dict) else v
+
     for n in fresh:
-        lifetime[n] = max(rnd, lifetime.get(n, 0))
+        prev = _round_of(lifetime[n]) if n in lifetime else 0
+        lifetime[n] = {"r": max(rnd, prev), "fp": fps[n]}
     with open(LIFETIME, "w") as f:
         json.dump(dict(sorted(lifetime.items())), f, indent=0)
         f.write("\n")
