@@ -38,6 +38,7 @@ __all__ = [
     "brute_topk",
     "add_hyperplane_bucket",
     "hyperplane_bucket_agg",
+    "hyperplane_band_rows",
     "brute_topk_matmul",
     "brute_topk_chunked",
 ]
@@ -208,6 +209,104 @@ def hyperplane_bucket_agg(
                 F.expr("shiftleft(CAST(1 AS BIGINT), plane_idx)"),
             ).otherwise(F.lit(0).cast("bigint"))
         ).alias(out_col)
+    )
+
+
+def hyperplane_band_rows(
+    df: DataFrame,
+    params_rel: DataFrame,
+    max_bands: int,
+    band_bits: int,
+    dim: int,
+    *,
+    seed: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-size-ADAPTIVE banded hyperplane signature: (id, band_idx,
+    band_key) rows, where both the number of bands and each band's
+    effective key width come from ``params_rel`` — a 1-row (nb int,
+    w int) relation derived from the SAME corpus (a count aggregate),
+    broadcast twice, never a driver value.
+
+    Band ``b`` owns plane indices ``[b·band_bits, (b+1)·band_bits)`` of
+    the md5-seeded family (``hyperplane_matrix`` formula), its signature
+    is the sign-bit integer of those plane dots, and its key is the
+    signature's low ``w`` bits. Only planes for bands ``< nb`` are ever
+    generated: the plane relation is built at ``max_bands·band_bits``
+    rows and filtered by the broadcast ``nb`` BEFORE the explode join,
+    so the dot work is ``n·dim·nb·band_bits`` — the signature cost
+    scales with the data-dependent band count, not the static maximum.
+    Unlike ``hyperplane_bucket_agg`` there is no packed single-BIGINT
+    bucket (max_bands·band_bits may exceed 63 bits); bands are emitted
+    directly as rows, which is the shape every banded-LSH consumer
+    explodes to anyway.
+
+    Plane values, decimal-exact dots, and the parallelism guard are
+    identical to ``hyperplane_bucket_agg`` (see its docstring); for the
+    same (band_idx, plane) cells the two produce identical sign bits, so
+    fixed-parameter consumers migrating to this form keep their result
+    sets bit-for-bit."""
+    spark = df.sparkSession
+    ex = df.select(
+        id_col, F.posexplode(to_double_array(vec_col)).alias("pos", "x")
+    )
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        ex = ex.repartition(target, id_col, "pos")
+    n_planes = max_bands * band_bits
+    pl = (
+        spark.range(n_planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("plane_idx"),
+            (F.col("id") % dim).cast("int").alias("pos"),
+            F.concat(
+                F.lit(f"{seed}|"),
+                (F.col("id") / dim).cast("int").cast("string"),
+                F.lit("|"),
+                (F.col("id") % dim).cast("int").cast("string"),
+            ).alias("cell_key"),
+        )
+        .select(
+            "plane_idx",
+            "pos",
+            F.when(
+                portable_hash64(F.col("cell_key")).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("pval"),
+        )
+        # data-dependent plane-count cut: bands ≥ nb never reach the
+        # explode join, so their dot cost is never paid
+        .crossJoin(F.broadcast(params_rel.select("nb")))
+        .filter(F.col("plane_idx") < F.col("nb") * band_bits)
+        .drop("nb")
+    )
+    dots = (
+        ex.join(F.broadcast(pl), "pos")
+        .groupBy(id_col, "plane_idx")
+        .agg(F.sum((F.col("x") * F.col("pval")).cast("decimal(28,12)")).alias("dot"))
+    )
+    sigs = dots.groupBy(
+        id_col, (F.col("plane_idx") / band_bits).cast("int").alias("band_idx")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(plane_idx % {band_bits} AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("band_sig")
+    )
+    return sigs.crossJoin(F.broadcast(params_rel.select("w"))).select(
+        id_col,
+        "band_idx",
+        F.expr(
+            "band_sig & (shiftleft(CAST(1 AS BIGINT), w) - 1)"
+        ).alias("band_key"),
     )
 
 

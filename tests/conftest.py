@@ -10,6 +10,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from content_analytics_etl_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
+# The mid-size driver corpus, for tests whose operating point is
+# vacuous on the 20-vector/60-doc smoke tables (e.g. LSH near-dup).
+SF_SMALL = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -21,3 +24,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf001_dir() -> str:
+    return SF_SMALL

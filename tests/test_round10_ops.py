@@ -172,28 +172,31 @@ def test_novelty_decay_monotone_semantics(spark, sf_dir):
         assert 0.0 <= r["repeat_share"] <= 1.0
 
 
-def test_scaled_band_width_values(spark):
-    """Pin the corpus-size-scaled LSH band width at the corpus sizes the
-    scaling evidence cites: driver scales stay at 8 bits; sf1/sf3
-    scratch sizes get 11/13; the clamp caps at ND_MAX_BITS."""
+def test_scaled_band_params_values(spark):
+    """Pin BOTH corpus-size-scaled LSH knobs at the corpus sizes the
+    scaling evidence cites: driver scales stay at (8 bits, 4 bands);
+    sf1/sf3 scratch sizes get (11, 7)/(13, 9); the clamps cap at
+    ND_MAX_BITS / ND_MAX_BANDS."""
     from content_analytics_etl_spark.plans.similarity_queries import (
+        ND_MAX_BANDS,
         ND_MAX_BITS,
-        _nd_width_rel,
+        _nd_params_rel,
     )
 
-    def w(n: int) -> int:
+    def params(n: int) -> tuple[int, int]:
         df = spark.range(n).selectExpr("id AS vec_id")
-        return _nd_width_rel(df).collect()[0]["w"]
+        row = _nd_params_rel(df).collect()[0]
+        return row["w"], row["nb"]
 
-    assert w(20) == 8       # sf0.001
-    assert w(200) == 8      # sf0.01
-    assert w(2000) == 8     # sf0.1 (anchor)
-    assert w(20000) == 11   # sf1
-    assert w(60000) == 13   # sf3
-    assert w(20_000_000) == ND_MAX_BITS  # clamp
+    assert params(20) == (8, 4)       # sf0.001
+    assert params(200) == (8, 4)      # sf0.01
+    assert params(2000) == (8, 4)     # sf0.1 (anchor)
+    assert params(20000) == (11, 7)   # sf1
+    assert params(60000) == (13, 9)   # sf3
+    assert params(20_000_000) == (ND_MAX_BITS, ND_MAX_BANDS)  # clamp
 
 
-def test_neardup_banded_subset_of_exact(spark):
+def test_neardup_banded_subset_of_exact(spark, sf001_dir):
     """The width-scaled banded pairs are a SUBSET of the exhaustive
     threshold pairs (same cosine verify — LSH only prunes candidates),
     and the operating point is non-vacuous at driver sf0.01 scale
@@ -206,7 +209,7 @@ def test_neardup_banded_subset_of_exact(spark):
         sim_neardup_pairs,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf001_dir
     exact = {
         (r["vec_a"], r["vec_b"])
         for r in sim_neardup_exact(spark, sf).collect()

@@ -1,0 +1,122 @@
+"""Round-11 additions: IVF-PQ ADC→exact re-rank, audit candidate
+counts, and the two-knob (width + band count) near-dup LSH scaling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_ivfpq_rerank_equals_ivf_when_shortlist_covers(spark, sf001_dir):
+    """At driver sf0.01 scale each query has far fewer probed-cell
+    candidates than RERANK_K, so the ADC shortlist covers ALL
+    candidates and the exact re-rank must reproduce uncompressed IVF's
+    (query, cand, rank) sets exactly — the re-rank stage provably
+    converges to the exact path as the shortlist deepens."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        RERANK_K,
+        sim_ann_ivf_topk,
+        sim_ann_ivfpq_topk,
+    )
+
+    ivf = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in sim_ann_ivf_topk(spark, sf001_dir).collect()
+    }
+    ivfpq_rows = sim_ann_ivfpq_topk(spark, sf001_dir).collect()
+    assert ivfpq_rows, "ivfpq must emit rows at sf0.01"
+    # precondition: shortlist really does cover every candidate here
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        _ivfpq_adc_scored,
+    )
+
+    max_cand = (
+        _ivfpq_adc_scored(spark, sf001_dir)
+        .groupBy("query_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_cand <= RERANK_K
+    ivfpq = {(r["query_id"], r["cand_id"], r["rank"]) for r in ivfpq_rows}
+    assert ivfpq == ivf
+
+
+def test_ivfpq_output_carries_both_scores(spark, sf_dir):
+    """The re-ranked output exposes adc_d2 (what the compressed index
+    thought) AND cosine (the served exact score) — rank follows
+    cosine, descending."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_ann_ivfpq_topk,
+    )
+
+    df = sim_ann_ivfpq_topk(spark, sf_dir)
+    assert {"query_id", "cand_id", "adc_d2", "cosine", "rank"} == set(
+        df.columns
+    )
+    rows = df.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_audit_candidate_counts(spark, sf001_dir):
+    """n_candidates semantics: pq scores every other vector (N-1);
+    ivfpq's candidate cost is the probed-cells ADC relation, identical
+    to ivf's; multiprobe's candidates strictly contain single-probe's."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_ann_recall_audit,
+    )
+    from content_analytics_etl_spark.plans._util import t
+
+    n = t(spark, sf001_dir, "embeddings").count()
+    rows = sim_ann_recall_audit(spark, sf001_dir).collect()
+    by = {(r["method"], r["query_id"]): r for r in rows}
+    queries = {q for (m, q) in by}
+    for q in queries:
+        assert by[("pq", q)]["n_candidates"] == n - 1
+        assert (
+            by[("ivfpq", q)]["n_candidates"] == by[("ivf", q)]["n_candidates"]
+        )
+        assert (
+            by[("lsh_mp", q)]["n_candidates"] >= by[("lsh", q)]["n_candidates"]
+        )
+        # recall is consistent with its parts
+        r = by[("ivfpq", q)]
+        assert abs(r["recall"] - r["n_hit"] / r["n_true"]) < 1e-12
+
+
+def test_neardup_band_count_grows_planes_only_when_needed(spark):
+    """The adaptive band relation emits exactly nb bands per vector —
+    4 at anchor scale, more only past it (the plane-cut contract of
+    hyperplane_band_rows)."""
+    from content_analytics_etl_spark.operators.similarity import (
+        hyperplane_band_rows,
+    )
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        DIM,
+        ND_MAX_BANDS,
+        ND_MAX_BITS,
+        _nd_params_rel,
+    )
+
+    emb = (
+        spark.range(40)
+        .selectExpr(
+            "id AS vec_id",
+            f"transform(sequence(1, {DIM}), "
+            "i -> cast(hash(id, i) % 97 AS double) / 97.0) AS embedding",
+        )
+    )
+    bands = hyperplane_band_rows(
+        emb, _nd_params_rel(emb), ND_MAX_BANDS, ND_MAX_BITS, DIM
+    )
+    per_vec = bands.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [4]
+    idx = sorted(
+        r["band_idx"] for r in bands.select("band_idx").distinct().collect()
+    )
+    assert idx == [0, 1, 2, 3]

@@ -209,8 +209,14 @@ def generate(sf: float, out: Path) -> None:
             texts[m] = texts[members[0]]
     # ~0.2% NEAR-duplicates: a source doc with ~10% of tokens resampled
     # — the Jaccard gray zone that minhash band tuning exists for.
+    # Destinations are drawn from docs NOT already mutated above
+    # (ADVICE r10: overwriting a just-built cluster member shrinks the
+    # size-4-6 cliques the wedge-based queries' MIN_ROWS floor needs).
     n_near = max(2, n_doc // 500)
-    near_dst = rng.choice(n_doc, n_near, replace=False)
+    mutated = np.union1d(pool, dup_dst)
+    near_dst = rng.choice(
+        np.setdiff1d(np.arange(n_doc), mutated), n_near, replace=False
+    )
     near_src = rng.choice(n_doc, n_near)
     for d, s in zip(near_dst, near_src):
         toks = texts[s].split(" ")

@@ -1,7 +1,8 @@
-"""Candidate-count / recall evidence for the scaled LSH band width.
+"""Candidate-count / recall evidence for the scaled LSH band knobs.
 
-For one sf_dir, reports (VERDICT r9 #2's asked-for columns):
-- n_vectors and the effective band width w the 1-row relation derives;
+For one sf_dir, reports (VERDICT r9 #2 / r10 #1's asked-for columns):
+- n_vectors and the effective band width w AND band count nb the
+  1-row params relation derives;
 - n_candidates: distinct band-colliding pairs BEFORE cosine verify
   (the quantity the width knob exists to keep linear in N);
 - n_pairs: verified near-dup pairs emitted;
@@ -24,15 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from content_analytics_etl_spark.operators.similarity import (  # noqa: E402
-    hyperplane_bucket_agg,
+    hyperplane_band_rows,
 )
 from content_analytics_etl_spark.plans.similarity_queries import (  # noqa: E402
     DIM,
     EXACT_CAP,
-    ND_BANDS,
+    ND_MAX_BANDS,
     ND_MAX_BITS,
-    _nd_width_rel,
-    _scaled_band_rows,
+    _nd_params_rel,
     sim_neardup_exact,
     sim_neardup_pairs,
 )
@@ -46,10 +46,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb = t(spark, sf_dir, "embeddings")
     n_vec = emb.count()
-    w = _nd_width_rel(emb).collect()[0]["w"]
-    bands = _scaled_band_rows(
-        hyperplane_bucket_agg(emb, ND_BANDS * ND_MAX_BITS, DIM),
-        _nd_width_rel(emb),
+    prow = _nd_params_rel(emb).collect()[0]
+    w, nb = prow["w"], prow["nb"]
+    bands = hyperplane_band_rows(
+        emb, _nd_params_rel(emb), ND_MAX_BANDS, ND_MAX_BITS, DIM
     )
     a, b = bands.alias("a"), bands.alias("b").hint("merge")
     n_cand = (
@@ -73,6 +73,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "n_vectors": n_vec,
         "band_width_bits": w,
+        "n_bands": nb,
         "n_candidates": n_cand,
         "n_pairs": n_pairs,
         "n_exact_pairs_cap": exact,
