@@ -99,6 +99,9 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "dedup_decontaminate_fixed",
+    "sim_ann_recall_audit",
+    "sim_neardup_recall_audit",
     "multimodal_gif_decode",
     "orders_open_backlog",
     "part_revenue_abc",
@@ -146,9 +149,6 @@ DRIVER_WINDOW: list[str] = [
     "device_count_rows",
     "dim_scd2_upsert",
     "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality",
-    "doc_source_distinctive_terms",
 ]
 
 

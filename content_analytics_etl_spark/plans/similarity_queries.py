@@ -197,53 +197,33 @@ def _nd_params_rel(e: DataFrame) -> DataFrame:
     )
 
 
-def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at cosine ≥ 0.45 via banded hyperplane LSH with
-    BOTH scaling knobs (VERDICT r10 #1): nb = clamp(4 + Δ, 4, 12) bands
-    of 15 md5-seeded planes each, every band keyed by the low-w-bit
-    prefix of its sign signature with w = clamp(8 + Δ, 8, 15), where
-    Δ = round(log₂(N/2048)) is ONE count aggregate of the corpus.
-
-    Why two knobs (measured, SCALE.md rounds 9-11): at fixed (4, 8-bit)
-    bands candidates grow ~N²/2^w — exp 1.12 sf1→sf3. Widening the
-    bands alone (round 10) made cost linear (exp 0.63) but each extra
-    bit multiplies a true pair's per-band match probability by
-    p ≈ 0.65, and at fixed band count recall@0.45 collapsed
-    0.27 → 0.023. Growing the band COUNT by the same Δ buys the recall
-    back — 1-(1-p^w)^nb instead of 1-(1-p^w)^4 — at total candidate
-    cost ~nb·N ≈ N·log N: cost stays near-linear AND recall holds
-    within ~2× across a decade. Candidates = pairs colliding on ≥ 1
-    band (equi-join on (band_idx, band_key) with shuffle reuse), then
-    exact cosine verification; both parameters are broadcast 1-row
-    relations and the identical integer function of count(*) runs in
-    the oracle — deterministic cross-engine with no pinned constant. At
-    driver scales (N ≤ 2000) nb = 4, w = 8: band keys and result set
-    are bit-identical to the round-10 operating point.
-    ``sim_neardup_exact`` is the capped exhaustive diagnostic that
-    measures this query's recall.
-
-    The signature comes from ``hyperplane_band_rows`` (explode →
-    decimal-exact conditional sums; plane relation cut to nb·15 planes
-    BEFORE the explode join, so the dot work scales with the
-    data-dependent band count): aggregates are codegen'd and form a
-    projection barrier, so each band signature is computed exactly
-    once however many times it is referenced downstream."""
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", to_double_array("embedding").alias("v"))
-        .withColumn("nrm", l2_norm(F.col("v")))
+def _nd_candidates(emb: DataFrame) -> DataFrame:
+    """Distinct (vec_a < vec_b) candidate pairs of the scaled banded
+    hyperplane LSH with Hamming-≤1 multi-probe: pairs whose w-bit keys
+    in some band agree exactly or differ in one bit. Probe keys are one
+    explode over sequence(0, w) (identity + w single-bit flips) against
+    the broadcast 1-row params relation; probes join RAW band keys —
+    probing one side of a symmetric self-join covers every pair.
+    Shared verbatim by ``sim_neardup_pairs`` (the production path) and
+    ``sim_neardup_recall_audit`` (which also counts this relation)."""
+    params = _nd_params_rel(emb)
+    bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
+    probes = (
+        bands.crossJoin(F.broadcast(params.select("w")))
+        .select(
+            "vec_id",
+            "band_idx",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, w), j -> CASE WHEN j = 0 "
+                    "THEN band_key ELSE band_key ^ "
+                    "shiftleft(CAST(1 AS BIGINT), j - 1) END)"
+                )
+            ).alias("band_key"),
+        )
     )
-    bands = hyperplane_band_rows(
-        t(spark, sf_dir, "embeddings"),
-        _nd_params_rel(t(spark, sf_dir, "embeddings")),
-        ND_MAX_BANDS,
-        ND_MAX_BITS,
-        DIM,
-    )
-
-    # merge hint ⇒ shuffle reuse across the self-join (see dedup_queries)
-    a, b = bands.alias("a"), bands.alias("b").hint("merge")
-    cand = (
+    a, b = probes.alias("a"), bands.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -253,6 +233,57 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+
+
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at cosine ≥ 0.45 via banded hyperplane LSH with
+    corpus-size-scaled knobs (VERDICT r10 #1) plus Hamming-≤1
+    multi-probe banding (Lv et al. 2007): nb = clamp(4 + Δ, 4, 12)
+    bands of 15 md5-seeded planes each, every band keyed by the
+    low-w-bit prefix of its sign signature with w = clamp(8 + Δ, 8,
+    15), where Δ = round(log₂(N/2048)) is ONE count aggregate of the
+    corpus; candidates are pairs whose keys in some band agree exactly
+    OR differ in exactly one bit.
+
+    Why three knobs (measured, SCALE.md rounds 9-11): at fixed (4,
+    8-bit) bands candidates grow ~N²/2^w — exp 1.12 sf1→sf3. Widening
+    the bands (2^w ∝ N, round 10) made cost linear (exp 0.63) but each
+    extra bit multiplies a true pair's per-band match probability by
+    p ≈ 0.65 (at cosine 0.45), and recall@0.45 collapsed 0.27 → 0.023.
+    Growing band COUNT with the same Δ (round 11, first attempt) adds
+    recall only LINEARLY per band while width costs it geometrically —
+    measured 0.26 → 0.044 → 0.017, still collapsing. The standard
+    escape is probing: matching keys at Hamming distance ≤ 1 multiplies
+    a true pair's per-band probability by (1 + w·q/p) ≈ 5-8 (q = 1-p)
+    while random collisions only grow by the same (1+w) factor —
+    candidates stay ~nb·(1+w)·N ≈ N·log²N, and predicted recall holds
+    within ~1.5× per decade (0.52/0.35/0.23 at the three scratch
+    scales). No knob setting of THIS family does better asymptotically:
+    holding recall at threshold p with background p_bg = 0.5 costs
+    N^(1+ρ), ρ = ln(1/p)/ln(1/p_bg) ≈ 0.63 — the N·log²N point here is
+    the engineering compromise, documented rather than hidden.
+
+    Mechanics: probe keys are generated from the band rows by one
+    explode over sequence(0, w) (identity + w single-bit flips) against
+    the broadcast 1-row params relation; probes join RAW band keys
+    (probing one side of a symmetric self-join covers all pairs), then
+    exact cosine verification. The identical integer function of
+    count(*) drives the oracle — deterministic cross-engine with no
+    pinned constant. ``sim_neardup_exact`` is the capped exhaustive
+    diagnostic that measures this query's recall.
+
+    The signature comes from ``hyperplane_band_rows`` (explode →
+    decimal-exact conditional sums; plane relation cut to nb·15 planes
+    BEFORE the explode join, so the dot work scales with the
+    data-dependent band count): aggregates are codegen'd and form a
+    projection barrier, so each band signature is computed exactly
+    once however many times it is referenced downstream."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    cand = _nd_candidates(emb)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
@@ -353,6 +384,55 @@ def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
+
+
+def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row operating-point report for the near-dup LSH: corpus
+    size, the data-derived (w, nb) knobs, candidate volume, verified
+    pair count, and — the number rounds 9-11 fought over — measured
+    recall@cosine≥0.45 (``NEARDUP_COSINE``) on the ``vec_id < EXACT_CAP``
+    subpopulation (banded pairs under the cap over
+    ``sim_neardup_exact``'s exhaustive pairs under the same cap; both
+    verify the same threshold, so banded ⊆ exact and the ratio IS
+    recall). Registering the audit makes the recall/cost trade an
+    oracle-checked regression guard instead of a round-report artifact:
+    any future retuning of the width/count/probe knobs shows up here as
+    a hash change both engines must agree on.
+
+    Cost posture matches ``sim_ann_recall_audit``: the audit re-runs
+    candidate generation and verification (the relations it measures),
+    plus the hard-capped exhaustive diagnostic — cost is the audit's
+    job. Every component is a 1-row aggregate crossJoined (broadcast
+    1-row builds) onto the params relation; nothing is collected."""
+    emb = t(spark, sf_dir, "embeddings")
+    cand = _nd_candidates(emb)
+    pairs = sim_neardup_pairs(spark, sf_dir)
+    capped = pairs.filter(
+        (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP)
+    )
+    exact = sim_neardup_exact(spark, sf_dir)
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(_nd_params_rel(emb))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .crossJoin(capped.agg(F.count(F.lit(1)).alias("n_banded_cap")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_cap")))
+        .select(
+            "n_vectors",
+            "w",
+            "nb",
+            "n_candidates",
+            "n_pairs",
+            "n_banded_cap",
+            "n_exact_cap",
+            F.when(
+                F.col("n_exact_cap") > 0,
+                F.col("n_banded_cap").cast("double")
+                / F.col("n_exact_cap").cast("double"),
+            ).alias("recall_cap"),
+        )
     )
 
 
@@ -1689,6 +1769,7 @@ QUERIES = {
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_semantic_decontaminate": sim_semantic_decontaminate,
     "sim_neardup_exact": sim_neardup_exact,
+    "sim_neardup_recall_audit": sim_neardup_recall_audit,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_multiprobe_topk": sim_ann_multiprobe_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -2034,9 +2115,18 @@ ORACLES = {
         WITH e AS MATERIALIZED ({_E_CTE}),
         {_ND_PARAMS_CTE},
         {_ND_ADAPTIVE_BAND_CTES},
+        probes AS (
+          SELECT vec_id, band_idx,
+                 CASE WHEN j = 0 THEN band_key
+                      ELSE xor(band_key,
+                               CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER))
+                 END AS band_key
+          FROM bands, params, range(0, {ND_MAX_BITS + 1}) t(j)
+          WHERE j <= w
+        ),
         cand AS (
           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-          FROM bands a JOIN bands b
+          FROM probes a JOIN bands b
             ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.vec_id < b.vec_id
         )
@@ -2047,6 +2137,56 @@ ORACLES = {
         JOIN e eb ON eb.vec_id = c.vec_b
         WHERE {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm)
               >= {NEARDUP_COSINE}
+    """,
+    "sim_neardup_recall_audit": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        {_ND_PARAMS_CTE},
+        {_ND_ADAPTIVE_BAND_CTES},
+        probes AS (
+          SELECT vec_id, band_idx,
+                 CASE WHEN j = 0 THEN band_key
+                      ELSE xor(band_key,
+                               CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER))
+                 END AS band_key
+          FROM bands, params, range(0, {ND_MAX_BITS + 1}) t(j)
+          WHERE j <= w
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM probes a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.vec_id < b.vec_id
+        ),
+        pairs AS MATERIALIZED (
+          SELECT c.vec_a, c.vec_b
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_a
+          JOIN e eb ON eb.vec_id = c.vec_b
+          WHERE {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm)
+                >= {NEARDUP_COSINE}
+        ),
+        exact AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < {EXACT_CAP} AND b.vec_id < {EXACT_CAP}
+            AND {_DOT(d=DIM, a="a.v", b="b.v")} / (a.nrm * b.nrm)
+                >= {NEARDUP_COSINE}
+        )
+        SELECT (SELECT count(*) FROM e) AS n_vectors,
+               params.w AS w, params.nb AS nb,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM pairs) AS n_pairs,
+               (SELECT count(*) FROM pairs
+                 WHERE vec_a < {EXACT_CAP} AND vec_b < {EXACT_CAP})
+                   AS n_banded_cap,
+               (SELECT count(*) FROM exact) AS n_exact_cap,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN CAST((SELECT count(*) FROM pairs
+                                WHERE vec_a < {EXACT_CAP}
+                                  AND vec_b < {EXACT_CAP}) AS DOUBLE)
+                         / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+               END AS recall_cap
+        FROM params
     """,
     "sim_semantic_decontaminate": f"""
         WITH e AS MATERIALIZED ({_E_CTE}),

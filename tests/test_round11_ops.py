@@ -89,6 +89,89 @@ def test_audit_candidate_counts(spark, sf001_dir):
         assert abs(r["recall"] - r["n_hit"] / r["n_true"]) < 1e-12
 
 
+def test_neardup_multiprobe_candidates_superset_of_exactmatch(spark, sf001_dir):
+    """Hamming-≤1 probing can only ADD candidates over the exact-key
+    band join — every exact-key collision pair survives (the j = 0
+    identity probe), and the verified pair set therefore contains the
+    unprobed operating point's."""
+    from content_analytics_etl_spark.plans._util import t
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        DIM,
+        ND_MAX_BANDS,
+        ND_MAX_BITS,
+        _nd_candidates,
+        _nd_params_rel,
+    )
+    from content_analytics_etl_spark.operators.similarity import (
+        hyperplane_band_rows,
+    )
+
+    emb = t(spark, sf001_dir, "embeddings")
+    bands = hyperplane_band_rows(
+        emb, _nd_params_rel(emb), ND_MAX_BANDS, ND_MAX_BITS, DIM
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    exactmatch = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+        .collect()
+    }
+    probed = {
+        (r["vec_a"], r["vec_b"]) for r in _nd_candidates(emb).collect()
+    }
+    assert exactmatch < probed, "probing must strictly widen candidates"
+
+
+def test_neardup_recall_audit_consistency(spark, sf001_dir):
+    """The registered audit's counts agree with the relations they
+    summarize, and banded-under-cap ⊆ exact-under-cap keeps recall in
+    [0, 1]."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_neardup_exact,
+        sim_neardup_pairs,
+        sim_neardup_recall_audit,
+    )
+
+    row = sim_neardup_recall_audit(spark, sf001_dir).collect()[0]
+    assert row["n_pairs"] == sim_neardup_pairs(spark, sf001_dir).count()
+    assert row["n_exact_cap"] == sim_neardup_exact(spark, sf001_dir).count()
+    assert 0 <= row["n_banded_cap"] <= row["n_exact_cap"]
+    assert abs(row["recall_cap"] - row["n_banded_cap"] / row["n_exact_cap"]) < 1e-12
+
+
+def test_decontaminate_fixed_subset_semantics(spark, sf001_dir):
+    """With the eval cap above every driver-scale doc_id the fixed twin
+    equals the unsuffixed query; its hits are always a subset (smaller
+    eval set can only lose hits, and per-doc counts can only shrink)."""
+    from content_analytics_etl_spark.plans.dedup_queries import (
+        dedup_decontaminate,
+        dedup_decontaminate_fixed,
+    )
+
+    full = {
+        r["doc_id"]: (r["n_eval_hits"], r["max_shared"])
+        for r in dedup_decontaminate(spark, sf001_dir).collect()
+    }
+    fixed = {
+        r["doc_id"]: (r["n_eval_hits"], r["max_shared"])
+        for r in dedup_decontaminate_fixed(spark, sf001_dir).collect()
+    }
+    assert fixed, "driver-scale fixed eval set must flag something"
+    for doc, (hits, shared) in fixed.items():
+        assert doc in full
+        assert hits <= full[doc][0]
+        assert shared <= full[doc][1]
+
+
 def test_neardup_band_count_grows_planes_only_when_needed(spark):
     """The adaptive band relation emits exactly nb bands per vector —
     4 at anchor scale, more only past it (the plane-cut contract of

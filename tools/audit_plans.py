@@ -46,6 +46,9 @@ ALLOW_NESTED_LOOP = {
     "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "sim_neardup_pairs": "1-row corpus-count aggregate broadcast (scaled "
     "LSH band width w = clamp(8 + round(log2(N/2048)), 8, 15))",
+    "sim_neardup_recall_audit": "cross join of five 1-row count "
+    "aggregates (operating-point report) + sim_neardup_exact's "
+    "hard-capped exact baseline, which it measures by contract",
     "sim_mmr_diversify": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",

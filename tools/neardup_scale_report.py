@@ -48,10 +48,26 @@ def main() -> None:
     n_vec = emb.count()
     prow = _nd_params_rel(emb).collect()[0]
     w, nb = prow["w"], prow["nb"]
+    params = _nd_params_rel(emb)
     bands = hyperplane_band_rows(
-        emb, _nd_params_rel(emb), ND_MAX_BANDS, ND_MAX_BITS, DIM
+        emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM
     )
-    a, b = bands.alias("a"), bands.alias("b").hint("merge")
+    # Hamming-<=1 probe rows, mirroring sim_neardup_pairs exactly
+    probes = (
+        bands.crossJoin(F.broadcast(params.select("w")))
+        .select(
+            "vec_id",
+            "band_idx",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, w), j -> CASE WHEN j = 0 "
+                    "THEN band_key ELSE band_key ^ "
+                    "shiftleft(CAST(1 AS BIGINT), j - 1) END)"
+                )
+            ).alias("band_key"),
+        )
+    )
+    a, b = probes.alias("a"), bands.alias("b")
     n_cand = (
         a.join(
             b,
