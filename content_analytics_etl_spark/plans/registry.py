@@ -100,7 +100,9 @@ _MODULES = [
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     "dedup_decontaminate_fixed",
+    "doc_mink_prob",
     "sim_ann_recall_audit",
+    "sim_neardup_exact",
     "sim_neardup_recall_audit",
     "multimodal_gif_decode",
     "orders_open_backlog",
@@ -147,8 +149,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_simhash",
     "device_count_distinct",
     "device_count_rows",
-    "dim_scd2_upsert",
-    "doc_pack_sequences",
 ]
 
 

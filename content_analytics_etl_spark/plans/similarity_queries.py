@@ -86,7 +86,11 @@ NEARDUP_COSINE = 0.45
 SEMDECON_COSINE = 0.25  # looser than near-dup: eval leakage flags need recall
 QUERY_MOD = 50
 QUERY_CAP = 1000  # query set ≤ QUERY_CAP/QUERY_MOD = 20 rows at any scale
-EXACT_CAP = 1000  # sim_neardup_exact diagnostic: ≤ C(1000,2) pairs, ever
+# sim_neardup_exact diagnostic: ≤ C(3000,2) ≈ 4.5M pairs, ever. 1000
+# through round 10; raised in round 11 because the capped subpopulation
+# held only ~50 true pairs at the scratch scales, putting ±40% binomial
+# noise on the recall estimates the operating point is judged by.
+EXACT_CAP = 3000
 IVF_CELLS = 8
 IVF_NPROBE = 4
 KMEANS_K = 8
@@ -99,34 +103,39 @@ PQ_KS = 32  # sub-centroids per subspace (1-byte codes have room for 256)
 # the ANN buckets.
 ND_BANDS = 4
 ND_BAND_BITS = 8
-# Two-knob corpus-size scaling for the near-dup LSH (VERDICT r9 #2 +
-# r10 #1). Both knobs are the SAME integer Δ = round(log₂(N/anchor)),
-# a 1-row count aggregate both engines compute from the data:
+# Corpus-size scaling for the near-dup LSH — the round-11 measured
+# operating point (VERDICT r9 #2 → r10 #1 → the round-11 sweep):
 #
-# - band WIDTH w = clamp(8 + Δ, 8, 15): with a fixed width, random
-#   band collisions grow as N²/2^w (measured exp 1.12 sf1→sf3 at
-#   w = 8); 2^w ∝ N keeps expected candidates per band LINEAR in N
-#   (round 10 measured exp 0.63 with this knob alone).
-# - band COUNT nb = clamp(4 + Δ, 4, 12): round 10 also measured what
-#   the width knob SPENDS — each extra bit multiplies a true pair's
-#   per-band match probability by p (≈0.65 at cosine 0.45), and at a
-#   fixed 4 bands recall fell 0.27 → 0.023 across sf1→sf3. Growing the
-#   band count with the same Δ multiplies recall back by
-#   (1-(1-p^w)^nb)/(1-(1-p^w)^4) while total candidate cost stays
-#   ~nb·N ≈ N·log N — the production operating point VERDICT r10 #1
-#   asks for (cost-linear AND recall held within ~2× across a decade).
+# - band WIDTH w = clamp(8 + Δ, 8, 15), Δ = round(log₂(N/anchor)) from
+#   ONE count aggregate both engines compute: with a fixed width,
+#   random band collisions grow as N²/2^w (measured exp 1.12 sf1→sf3
+#   at w = 8); 2^w ∝ N keeps candidates per band LINEAR in N (round 10
+#   measured exp 0.63 with this knob alone).
+# - Hamming-≤1 MULTI-PROBE key matching carries the recall the width
+#   bits spend: per-band true-pair probability ×(1 + w·q/p) ≈ 5-8 at a
+#   (1 + w) candidate factor (Lv et al. 2007).
+# - band COUNT nb = 6, FIXED. Round 11 first implemented the knob
+#   VERDICT r10 #1 named — nb = clamp(4 + Δ, 4, 12) — and MEASURED it:
+#   with probing already multiplying per-pair cost by (1 + w) (which
+#   itself grows with Δ), also growing nb pushed the full-registry wall
+#   exponent to 1.47 sf1→sf3 while recall was already met. Per unit
+#   candidate cost, probing dominates band count (×5-8 recall for ×14
+#   cost vs ×2.25 for ×2.25), so the shipped point fixes nb and lets
+#   width hold cost and probing hold recall: candidates/decade =
+#   3 × (1+w growth ≈ 1.17) → exponent ~1.1, recall decay ≤ ~2×/decade
+#   (theory 0.67/0.31/0.16 at the three scratch scales; measured rows
+#   in SCALE.md round 11).
 #
-# The anchor is ≈ the sf0.1 corpus (2000 vectors), so driver scales
-# (sf0.001-0.1) keep w = 8, nb = 4 — bit-identical band keys and result
-# set to the round-10 operating point (band b owns planes
-# [15b, 15b+15) of the same md5 family; at nb = 4 only planes 0..59 are
-# generated). ND_MAX_BITS = 15 keeps every band signature inside a
-# signed BIGINT; ND_MAX_BANDS = 12 caps the plane family at 180 (the
-# width clamp saturates at the same Δ = 7-8, i.e. ~N = 260k-520k per
-# partition-set — past that both knobs are flat and candidates grow
-# N²/2^15, the documented ceiling of this family).
+# ND_MAX_BITS = 15 keeps every band signature inside a signed BIGINT
+# (band b owns planes [15b, 15b+15) of the md5 family; only planes for
+# bands < nb are generated). ND_MAX_BANDS = 12 caps the plane family;
+# the width clamp saturates at Δ = 7 (~N = 260k per partition-set) —
+# past that candidates grow N²/2^15, the documented ceiling of this
+# family, and the honest asymptote stands: holding recall at threshold
+# 0.45 costs N^(1+ρ), ρ ≈ 0.63, for ANY hyperplane-LSH knob setting.
 ND_MAX_BITS = 15
 ND_MAX_BANDS = 12
+ND_NB_FIXED = 6
 ND_WIDTH_ANCHOR = 2048
 PLANES = hyperplane_matrix(N_PLANES, DIM)
 # Multi-probe masks: the query's own bucket, every 1-bit flip, and
@@ -181,10 +190,13 @@ def _band_rows(bucketed: DataFrame) -> DataFrame:
 
 def _nd_params_rel(e: DataFrame) -> DataFrame:
     """1-row (w int, nb int) relation: the corpus-size-scaled band
-    width AND band count, both clamp(base + Δ) of the same
-    Δ = round(log₂(N/anchor)) (see the ND_MAX_BANDS comment).
-    Control-plane: a single count aggregate, broadcast onto the plane
-    relation and the band masking — never a driver value."""
+    width w = clamp(8 + Δ, 8, 15) with Δ = round(log₂(N/anchor)), and
+    the FIXED band count nb = ND_NB_FIXED (see the operating-point
+    comment at ND_MAX_BITS — growing nb alongside the probe factor
+    double-pays, measured wall exp 1.47). Control-plane: a single count
+    aggregate, broadcast onto the plane relation and the band masking —
+    never a driver value; nb stays in the relation so both engines and
+    every consumer read the knobs from one place."""
     delta = F.round(
         F.log2(F.col("n").cast("double") / F.lit(float(ND_WIDTH_ANCHOR)))
     ).cast("int")
@@ -193,7 +205,7 @@ def _nd_params_rel(e: DataFrame) -> DataFrame:
     )
     return e.agg(F.count(F.lit(1)).alias("n")).select(
         clamp(ND_BAND_BITS, ND_MAX_BITS).alias("w"),
-        clamp(ND_BANDS, ND_MAX_BANDS).alias("nb"),
+        F.lit(ND_NB_FIXED).cast("int").alias("nb"),
     )
 
 
@@ -237,31 +249,33 @@ def _nd_candidates(emb: DataFrame) -> DataFrame:
 
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at cosine ≥ 0.45 via banded hyperplane LSH with
-    corpus-size-scaled knobs (VERDICT r10 #1) plus Hamming-≤1
-    multi-probe banding (Lv et al. 2007): nb = clamp(4 + Δ, 4, 12)
-    bands of 15 md5-seeded planes each, every band keyed by the
-    low-w-bit prefix of its sign signature with w = clamp(8 + Δ, 8,
-    15), where Δ = round(log₂(N/2048)) is ONE count aggregate of the
-    corpus; candidates are pairs whose keys in some band agree exactly
-    OR differ in exactly one bit.
+    corpus-size-scaled width (VERDICT r10 #1) plus Hamming-≤1
+    multi-probe banding (Lv et al. 2007): nb = 6 fixed bands of 15
+    md5-seeded planes each, every band keyed by the low-w-bit prefix
+    of its sign signature with w = clamp(8 + Δ, 8, 15), where
+    Δ = round(log₂(N/2048)) is ONE count aggregate of the corpus;
+    candidates are pairs whose keys in some band agree exactly OR
+    differ in exactly one bit.
 
-    Why three knobs (measured, SCALE.md rounds 9-11): at fixed (4,
-    8-bit) bands candidates grow ~N²/2^w — exp 1.12 sf1→sf3. Widening
-    the bands (2^w ∝ N, round 10) made cost linear (exp 0.63) but each
-    extra bit multiplies a true pair's per-band match probability by
-    p ≈ 0.65 (at cosine 0.45), and recall@0.45 collapsed 0.27 → 0.023.
-    Growing band COUNT with the same Δ (round 11, first attempt) adds
-    recall only LINEARLY per band while width costs it geometrically —
-    measured 0.26 → 0.044 → 0.017, still collapsing. The standard
-    escape is probing: matching keys at Hamming distance ≤ 1 multiplies
-    a true pair's per-band probability by (1 + w·q/p) ≈ 5-8 (q = 1-p)
-    while random collisions only grow by the same (1+w) factor —
-    candidates stay ~nb·(1+w)·N ≈ N·log²N, and predicted recall holds
-    within ~1.5× per decade (0.52/0.35/0.23 at the three scratch
-    scales). No knob setting of THIS family does better asymptotically:
-    holding recall at threshold p with background p_bg = 0.5 costs
-    N^(1+ρ), ρ = ln(1/p)/ln(1/p_bg) ≈ 0.63 — the N·log²N point here is
-    the engineering compromise, documented rather than hidden.
+    Why this knob setting (measured, SCALE.md rounds 9-11): at fixed
+    (4, 8-bit) bands candidates grow ~N²/2^w — exp 1.12 sf1→sf3.
+    Widening the bands (2^w ∝ N, round 10) made cost linear (exp 0.63)
+    but each extra bit multiplies a true pair's per-band match
+    probability by p ≈ 0.65 (at cosine 0.45) and recall@0.45 collapsed
+    0.27 → 0.023. Growing band COUNT with the same Δ (round 11, first
+    attempt, as VERDICT r10 #1 named) adds recall only LINEARLY per
+    band while width costs it geometrically — measured 0.26 → 0.044 →
+    0.017, still collapsing. Hamming-≤1 probing multiplies a true
+    pair's per-band probability by (1 + w·q/p) ≈ 5-8 (q = 1-p) at a
+    (1 + w) random-collision factor; probing + Δ-grown band count
+    together then DOUBLE-pay (both factors grow with Δ — measured
+    full-registry wall exp 1.47 sf1→sf3), so the shipped point fixes
+    nb = 6: candidates ~6·(1+w)·N, exponent ~1.1, recall decay
+    ≤ ~2× per decade. No knob setting of THIS family does better
+    asymptotically: holding recall at threshold p with background
+    p_bg = 0.5 costs N^(1+ρ), ρ = ln(1/p)/ln(1/p_bg) ≈ 0.63 — the
+    shipped point is the engineering compromise, documented rather
+    than hidden.
 
     Mechanics: probe keys are generated from the band rows by one
     explode over sequence(0, w) (identity + w single-bit flips) against
@@ -364,7 +378,7 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIAGNOSTIC (declared quadratic-by-design, hard-capped input):
     exhaustive all-pairs cosine over the first ``EXACT_CAP`` vectors —
-    ≤ C(1000, 2) ≈ 5·10⁵ pairs regardless of corpus size. Exists to
+    ≤ C(3000, 2) ≈ 4.5·10⁶ pairs regardless of corpus size. Exists to
     measure ``sim_neardup_pairs`` recall and as the exact baseline;
     never the production path."""
     e = (
@@ -372,6 +386,11 @@ def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < EXACT_CAP)
         .select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("norm", l2_norm(F.col("v")))
+        # The capped relation often sits in 1-2 parquet partitions at
+        # small sf, which serializes the C(cap,2) verify loop onto as
+        # many tasks; spreading the BOUNDED (≤ cap rows) stream side
+        # keeps the diagnostic's quadratic work on all cores.
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -403,11 +422,34 @@ def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost posture matches ``sim_ann_recall_audit``: the audit re-runs
     candidate generation and verification (the relations it measures),
     plus the hard-capped exhaustive diagnostic — cost is the audit's
-    job. Every component is a 1-row aggregate crossJoined (broadcast
+    job. The candidate relation is built ONCE and referenced by both
+    the count and the verify branch (identical subtrees → Spark's
+    ReuseExchange serves the second branch from the first's shuffle
+    files). Every component is a 1-row aggregate crossJoined (broadcast
     1-row builds) onto the params relation; nothing is collected."""
     emb = t(spark, sf_dir, "embeddings")
     cand = _nd_candidates(emb)
-    pairs = sim_neardup_pairs(spark, sf_dir)
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb_"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb_"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
     capped = pairs.filter(
         (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP)
     )
@@ -1864,7 +1906,7 @@ _ND_BAND_SELECTS = "\n          UNION ALL ".join(
 )
 # Mirror of _nd_params_rel + hyperplane_band_rows: the same
 # Δ = round(log2(N/2048)) off count(*) drives both clamp(8+Δ, 8, 15)
-# width and clamp(4+Δ, 4, 12) band count; planes for bands ≥ nb are cut
+# width and the fixed nb = 6 band count; planes for bands ≥ nb are cut
 # in pl's WHERE (the oracle pays the same data-dependent dot work);
 # band signature = conditional power-of-two sum over plane_idx % 15;
 # band key = low-w-bit mask. round() ties can't occur (log2 of an
@@ -1877,8 +1919,7 @@ _ND_PARAMS_CTE = f"""
         params AS MATERIALIZED (
           SELECT LEAST({ND_MAX_BITS}, GREATEST({ND_BAND_BITS},
                        {ND_BAND_BITS} + {_ND_DELTA_SQL})) AS w,
-                 LEAST({ND_MAX_BANDS}, GREATEST({ND_BANDS},
-                       {ND_BANDS} + {_ND_DELTA_SQL})) AS nb
+                 {ND_NB_FIXED} AS nb
           FROM e
         )"""
 _ND_ADAPTIVE_BAND_CTES = f"""

@@ -2255,6 +2255,82 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINK_FRAC = 0.2  # Min-K%: the fraction of lowest-probability tokens
+
+
+def doc_mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% probability membership signal (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models"): per
+    document, the mean log₂ p(token) over the 20% (``MINK_FRAC``)
+    LOWEST-probability token occurrences under the corpus add-one
+    unigram LM. Documents whose rarest-token tail is still
+    high-probability read as memorized/duplicated material; the score
+    is the standard pretraining-data-detection statistic, here with the
+    corpus's own unigram LM standing in for the target model's token
+    probabilities (the LM is swappable — the plan only needs a
+    (token, logprob) relation).
+
+    Scale shape: rides the shared ``_lm_token_counts`` producer (no new
+    corpus explode). The k%-tail selection needs no per-occurrence
+    explode either: occurrences of one distinct (doc, token) share a
+    probability, so sorting the per-doc DISTINCT token rows by tf and
+    taking a cnt-weighted prefix is exact — one per-doc window over
+    |distinct tokens| rows (bounded by doc length), shuffle keyed on
+    doc_id. Per-row take = clamp(k − cum_before, 0, cnt) handles the
+    boundary token's partial inclusion.
+
+    Float determinism (PERF 8/13 policy): log2 over shared integers
+    snapped to the 9 dp grid; the weighted tail sum runs as an exact
+    DECIMAL(18,6) reduction; the only IEEE ops are one division by k
+    and one subtraction of the grid-snapped normalizer — bit-identical
+    under any partitioning and across engines."""
+    doc_tok = _lm_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("token"), F.col("x").alias("cnt")
+    )
+    tf = doc_tok.groupBy("token").agg(F.sum("cnt").alias("tf"))
+    tot = tf.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").asc(), F.col("token").asc())
+    cum = F.coalesce(
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    n_tokens = F.sum("cnt").over(W.partitionBy("doc_id"))
+    k = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.lit(MINK_FRAC) * n_tokens.cast("double")).cast("bigint"),
+    )
+    scored = doc_tok.join(F.broadcast(tf), "token").select(
+        "doc_id",
+        "cnt",
+        F.round(F.log2(F.col("tf").cast("double") + 1.0), 9).alias("l9"),
+        cum.alias("cum"),
+        n_tokens.alias("n_tokens"),
+        k.alias("k_used"),
+    )
+    take = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cnt"), F.col("k_used") - F.col("cum")),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("k_used").alias("k_used"),
+        F.sum((take.cast("double") * F.col("l9")).cast(DEC)).alias("_sc"),
+    )
+    return per_doc.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "k_used",
+        (
+            F.col("_sc").cast("double") / F.col("k_used").cast("double")
+            - F.round(
+                F.log2((F.col("n_total") + F.col("vocab")).cast("double")), 9
+            )
+        ).alias("mink_logprob_bits"),
+    )
+
+
 def corpus_bigram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram novelty curve over corpus order — the dataset-ordering
     diagnostic a curriculum/repetition review reads: per corpus-order
@@ -2331,6 +2407,7 @@ QUERIES = {
     "doc_source_distinctive_terms": doc_source_distinctive_terms,
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_mink_prob": doc_mink_prob,
     "doc_bigram_perplexity": doc_bigram_perplexity,
     "doc_kneser_ney_perplexity": doc_kneser_ney_perplexity,
     "doc_sparse_cosine_topk": doc_sparse_cosine_topk,
@@ -2455,6 +2532,52 @@ ORACLES = {
                      - sb / CAST(n_tokens AS DOUBLE) AS cross_entropy_bits,
                round(pow(2.0, round(log2(CAST(n_total + vocab AS DOUBLE)), 9)
                      - sb / CAST(n_tokens AS DOUBLE)), 6) AS perplexity
+        FROM per_doc CROSS JOIN tot
+    """,
+    "doc_mink_prob": f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+        ),
+        tf AS MATERIALIZED (
+          SELECT token, count(1) AS tf FROM tok GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(tf) AS BIGINT) AS n_total, count(1) AS vocab FROM tf
+        ),
+        doc_tok AS (
+          SELECT doc_id, token, count(1) AS cnt FROM tok GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT d.doc_id, d.cnt,
+                 round(log2(CAST(f.tf AS DOUBLE) + 1.0), 9) AS l9,
+                 COALESCE(SUM(d.cnt) OVER (
+                   PARTITION BY d.doc_id ORDER BY f.tf ASC, d.token ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS cum,
+                 SUM(d.cnt) OVER (PARTITION BY d.doc_id) AS n_tokens
+          FROM doc_tok d JOIN tf f USING (token)
+        ),
+        taken AS (
+          SELECT doc_id, cnt, l9, cum, n_tokens,
+                 GREATEST(CAST(1 AS BIGINT),
+                          CAST(ceil({MINK_FRAC} * CAST(n_tokens AS DOUBLE))
+                               AS BIGINT)) AS k_used
+          FROM scored
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+                 MAX(k_used) AS k_used,
+                 CAST(SUM(CAST(
+                   CAST(GREATEST(CAST(0 AS BIGINT),
+                                 LEAST(cnt, k_used - cum)) AS DOUBLE) * l9
+                   AS DECIMAL(18,6))) AS DOUBLE) AS sc
+          FROM taken GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, k_used,
+               sc / CAST(k_used AS DOUBLE)
+                 - round(log2(CAST(n_total + vocab AS DOUBLE)), 9)
+                     AS mink_logprob_bits
         FROM per_doc CROSS JOIN tot
     """,
     "doc_ngram_scrub": f"""

@@ -173,13 +173,14 @@ def test_novelty_decay_monotone_semantics(spark, sf_dir):
 
 
 def test_scaled_band_params_values(spark):
-    """Pin BOTH corpus-size-scaled LSH knobs at the corpus sizes the
-    scaling evidence cites: driver scales stay at (8 bits, 4 bands);
-    sf1/sf3 scratch sizes get (11, 7)/(13, 9); the clamps cap at
-    ND_MAX_BITS / ND_MAX_BANDS."""
+    """Pin the corpus-size-scaled LSH knobs at the corpus sizes the
+    scaling evidence cites: width stays 8 bits at driver scales,
+    11/13 at sf1/sf3 scratch sizes, clamped at ND_MAX_BITS; the band
+    count is FIXED at 6 everywhere (round-11 operating point — growing
+    it alongside the probe factor double-paid, wall exp 1.47)."""
     from content_analytics_etl_spark.plans.similarity_queries import (
-        ND_MAX_BANDS,
         ND_MAX_BITS,
+        ND_NB_FIXED,
         _nd_params_rel,
     )
 
@@ -188,12 +189,13 @@ def test_scaled_band_params_values(spark):
         row = _nd_params_rel(df).collect()[0]
         return row["w"], row["nb"]
 
-    assert params(20) == (8, 4)       # sf0.001
-    assert params(200) == (8, 4)      # sf0.01
-    assert params(2000) == (8, 4)     # sf0.1 (anchor)
-    assert params(20000) == (11, 7)   # sf1
-    assert params(60000) == (13, 9)   # sf3
-    assert params(20_000_000) == (ND_MAX_BITS, ND_MAX_BANDS)  # clamp
+    nb = ND_NB_FIXED
+    assert params(20) == (8, nb)       # sf0.001
+    assert params(200) == (8, nb)      # sf0.01
+    assert params(2000) == (8, nb)     # sf0.1 (anchor)
+    assert params(20000) == (11, nb)   # sf1
+    assert params(60000) == (13, nb)   # sf3
+    assert params(20_000_000) == (ND_MAX_BITS, nb)  # width clamp
 
 
 def test_neardup_banded_subset_of_exact(spark, sf001_dir):

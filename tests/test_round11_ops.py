@@ -172,9 +172,62 @@ def test_decontaminate_fixed_subset_semantics(spark, sf001_dir):
         assert shared <= full[doc][1]
 
 
+def test_mink_prob_tail_semantics(spark, sf001_dir):
+    """Min-K% invariants: k = max(1, ceil(0.2·n)); the tail mean is
+    never above the doc's overall mean log-prob (it averages the
+    LOWEST-probability fifth); scores are negative (log2 of p < 1);
+    and a Python recomputation from raw text agrees for a sample."""
+    import math
+    from collections import Counter
+
+    from content_analytics_etl_spark.plans._util import t
+    from content_analytics_etl_spark.plans.text_queries import (
+        MINK_FRAC,
+        doc_lm_perplexity,
+        doc_mink_prob,
+    )
+
+    rows = doc_mink_prob(spark, sf001_dir).collect()
+    assert rows
+    ppl = {
+        r["doc_id"]: r["cross_entropy_bits"]
+        for r in doc_lm_perplexity(spark, sf001_dir).collect()
+    }
+    for r in rows:
+        assert r["k_used"] == max(1, math.ceil(MINK_FRAC * r["n_tokens"]))
+        assert r["mink_logprob_bits"] < 0
+        # tail mean <= overall mean: -cross_entropy is the overall mean
+        assert r["mink_logprob_bits"] <= -ppl[r["doc_id"]] + 1e-9
+
+    # independent recomputation for 5 docs
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in t(spark, sf001_dir, "documents").limit(5).collect()
+    }
+    all_toks = [
+        tok
+        for d in t(spark, sf001_dir, "documents").collect()
+        for tok in d["text"].lower().split()
+        if tok
+    ]
+    tf = Counter(all_toks)
+    n_total, vocab = sum(tf.values()), len(tf)
+    norm = round(math.log2(n_total + vocab), 9)
+    by_id = {r["doc_id"]: r for r in rows}
+    for doc_id, text in docs.items():
+        toks = [x for x in text.lower().split() if x]
+        if not toks:
+            continue
+        lps = sorted(round(math.log2(tf[x] + 1), 9) for x in toks)
+        k = max(1, math.ceil(MINK_FRAC * len(toks)))
+        want = sum(lps[:k]) / k - norm
+        assert abs(by_id[doc_id]["mink_logprob_bits"] - want) < 1e-6
+
+
 def test_neardup_band_count_grows_planes_only_when_needed(spark):
     """The adaptive band relation emits exactly nb bands per vector —
-    4 at anchor scale, more only past it (the plane-cut contract of
+    ND_NB_FIXED everywhere since the round-11 operating point — and
+    never generates planes for bands ≥ nb (the plane-cut contract of
     hyperplane_band_rows)."""
     from content_analytics_etl_spark.operators.similarity import (
         hyperplane_band_rows,
@@ -197,9 +250,13 @@ def test_neardup_band_count_grows_planes_only_when_needed(spark):
     bands = hyperplane_band_rows(
         emb, _nd_params_rel(emb), ND_MAX_BANDS, ND_MAX_BITS, DIM
     )
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        ND_NB_FIXED,
+    )
+
     per_vec = bands.groupBy("vec_id").count().select("count").distinct().collect()
-    assert [r["count"] for r in per_vec] == [4]
+    assert [r["count"] for r in per_vec] == [ND_NB_FIXED]
     idx = sorted(
         r["band_idx"] for r in bands.select("band_idx").distinct().collect()
     )
-    assert idx == [0, 1, 2, 3]
+    assert idx == list(range(ND_NB_FIXED))

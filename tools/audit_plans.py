@@ -29,7 +29,7 @@ from content_analytics_etl_spark.session import get_spark  # noqa: E402
 #     subqueries, fixed centroid tables) — constant fan-out at any scale.
 ALLOW_NESTED_LOOP = {
     "sim_neardup_exact": "DIAGNOSTIC: exact all-pairs recall baseline, input "
-    "hard-capped at EXACT_CAP=1000 rows (linear twin: sim_neardup_pairs)",
+    "hard-capped at EXACT_CAP=3000 rows (linear twin: sim_neardup_pairs)",
     "sim_brute_topk": "exact top-k baseline, bounded (≤20-row) broadcast query side",
     "sim_ann_ivf_topk": "8-row centroid relation cross join (IVF assignment)",
     "kmeans_assign": "k-row centroid relation cross join (Lloyd assignment)",
@@ -42,6 +42,8 @@ ALLOW_NESTED_LOOP = {
     "graph_pagerank": "1-row node-count aggregate broadcast (rank seeding/teleport)",
     "doc_token_novelty": "1-row corpus-doc-count aggregate broadcast onto per-doc aggs",
     "doc_lm_perplexity": "1-row (n_total, vocab) model-size aggregate broadcast",
+    "doc_mink_prob": "inherits doc_lm_perplexity's 1-row (n_total, vocab) "
+    "model-size aggregate broadcast",
     "join_bloom_prefilter": "1-row 8-KiB bloom word-array broadcast onto the probe scan",
     "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "sim_neardup_pairs": "1-row corpus-count aggregate broadcast (scaled "
