@@ -99,6 +99,7 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "corpus_source_vocab_overlap",
     "dedup_decontaminate_fixed",
     "doc_mink_prob",
     "sim_ann_recall_audit",
@@ -148,7 +149,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard_prefix",
     "dedup_simhash",
     "device_count_distinct",
-    "device_count_rows",
 ]
 
 

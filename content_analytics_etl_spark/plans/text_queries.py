@@ -2255,6 +2255,58 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap matrix — the corpus-mix
+    diagnostic read before weighting sources independently: for every
+    ordered source pair (src_a < src_b) that shares at least one term,
+    the shared distinct-term count, both vocabulary sizes, Jaccard
+    |A∩B|/|A∪B|, and the overlap coefficient |A∩B|/min(|A|,|B|) (high
+    overlap-coef at low Jaccard marks a small source nested inside a
+    big one — syndication, the same signal `dedup_containment` gives
+    per document, here at source granularity).
+
+    Scale shape: rides ``_lm_token_counts`` (no new corpus explode);
+    the distinct (source, term) relation is |sources|·|vocab|-bounded,
+    the self-join fans out per term by the number of sources carrying
+    it (≤ |sources|, a catalog-sized constant), and the output is
+    ≤ C(|sources|, 2) rows. Divisions are single int/int IEEE ops —
+    bit-identical cross-engine; zero-shared pairs are absent by inner
+    join in BOTH engines."""
+    sv = _lm_token_counts(spark, sf_dir).select("source", "tok").distinct()
+    vocab = sv.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sv.select(F.col("source").alias("src_a"), "tok")
+    b = sv.select(F.col("source").alias("src_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    va = vocab.select(F.col("source").alias("src_a"), F.col("v").alias("v_a"))
+    vb = vocab.select(F.col("source").alias("src_b"), F.col("v").alias("v_b"))
+    return (
+        shared.join(va, "src_a")
+        .join(vb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "v_a",
+            "v_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("n_shared").cast("double")
+                / F.least("v_a", "v_b").cast("double")
+            ).alias("overlap_coef"),
+        )
+    )
+
+
 MINK_FRAC = 0.2  # Min-K%: the fraction of lowest-probability tokens
 
 
@@ -2408,6 +2460,7 @@ QUERIES = {
     "doc_winnow_overlap": doc_winnow_overlap,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_mink_prob": doc_mink_prob,
+    "corpus_source_vocab_overlap": corpus_source_vocab_overlap,
     "doc_bigram_perplexity": doc_bigram_perplexity,
     "doc_kneser_ney_perplexity": doc_kneser_ney_perplexity,
     "doc_sparse_cosine_topk": doc_sparse_cosine_topk,
@@ -2579,6 +2632,30 @@ ORACLES = {
                  - round(log2(CAST(n_total + vocab AS DOUBLE)), 9)
                      AS mink_logprob_bits
         FROM per_doc CROSS JOIN tot
+    """,
+    "corpus_source_vocab_overlap": f"""
+        WITH sv AS MATERIALIZED (
+          SELECT DISTINCT source, unnest({_TOKS_SQL}) AS tok
+          FROM documents
+        ),
+        vocab AS (
+          SELECT source, count(1) AS v FROM sv GROUP BY 1
+        ),
+        shared AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 count(1) AS n_shared
+          FROM sv a JOIN sv b ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT s.src_a, s.src_b, s.n_shared,
+               va.v AS v_a, vb.v AS v_b,
+               CAST(s.n_shared AS DOUBLE)
+                 / CAST(va.v + vb.v - s.n_shared AS DOUBLE) AS jaccard,
+               CAST(s.n_shared AS DOUBLE)
+                 / CAST(least(va.v, vb.v) AS DOUBLE) AS overlap_coef
+        FROM shared s
+        JOIN vocab va ON va.source = s.src_a
+        JOIN vocab vb ON vb.source = s.src_b
     """,
     "doc_ngram_scrub": f"""
         WITH base AS MATERIALIZED (

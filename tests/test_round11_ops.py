@@ -224,6 +224,33 @@ def test_mink_prob_tail_semantics(spark, sf001_dir):
         assert abs(by_id[doc_id]["mink_logprob_bits"] - want) < 1e-6
 
 
+def test_source_vocab_overlap_invariants(spark, sf001_dir):
+    """Set-algebra invariants of the source-pair overlap matrix:
+    0 < jaccard <= overlap_coef <= 1, n_shared <= min(v_a, v_b), and a
+    Python set recomputation agrees for one pair."""
+    from content_analytics_etl_spark.plans._util import t
+    from content_analytics_etl_spark.plans.text_queries import (
+        corpus_source_vocab_overlap,
+    )
+
+    rows = corpus_source_vocab_overlap(spark, sf001_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["n_shared"] <= min(r["v_a"], r["v_b"])
+        assert 0.0 < r["jaccard"] <= r["overlap_coef"] <= 1.0
+
+    r0 = rows[0]
+    vocab: dict[str, set] = {}
+    for d in t(spark, sf001_dir, "documents").collect():
+        toks = {x for x in d["text"].lower().split() if x}
+        vocab.setdefault(d["source"], set()).update(toks)
+    a, b = vocab[r0["src_a"]], vocab[r0["src_b"]]
+    assert r0["n_shared"] == len(a & b)
+    assert r0["v_a"] == len(a) and r0["v_b"] == len(b)
+    assert abs(r0["jaccard"] - len(a & b) / len(a | b)) < 1e-12
+
+
 def test_neardup_band_count_grows_planes_only_when_needed(spark):
     """The adaptive band relation emits exactly nb bands per vector —
     ND_NB_FIXED everywhere since the round-11 operating point — and
