@@ -105,6 +105,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_ann_recall_audit",
     "sim_neardup_exact",
     "sim_neardup_recall_audit",
+    "sim_range_search",
     "multimodal_gif_decode",
     "orders_open_backlog",
     "part_revenue_abc",
@@ -148,7 +149,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_prefix",
     "dedup_simhash",
-    "device_count_distinct",
 ]
 
 

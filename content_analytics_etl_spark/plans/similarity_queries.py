@@ -406,6 +406,72 @@ def sim_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the third ANN query shape next to top-k
+    and pair mining: for every vector of the bounded query subset, ALL
+    corpus vectors within cosine ≥ ``SEMDECON_COSINE``, with scores.
+    This is the hit-level view contamination review reads after
+    ``sim_semantic_decontaminate``'s per-train rollup flags a corpus:
+    which benchmark item leaked, where, and how close.
+
+    Unlike the rollup twin (which still runs the legacy fixed 4×8-bit
+    bucket path), candidates come from the corpus-size-scaled band
+    index WITH Hamming-≤1 probing — the same `hyperplane_band_rows` +
+    probe machinery as ``sim_neardup_pairs``, so the recall behavior
+    measured in SCALE.md round 11 carries over. The probe explode runs
+    on the QUERY side only (≤ 20·nb band rows at any corpus size), so
+    the corpus never pays the (1+w) factor: its band relation is built
+    once and the candidate join broadcasts the probed query keys — at
+    100 TB this is a map-side probe of a benchmark fingerprint table,
+    with exact cosine verification behind it."""
+    emb = t(spark, sf_dir, "embeddings")
+    params = _nd_params_rel(emb)
+    bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
+    qprobes = (
+        bands.filter(_query_side())
+        .crossJoin(F.broadcast(params.select("w")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band_idx",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, w), j -> CASE WHEN j = 0 "
+                    "THEN band_key ELSE band_key ^ "
+                    "shiftleft(CAST(1 AS BIGINT), j - 1) END)"
+                )
+            ).alias("band_key"),
+        )
+    )
+    cand = (
+        bands.filter(~_query_side())
+        .withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(qprobes), ["band_idx", "band_key"])
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    eq = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ec = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    return (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ec, "cand_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDECON_COSINE)
+    )
+
+
 def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row operating-point report for the near-dup LSH: corpus
     size, the data-derived (w, nb) knobs, candidate volume, verified
@@ -1812,6 +1878,7 @@ QUERIES = {
     "sim_semantic_decontaminate": sim_semantic_decontaminate,
     "sim_neardup_exact": sim_neardup_exact,
     "sim_neardup_recall_audit": sim_neardup_recall_audit,
+    "sim_range_search": sim_range_search,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_multiprobe_topk": sim_ann_multiprobe_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -2178,6 +2245,33 @@ ORACLES = {
         JOIN e eb ON eb.vec_id = c.vec_b
         WHERE {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm)
               >= {NEARDUP_COSINE}
+    """,
+    "sim_range_search": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        {_ND_PARAMS_CTE},
+        {_ND_ADAPTIVE_BAND_CTES},
+        qprobes AS (
+          SELECT vec_id AS query_id, band_idx,
+                 CASE WHEN j = 0 THEN band_key
+                      ELSE xor(band_key,
+                               CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER))
+                 END AS band_key
+          FROM bands, params, range(0, {ND_MAX_BITS + 1}) t(j)
+          WHERE j <= w AND ({_Q_SIDE})
+        ),
+        cand AS (
+          SELECT DISTINCT q.query_id, b.vec_id AS cand_id
+          FROM qprobes q JOIN bands b
+            ON q.band_idx = b.band_idx AND q.band_key = b.band_key
+          WHERE NOT (b.vec_id % {QUERY_MOD} = 0 AND b.vec_id < {QUERY_CAP})
+        )
+        SELECT c.query_id, c.cand_id,
+               {_DOT(d=DIM, a="eq.v", b="ec.v")} / (eq.nrm * ec.nrm) AS cosine
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.query_id
+        JOIN e ec ON ec.vec_id = c.cand_id
+        WHERE {_DOT(d=DIM, a="eq.v", b="ec.v")} / (eq.nrm * ec.nrm)
+              >= {SEMDECON_COSINE}
     """,
     "sim_neardup_recall_audit": f"""
         WITH e AS MATERIALIZED ({_E_CTE}),

@@ -224,6 +224,54 @@ def test_mink_prob_tail_semantics(spark, sf001_dir):
         assert abs(by_id[doc_id]["mink_logprob_bits"] - want) < 1e-6
 
 
+def test_range_search_is_verified_subset(spark, sf001_dir):
+    """Range-search hits verify the exact threshold (every emitted
+    cosine ≥ SEMDECON_COSINE), never include the query side as a
+    candidate, and the per-query hit sets are a subset of a brute-force
+    recomputation (LSH only prunes; it cannot invent hits)."""
+    from content_analytics_etl_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from content_analytics_etl_spark.operators.similarity import (
+        to_double_array,
+    )
+    from content_analytics_etl_spark.plans._util import t
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        SEMDECON_COSINE,
+        _query_side,
+        sim_range_search,
+    )
+
+    rows = sim_range_search(spark, sf001_dir).collect()
+    assert rows, "driver-scale range search must find hits"
+    emb = (
+        t(spark, sf001_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+    )
+    q = emb.filter(_query_side()).collect()
+    c = emb.filter(~_query_side()).collect()
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a["v"], b["v"]))
+        return d / (a["n"] * b["n"])
+
+    brute = {
+        (qq["vec_id"], cc["vec_id"])
+        for qq in q
+        for cc in c
+        if cos(qq, cc) >= SEMDECON_COSINE
+    }
+    got = {(r["query_id"], r["cand_id"]) for r in rows}
+    assert got <= brute
+    for r in rows:
+        assert r["cosine"] >= SEMDECON_COSINE
+        assert (r["cand_id"] % 50 != 0) or (r["cand_id"] >= 1000)
+    assert math.isfinite(rows[0]["cosine"])
+
+
 def test_source_vocab_overlap_invariants(spark, sf001_dir):
     """Set-algebra invariants of the source-pair overlap matrix:
     0 < jaccard <= overlap_coef <= 1, n_shared <= min(v_a, v_b), and a

@@ -51,6 +51,9 @@ ALLOW_NESTED_LOOP = {
     "sim_neardup_recall_audit": "cross join of five 1-row count "
     "aggregates (operating-point report) + sim_neardup_exact's "
     "hard-capped exact baseline, which it measures by contract",
+    "sim_range_search": "1-row params-relation broadcast onto the "
+    "bounded (≤20-row) query-side band rows; the corpus side joins "
+    "by key only",
     "sim_mmr_diversify": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
