@@ -88,67 +88,74 @@ _MODULES = [
 # after r09 consumed its first 22; its three alphabetically-last names
 # yield to the new queries and return next round).
 # Round-11 rotation: CORRECTNESS_r10 came back 50/50 (lifetime
-# 230/230), and the lifetime record is now CONTENT-KEYED (ADVICE r10,
+# 230/230), and the lifetime record became CONTENT-KEYED (ADVICE r10,
 # medium): each verdict carries a fingerprint of the query's plan
 # source + oracle SQL (tools/qfp.py), and rotate_window treats a
-# fingerprint mismatch as unverified — so the round-11 rewrites
-# (sim_neardup_pairs band-count scaling, sim_ann_ivfpq_topk re-rank,
-# sim_ann_recall_audit candidate counts) lead this window ahead of the
-# oldest-verdict fill (the r06/r07 cohorts: TPC-H + the agg family).
+# fingerprint mismatch as unverified.  (The original comment here
+# claimed the round-11 rewrites led that window; in fact their lifetime
+# records were pre-r11 bare ints with no fingerprint, so the drift rule
+# could not fire on them — the ADVICE r11 medium finding.)
+# Round-12 rotation: CORRECTNESS_r11 came back 50/50 (lifetime
+# 235/235), and fingerprint-LESS records are now themselves unverified
+# (ADVICE r11, medium): a pre-r11 bare-int record cannot prove the
+# verified content is the current content, so all 180 of them re-enter
+# the window oldest-round-first until re-hashed and stamped.  This
+# window is the first 50 of that backlog (the r03/r04-era cohorts:
+# joins, windows, set-ops, the early dedup/doc families).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    "corpus_source_vocab_overlap",
-    "dedup_decontaminate_fixed",
-    "doc_mink_prob",
-    "sim_ann_recall_audit",
-    "sim_neardup_exact",
-    "sim_neardup_recall_audit",
-    "sim_range_search",
-    "multimodal_gif_decode",
-    "orders_open_backlog",
-    "part_revenue_abc",
-    "pivot_explicit",
-    "sentinel_filter_3vl",
-    "sim_mmr_diversify",
-    "token_pmi_cooccurrence",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_volume",
-    "tpch_q12_priority_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_diversity",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    "tpch_q2_best_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "union_strategy2",
-    "agg_conditional",
-    "agg_cube",
-    "agg_family",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "corpus_token_budget_sample",
-    "date_funcs",
-    "dedup_clusters",
-    "dedup_decontaminate",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_prefix",
-    "dedup_simhash",
+    "device_count_distinct",
+    "device_count_rows",
+    "dim_scd2_upsert",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_source_distinctive_terms",
+    "doc_subword_counts",
+    "embedding_label_outliers",
+    "events_approx_distinct",
+    "events_asof_forward",
+    "events_sliding",
+    "events_tumbling",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_theta",
+    "kmeans_assign",
+    "monthly_revenue",
+    "multimodal_frame_plan",
+    "order_limit",
+    "pivot_nulls",
+    "setops_distinct",
+    "setops_except",
+    "setops_intersect",
+    "sim_brute_topk",
+    "sim_hard_negatives",
+    "star_fk_integrity",
+    "string_funcs",
+    "topk_per_group",
+    "warehouse_orc_roundtrip",
+    "window_lag",
+    "window_rank",
+    "window_running",
+    "corpus_dedup_rate_by_source",
+    "corpus_epoch_shuffle",
+    "corpus_quality_report",
+    "corpus_systematic_sample",
+    "dedup_block_exact",
+    "dedup_incremental",
+    "dedup_lsh_incremental",
+    "dedup_minhash_band_tuning",
+    "dedup_sorted_neighborhood",
+    "doc_bigram_perplexity",
+    "doc_blocklist_filter",
+    "doc_bm25_search",
+    "doc_domain_surprisal",
 ]
 
 

@@ -8,14 +8,21 @@ Policy (VERDICT r6 #1 — staleness rotation):
    CONTENT FINGERPRINT (tools/qfp.py: sha256 of plan source + oracle
    SQL) no longer matches the one recorded with its verdict — a
    rewritten query is unverified no matter how recent its green round;
+   since round 12 (ADVICE r11, medium) a fingerprint-LESS record
+   (pre-round-11 bare int) is also unverified: without a recorded
+   fingerprint the drift rule cannot fire, so a pre-r11 query rewritten
+   after its green round would otherwise silently stay "verified".
+   Unverified ordering: never-verified first, then fingerprint-drifted,
+   then fingerprint-less oldest-round-first (ties by name throughout).
 2. the remaining slots are filled with the queries whose most recent
    green driver verdict is OLDEST, ties broken by name.
 
 ``tools/lifetime_driver_verified.json`` records
 ``{name: {"r": last_green_round, "fp": fingerprint}}`` (bare-int values
-are pre-round-11 records without fingerprints, treated as verified
-until re-hashed).  With 230 queries and a 50-slot window, every query
-is re-hashed against the drifting tree every ~4-5 rounds.
+are pre-round-11 records without fingerprints; they re-enter the
+window until re-hashed and stamped).  With 235 queries and a 50-slot
+window, every query is re-hashed against the drifting tree every ~4-5
+rounds.
 
 Usage:
     python tools/rotate_window.py          # print the canonical 50 names
@@ -61,9 +68,9 @@ def lifetime_fps() -> dict[str, str]:
 
 
 def canonical_window(registered: list[str]) -> list[str]:
-    """Unverified-first (never verified OR content fingerprint drifted
-    since the recorded verdict), then oldest-verdict-first (ties by
-    name)."""
+    """Unverified-first (never verified, content fingerprint drifted
+    since the recorded verdict, or fingerprint-less pre-r11 record —
+    ADVICE r11 medium), then oldest-verdict-first (ties by name)."""
     sys.path.insert(0, HERE)
     from qfp import all_fingerprints
 
@@ -71,17 +78,25 @@ def canonical_window(registered: list[str]) -> list[str]:
     recorded_fp = lifetime_fps()
     current_fp = all_fingerprints()
 
-    def verified(n: str) -> bool:
+    def tier(n: str) -> tuple:
+        """Lower sorts earlier.  0 = never verified, 1 = fingerprint
+        drifted since verdict, 2 = fingerprint-less record (cannot
+        prove the verified content is the current content), 3 =
+        verified with matching fingerprint."""
         if n not in rounds:
-            return False
+            return (0, n)
         rec = recorded_fp.get(n)
-        # bare-int records (pre-round-11) carry no fingerprint: verified
-        # until the rotation re-hashes them and stamps one.
-        return rec is None or rec == current_fp.get(n)
+        if rec is None:
+            return (2, rounds[n], n)
+        if rec != current_fp.get(n):
+            return (1, n)
+        return (3, rounds[n], n)
 
-    unverified = sorted(n for n in registered if not verified(n))
+    unverified = sorted(
+        (n for n in registered if tier(n)[0] < 3), key=tier
+    )
     stale = sorted(
-        ((rounds[n], n) for n in registered if verified(n)),
+        ((rounds[n], n) for n in registered if tier(n)[0] == 3),
     )
     out = unverified[:WINDOW_SIZE]
     out += [n for _, n in stale[: WINDOW_SIZE - len(out)]]
