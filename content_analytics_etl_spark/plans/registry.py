@@ -100,12 +100,15 @@ _MODULES = [
 # (ADVICE r11, medium): a pre-r11 bare-int record cannot prove the
 # verified content is the current content, so all 180 of them re-enter
 # the window oldest-round-first until re-hashed and stamped.  This
-# window is the first 50 of that backlog (the r03/r04-era cohorts:
-# joins, windows, set-ops, the early dedup/doc families).
+# window leads with the round-12 additions (sim_neardup_clustered and
+# its audit — never verified), then the first 48 of that backlog
+# (the r03/r04-era cohorts: joins, windows, set-ops, early dedup/doc).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "sim_neardup_clustered",
+    "sim_neardup_clustered_audit",
     "device_count_distinct",
     "device_count_rows",
     "dim_scd2_upsert",
@@ -154,8 +157,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_sorted_neighborhood",
     "doc_bigram_perplexity",
     "doc_blocklist_filter",
-    "doc_bm25_search",
-    "doc_domain_surprisal",
 ]
 
 

@@ -1053,6 +1053,228 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(report, m)
 
 
+# --- clustered (SemDeDup-posture) near-dup pair mining --------------------
+# VERDICT r11 #1: the hyperplane-LSH family provably cannot hold recall
+# at linear cost (N^(1+rho), rho ~ 0.63 — PERF 67); partition-then-scan
+# is not subject to that bound.  With k = round(sqrt(f·N)) cells and
+# nearest-CLUS_PROBE (= p) assignment, both cost terms are N^1.5·dim —
+# assignment N·k = sqrt(f)·N^1.5 row-local distances, within-cell pair
+# scan ~(p²/sqrt(f))·N^1.5 candidates — and the (p, f) knobs trade
+# recall against the constants.  The round-12 ladder (evidence/r12/,
+# all at .scratch/sf3, N = 60k, exact truth 412 pairs): (p=2, f=2)
+# 20.9M candidates recall 0.291; (3, 8) 23.4M → 0.524; (4, 32) 20.8M →
+# 0.769; (5, 50) 25.8M → 0.867; (6, 72) 30.8M → 0.932.  At a ~fixed
+# candidate budget, splitting FINER and probing MORE cells strictly
+# wins — each probe is an independent chance for a true pair to share
+# a cell, and finer cells waste fewer candidates per probe.  Shipped
+# point (5, 50): the LSH's own sf3 candidate budget (26.5M) bought
+# recall 0.187 there vs 0.867 here, and recall RISES with N (0.665 /
+# 0.711 / 0.867 at 2k/20k/60k) instead of halving per decade — cells
+# grow as sqrt(N), so the probed neighborhood widens with the corpus.
+# At true 100-TB scale the standard move is a TWO-level quantizer
+# (assign against sqrt(k) super-cells first) with FIXED target cell
+# size, which makes both terms linear and keeps this plan's shape; the
+# knob, not the plan, changes.  CLUS_K_CAP bounds the broadcast
+# centroid matrix (65536 × 64 doubles = 33 MB) — it binds at
+# N ≈ 86M, past which the single-level design degenerates and the
+# two-level variant is the documented path.
+CLUS_PROBE = 5
+CLUS_K_FACTOR = 50.0
+CLUS_K_MIN = 8
+CLUS_K_CAP = 65536
+
+
+def _clus_params_rel(e: DataFrame) -> DataFrame:
+    """1-row (k int) relation: k = clamp(round(sqrt(f·N)), 8, 65536)
+    from ONE count aggregate — the `_nd_params_rel` pattern; never a
+    driver value.  round() ties cannot occur (sqrt(f·N) lands on .5
+    only if f·N = (m+1/2)², never an integer for integer f·N), so
+    HALF_UP vs half-away agree cross-engine."""
+    k = F.round(
+        F.sqrt(F.lit(CLUS_K_FACTOR) * F.col("n").cast("double"))
+    ).cast("int")
+    return e.agg(F.count(F.lit(1)).alias("n")).select(
+        F.greatest(
+            F.lit(CLUS_K_MIN), F.least(F.lit(CLUS_K_CAP), k)
+        ).alias("k")
+    )
+
+
+def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
+    """(vec_id, cid) rows, ≤ CLUS_PROBE per vector: the CLUS_PROBE
+    nearest of the k lowest-vec_id vectors (Lloyd's deterministic
+    init, the ``kmeans_assign`` contract; a 3-round Lloyd fit was
+    measured at +0.035 recall for 3× assignment cost and a dynamic-k
+    unrolled oracle — not worth it next to the (p, f) ladder).
+
+    Scale shape: the centroid matrix rides in as ONE collect_list row
+    (order-irrelevant — the per-row sort below imposes the total
+    order), broadcast onto the corpus; per-row distances are computed
+    inside a ``transform`` lambda and the 2 winners taken by
+    ``array_sort`` + ``slice`` — lexicographic (d2, cid) struct order
+    is exactly the (d2 ASC, cid ASC) tie rule of ``assign_clusters``'s
+    window.  NO N·k row explosion and NO corpus-wide window shuffle:
+    the relational crossJoin+window form would push N·k rows through a
+    partitionBy(vec_id) exchange, which at k ∝ sqrt(N) is N^1.5 rows
+    shuffled — this form shuffles nothing."""
+    cent = (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+            # |c|² once per centroid, not once per (row, centroid) —
+            # the transform lambda below runs N·k times and the fold
+            # dots are its whole cost; hoisting |v|² and |c|² cuts the
+            # per-cell work from 3·dim to dim multiply-adds. Same fold
+            # → bit-identical d2 values, so the oracle needs no change.
+            dot_product(F.col("v"), F.col("v")).alias("cn2"),
+        )
+    )
+    cmat = cent.agg(F.collect_list(F.struct("cid", "cv", "cn2")).alias("cmat"))
+
+    def _cand(c):
+        # same operation ORDER as assign_clusters: (v·v − 2·v·c) + c·c
+        d2 = (
+            F.col("n2")
+            - 2.0 * dot_product(F.col("v"), c["cv"])
+            + c["cn2"]
+        )
+        return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+
+    return (
+        e.select(
+            "vec_id", "v", dot_product(F.col("v"), F.col("v")).alias("n2")
+        )
+        .crossJoin(F.broadcast(cmat))
+        .select(
+            "vec_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(F.transform(F.col("cmat"), _cand)),
+                    1,
+                    CLUS_PROBE,
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.cid").alias("cid"))
+    )
+
+
+def _clus_cand_pairs(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(candidates, verified pairs) of the clustered near-dup scan —
+    shared verbatim by ``sim_neardup_clustered`` (the query) and
+    ``sim_neardup_clustered_audit`` (which also counts both relations).
+    ``e`` carries (vec_id, v, nrm)."""
+    asg = _clus_assign(e, _clus_params_rel(e))
+    a = asg.select("cid", F.col("vec_id").alias("vec_a"))
+    b = asg.select("cid", F.col("vec_id").alias("vec_b")).hint("merge")
+    cand = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na_"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb_"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+    )
+    return cand, pairs
+
+
+def sim_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at cosine ≥ 0.45 via CLUSTER-SCOPED exact scan —
+    the SemDeDup posture (Abbas et al. 2023) applied to pair MINING,
+    the measured alternative VERDICT r11 #1 asked for: assign every
+    vector to its ``CLUS_PROBE`` = 5 nearest of k = round(sqrt(50·N))
+    fixed-init k-means cells, emit pairs sharing ≥ 1 cell, verify by
+    exact cosine.  Same (vec_a, vec_b, cosine) contract as
+    ``sim_neardup_pairs`` so the two methods are directly comparable;
+    ``sim_neardup_clustered_audit`` carries the head-to-head recall
+    numbers and SCALE.md round 12 the decision.
+
+    Why this escapes the LSH family's bound: hyperplane LSH must hold
+    per-pair collision probability against a 0.5-per-bit background —
+    recall at threshold decays geometrically in the key width that
+    keeps cost linear (PERF 67's N^(1+rho) floor).  Partition-then-scan
+    has no per-bit background: recall is the probability that a true
+    pair shares one of the p·p probed-cell intersections (measured
+    RISING in N — 0.665/0.711/0.867 at 2k/20k/60k, evidence/r12/ —
+    because sqrt(N)-sized cells widen the probed neighborhood as the
+    corpus grows), and cost is the probed-cell pair scan, tunable by
+    (p, f) alone.  The trade is cost exponent ~1.5 (single-level;
+    two-level quantization with fixed cell size makes it linear at
+    production scale) for recall that does NOT decay with N — the
+    opposite corner from the LSH point (cost exp 0.94, recall ~halving
+    per decade), at the SAME candidate budget at the largest measured
+    scale.
+
+    Candidate generation is an equi-join on cid (one shuffle of 2N
+    compact rows per side); the audit plan-gate bans apply (no
+    cartesian, no row UDFs, no data-sized collect)."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    _, pairs = _clus_cand_pairs(e)
+    return pairs
+
+
+def sim_neardup_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row operating-point report for the clustered near-dup path —
+    ``sim_neardup_recall_audit``'s twin, same columns with k in place
+    of (w, nb), so every BENCH/SCALE capture carries BOTH methods'
+    (candidates, pairs, recall@0.45) side by side and the 100-TB
+    default is re-decidable from the record each round.  Recall is
+    measured on the identical ``vec_id < EXACT_CAP`` subpopulation
+    against the same ``sim_neardup_exact`` truth set."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    cand, pairs = _clus_cand_pairs(e)
+    capped = pairs.filter(
+        (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP)
+    )
+    exact = sim_neardup_exact(spark, sf_dir)
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(_clus_params_rel(e))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .crossJoin(capped.agg(F.count(F.lit(1)).alias("n_banded_cap")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_cap")))
+        .select(
+            "n_vectors",
+            "k",
+            "n_candidates",
+            "n_pairs",
+            "n_banded_cap",
+            "n_exact_cap",
+            F.when(
+                F.col("n_exact_cap") > 0,
+                F.col("n_banded_cap").cast("double")
+                / F.col("n_exact_cap").cast("double"),
+            ).alias("recall_cap"),
+        )
+    )
+
+
 MMR_LAMBDA = 0.7
 MMR_POOL = 10
 MMR_SELECT = 3
@@ -1887,6 +2109,8 @@ QUERIES = {
     "embedding_pq_train": embedding_pq_train,
     "kmeans_assign": kmeans_assign,
     "sim_semdedup": sim_semdedup,
+    "sim_neardup_clustered": sim_neardup_clustered,
+    "sim_neardup_clustered_audit": sim_neardup_clustered_audit,
     "sim_mmr_diversify": sim_mmr_diversify,
     "embedding_power_iteration": embedding_power_iteration,
     "embedding_pca_top2": embedding_pca_top2,
@@ -1988,6 +2212,38 @@ _ND_PARAMS_CTE = f"""
                        {ND_BAND_BITS} + {_ND_DELTA_SQL})) AS w,
                  {ND_NB_FIXED} AS nb
           FROM e
+        )"""
+# Mirror of _clus_params_rel / _clus_assign / _clus_cand_pairs (the
+# clustered near-dup path): expects a preceding ``e`` CTE with
+# (vec_id, v, nrm).
+_CLUS_D2 = (
+    f"{_DOT(d=DIM, a='e.v', b='e.v')}"
+    f" - 2.0 * {_DOT(d=DIM, a='e.v', b='c.cv')}"
+    f" + {_DOT(d=DIM, a='c.cv', b='c.cv')}"
+)
+_CLUS_CTES = f"""
+        cparams AS MATERIALIZED (
+          SELECT GREATEST({CLUS_K_MIN}, LEAST({CLUS_K_CAP},
+                 CAST(round(sqrt(50.0 * count(*))) AS INTEGER))) AS k
+          FROM e
+        ),
+        cent AS MATERIALIZED (
+          SELECT CAST(e.vec_id AS INTEGER) AS cid, e.v AS cv
+          FROM e, cparams WHERE e.vec_id < cparams.k
+        ),
+        asg AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_CLUS_D2} ASC, c.cid) AS rk
+            FROM e CROSS JOIN cent c
+          ) WHERE rk <= {CLUS_PROBE}
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM asg a JOIN asg b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
         )"""
 _ND_ADAPTIVE_BAND_CTES = f"""
         pl AS MATERIALIZED (
@@ -2347,6 +2603,57 @@ ORACLES = {
         )
         SELECT train_id, count(1) AS n_eval_hits, max(cosine) AS max_cosine
         FROM hits GROUP BY train_id
+    """,
+# Mirror of _clus_params_rel + _clus_assign + _clus_cand_pairs: the
+# same k = clamp(round(sqrt(50·N)), 8, 65536) off count(*), centroids =
+# the k lowest-vec_id vectors, per-vector rank-≤2 window on the
+# IDENTICAL (v·v − 2·v·c) + c·c expression (ties → lowest cid — the
+# Spark side's lexicographic (d2, cid) struct sort), same-cid pair
+# join, exact-cosine verify at the shared threshold.
+"sim_neardup_clustered": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        {_CLUS_CTES}
+        SELECT c.vec_a, c.vec_b,
+               {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm)
+              >= {NEARDUP_COSINE}
+    """,
+    "sim_neardup_clustered_audit": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        {_CLUS_CTES},
+        pairs AS MATERIALIZED (
+          SELECT c.vec_a, c.vec_b
+          FROM cand c
+          JOIN e ea ON ea.vec_id = c.vec_a
+          JOIN e eb ON eb.vec_id = c.vec_b
+          WHERE {_DOT(d=DIM, a="ea.v", b="eb.v")} / (ea.nrm * eb.nrm)
+                >= {NEARDUP_COSINE}
+        ),
+        exact AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < {EXACT_CAP} AND b.vec_id < {EXACT_CAP}
+            AND {_DOT(d=DIM, a="a.v", b="b.v")} / (a.nrm * b.nrm)
+                >= {NEARDUP_COSINE}
+        )
+        SELECT (SELECT count(*) FROM e) AS n_vectors,
+               cparams.k AS k,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM pairs) AS n_pairs,
+               (SELECT count(*) FROM pairs
+                 WHERE vec_a < {EXACT_CAP} AND vec_b < {EXACT_CAP})
+                   AS n_banded_cap,
+               (SELECT count(*) FROM exact) AS n_exact_cap,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN CAST((SELECT count(*) FROM pairs
+                                WHERE vec_a < {EXACT_CAP}
+                                  AND vec_b < {EXACT_CAP}) AS DOUBLE)
+                         / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+               END AS recall_cap
+        FROM cparams
     """,
     "sim_neardup_exact": f"""
         WITH e AS (

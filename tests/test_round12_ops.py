@@ -1,0 +1,79 @@
+"""Round-12 additions: the clustered (SemDeDup-posture) near-dup pair
+finder — the measured head-to-head alternative to the hyperplane LSH
+(VERDICT r11 #1)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_clus_assign_emits_probe_rows_per_vector(spark, sf001_dir):
+    """Every vector gets exactly min(CLUS_PROBE, k) cell assignments,
+    and every assigned cid is a valid centroid id (< k)."""
+    from content_analytics_etl_spark.functions.vectors import (
+        l2_norm,
+        to_double_array,
+    )
+    from content_analytics_etl_spark.plans._util import t
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        CLUS_PROBE,
+        _clus_assign,
+        _clus_params_rel,
+    )
+
+    e = (
+        t(spark, sf001_dir, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    k = _clus_params_rel(e).collect()[0]["k"]
+    asg = _clus_assign(e, _clus_params_rel(e))
+    per_vec = asg.groupBy("vec_id").count().collect()
+    want = min(CLUS_PROBE, k)
+    assert per_vec and all(r["count"] == want for r in per_vec)
+    assert asg.filter((F.col("cid") < 0) | (F.col("cid") >= k)).count() == 0
+
+
+def test_clustered_pairs_subset_of_exact_on_cap(spark, sf001_dir):
+    """Candidate filtering can only LOSE pairs: under the EXACT_CAP
+    subpopulation, every clustered pair must appear in the exhaustive
+    scan's result (same threshold), i.e. recall_cap ≤ 1 by set
+    containment, not just by count ratio."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        EXACT_CAP,
+        sim_neardup_clustered,
+        sim_neardup_exact,
+    )
+
+    clus = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim_neardup_clustered(spark, sf001_dir)
+        .filter((F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP))
+        .collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim_neardup_exact(spark, sf001_dir).collect()
+    }
+    assert clus <= exact
+    assert clus, "clustered path must find at least one pair at sf0.001"
+
+
+def test_clustered_audit_consistent_with_query(spark, sf001_dir):
+    """The one-row audit's counts must agree with the query it audits
+    and with the exact diagnostic — no drift between the counted and
+    the served relations."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_neardup_clustered,
+        sim_neardup_clustered_audit,
+        sim_neardup_exact,
+    )
+
+    row = sim_neardup_clustered_audit(spark, sf001_dir).collect()[0]
+    n_pairs = sim_neardup_clustered(spark, sf001_dir).count()
+    n_exact = sim_neardup_exact(spark, sf001_dir).count()
+    assert row["n_pairs"] == n_pairs
+    assert row["n_exact_cap"] == n_exact
+    assert row["n_candidates"] >= row["n_pairs"]
+    if row["n_exact_cap"]:
+        assert 0.0 <= row["recall_cap"] <= 1.0

@@ -58,6 +58,13 @@ ALLOW_NESTED_LOOP = {
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
     "sim_semdedup": "k-row centroid relation cross join (Lloyd assignment)",
+    "sim_neardup_clustered": "two 1-row broadcasts (count-derived k "
+    "params; collect_list centroid matrix, O(k·dim) by construction) — "
+    "assignment is row-local, candidates are a cid equi-join",
+    "sim_neardup_clustered_audit": "cross join of five 1-row count "
+    "aggregates (operating-point report) + sim_neardup_clustered's "
+    "1-row broadcasts + sim_neardup_exact's hard-capped exact "
+    "baseline, which it measures by contract",
     "corpus_mix_rebalance": "two 1-row total aggregates broadcast onto the "
     "|source|x|lang| cell table",
     "events_distinct_sketch_rollup": "cross join of two 1-row aggregates "
