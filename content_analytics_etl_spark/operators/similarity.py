@@ -232,11 +232,13 @@ def hyperplane_band_rows(
     Band ``b`` owns plane indices ``[b·band_bits, (b+1)·band_bits)`` of
     the md5-seeded family (``hyperplane_matrix`` formula), its signature
     is the sign-bit integer of those plane dots, and its key is the
-    signature's low ``w`` bits. Only planes for bands ``< nb`` are ever
-    generated: the plane relation is built at ``max_bands·band_bits``
-    rows and filtered by the broadcast ``nb`` BEFORE the explode join,
-    so the dot work is ``n·dim·nb·band_bits`` — the signature cost
-    scales with the data-dependent band count, not the static maximum.
+    signature's low ``w`` bits. Only planes for bands ``< nb`` AND
+    in-key positions ``< w`` are ever generated: the plane relation is
+    built at ``max_bands·band_bits`` rows and filtered by the broadcast
+    ``(nb, w)`` BEFORE the explode join, so the dot work is
+    ``n·dim·nb·w`` — the signature cost scales with the data-dependent
+    knobs, not the static maxima (which only fix the family LAYOUT:
+    band b owns plane indices [b·band_bits, (b+1)·band_bits)).
     Unlike ``hyperplane_bucket_agg`` there is no packed single-BIGINT
     bucket (max_bands·band_bits may exceed 63 bits); bands are emitted
     directly as rows, which is the shape every banded-LSH consumer
@@ -278,10 +280,16 @@ def hyperplane_band_rows(
             .alias("pval"),
         )
         # data-dependent plane-count cut: bands ≥ nb never reach the
-        # explode join, so their dot cost is never paid
-        .crossJoin(F.broadcast(params_rel.select("nb")))
-        .filter(F.col("plane_idx") < F.col("nb") * band_bits)
-        .drop("nb")
+        # explode join, and neither do planes ≥ w WITHIN a band (their
+        # sign bits would be masked off the key anyway — round 12, the
+        # cut that makes a large band_bits ceiling free: dot work is
+        # n·dim·nb·w, not n·dim·nb·band_bits)
+        .crossJoin(F.broadcast(params_rel.select("nb", "w")))
+        .filter(
+            (F.col("plane_idx") < F.col("nb") * band_bits)
+            & (F.col("plane_idx") % band_bits < F.col("w"))
+        )
+        .drop("nb", "w")
     )
     dots = (
         ex.join(F.broadcast(pl), "pos")

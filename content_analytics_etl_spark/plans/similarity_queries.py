@@ -91,8 +91,11 @@ QUERY_CAP = 1000  # query set ≤ QUERY_CAP/QUERY_MOD = 20 rows at any scale
 # held only ~50 true pairs at the scratch scales, putting ±40% binomial
 # noise on the recall estimates the operating point is judged by.
 EXACT_CAP = 3000
+# IVF_CELLS survives only as the embedding_kmeans trainer's k (its
+# unrolled oracle inits from the k lowest vec_ids); the SERVING IVF
+# family's cell count and probe depth are data-derived since round 12
+# (_ivf_params_rel: cells = sqrt(N), nprobe = 3.4*sqrt(cells)).
 IVF_CELLS = 8
-IVF_NPROBE = 4
 KMEANS_K = 8
 PQ_M = 4  # subspaces
 PQ_SUB_DIM = DIM // PQ_M
@@ -106,7 +109,7 @@ ND_BAND_BITS = 8
 # Corpus-size scaling for the near-dup LSH — the round-11 measured
 # operating point (VERDICT r9 #2 → r10 #1 → the round-11 sweep):
 #
-# - band WIDTH w = clamp(8 + Δ, 8, 15), Δ = round(log₂(N/anchor)) from
+# - band WIDTH w = clamp(8 + Δ, 8, 27), Δ = round(log₂(N/anchor)) from
 #   ONE count aggregate both engines compute: with a fixed width,
 #   random band collisions grow as N²/2^w (measured exp 1.12 sf1→sf3
 #   at w = 8); 2^w ∝ N keeps candidates per band LINEAR in N (round 10
@@ -126,14 +129,20 @@ ND_BAND_BITS = 8
 #   (theory 0.67/0.31/0.16 at the three scratch scales; measured rows
 #   in SCALE.md round 11).
 #
-# ND_MAX_BITS = 15 keeps every band signature inside a signed BIGINT
-# (band b owns planes [15b, 15b+15) of the md5 family; only planes for
-# bands < nb are generated). ND_MAX_BANDS = 12 caps the plane family;
-# the width clamp saturates at Δ = 7 (~N = 260k per partition-set) —
-# past that candidates grow N²/2^15, the documented ceiling of this
-# family, and the honest asymptote stands: holding recall at threshold
-# 0.45 costs N^(1+ρ), ρ ≈ 0.63, for ANY hyperplane-LSH knob setting.
-ND_MAX_BITS = 15
+# ND_MAX_BITS = 27 (round 12, VERDICT r11 #2 — was 15): the family
+# LAYOUT constant (band b owns planes [27b, 27b+27) of the md5 family)
+# and the width clamp's ceiling.  At 15 the clamp saturated at Δ = 7
+# (N ≈ 260k) — an un-lifted engineering constant far below target
+# scale; at 27 it saturates at Δ = 19 (N ≈ 10⁹), and keys stay well
+# inside a signed BIGINT.  Raising the ceiling is FREE at small N:
+# only planes for bands < nb AND in-key positions < w are ever
+# generated (hyperplane_band_rows cuts the plane relation by the
+# broadcast (nb, w) before the explode join), so the dot work is
+# n·dim·nb·w — it tracks the data-derived width, not this maximum.
+# The honest asymptote still stands: holding recall at threshold 0.45
+# costs N^(1+ρ), ρ ≈ 0.63, for ANY hyperplane-LSH knob setting — the
+# scale-path default is the clustered finder (SCALE.md round 12).
+ND_MAX_BITS = 27
 ND_MAX_BANDS = 12
 ND_NB_FIXED = 6
 ND_WIDTH_ANCHOR = 2048
@@ -190,7 +199,7 @@ def _band_rows(bucketed: DataFrame) -> DataFrame:
 
 def _nd_params_rel(e: DataFrame) -> DataFrame:
     """1-row (w int, nb int) relation: the corpus-size-scaled band
-    width w = clamp(8 + Δ, 8, 15) with Δ = round(log₂(N/anchor)), and
+    width w = clamp(8 + Δ, 8, 27) with Δ = round(log₂(N/anchor)), and
     the FIXED band count nb = ND_NB_FIXED (see the operating-point
     comment at ND_MAX_BITS — growing nb alongside the probe factor
     double-pays, measured wall exp 1.47). Control-plane: a single count
@@ -252,7 +261,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-size-scaled width (VERDICT r10 #1) plus Hamming-≤1
     multi-probe banding (Lv et al. 2007): nb = 6 fixed bands of 15
     md5-seeded planes each, every band keyed by the low-w-bit prefix
-    of its sign signature with w = clamp(8 + Δ, 8, 15), where
+    of its sign signature with w = clamp(8 + Δ, 8, 27), where
     Δ = round(log₂(N/2048)) is ONE count aggregate of the corpus;
     candidates are pairs whose keys in some band agree exactly OR
     differ in exactly one bit.
@@ -567,21 +576,74 @@ def _lsh_bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_materialized(spark, f"ann_lsh_buckets:{fp}", build)
 
 
+def _ivf_params_rel(e: DataFrame) -> DataFrame:
+    """1-row (cells int, nprobe int) relation for the IVF family —
+    VERDICT r11 #3: a FIXED cell count makes each probed cell N/8 and
+    the nprobe-of-8 shape quietly degenerates to a half-corpus scan
+    (measured: per-query candidates 1017 → 10.1k across one decade,
+    evidence/r12/ANN_FRONTIER_before.json). cells = clamp(round(√N),
+    8, 65536) holds per-cell size to √N; nprobe = clamp(round(3.4·
+    √cells), 4, 256) is the measured operating point: 3.4 is the
+    constant that holds recall@10 at the r10/r11 bar (~0.75) across
+    both scratch decades on this corpus (the nprobe ladder,
+    evidence/r12/IVF_NPROBE_ladder.json — recall tracks the probed
+    fraction here because the vectors are near-random; real clustered
+    corpora saturate much earlier), giving candidates ≈ nprobe·N/cells
+    ∝ N^0.75 — sublinear — while the matched-budget frontier strictly
+    dominates the fixed-8-cell design (0.77 vs 0.735 at ~1k
+    candidates; 0.925 vs 0.775 at ~10k). Derived from ONE count
+    aggregate, the `_nd_params_rel` pattern; round() ties cannot occur
+    (3.4·k has fractional part in {0,.2,.4,.6,.8}; sqrt of a
+    non-square is never exactly half-integral)."""
+    cells = F.greatest(
+        F.lit(8),
+        F.least(
+            F.lit(65536),
+            F.round(F.sqrt(F.col("n").cast("double"))).cast("int"),
+        ),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n"))
+        .select(cells.alias("cells"))
+        .select(
+            "cells",
+            F.greatest(
+                F.lit(4),
+                F.least(
+                    F.lit(256),
+                    F.round(
+                        F.lit(3.4) * F.sqrt(F.col("cells").cast("double"))
+                    ).cast("int"),
+                ),
+            ).alias("nprobe"),
+        )
+    )
+
+
 def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, nrm, cell, cv, crank ≤ IVF_NPROBE) — the coarse
+    """(vec_id, v, nrm, cell, cv, crank ≤ nprobe) — the coarse
     quantizer's assignment, shared verbatim by the IVF and residual
-    IVF-PQ paths. Carrying cv (the cell centroid) keeps residual
+    IVF-PQ paths. Cell count and probe depth come from the broadcast
+    1-row ``_ivf_params_rel`` (√N cells, √cells probes — never a
+    driver value). Carrying cv (the cell centroid) keeps residual
     computation index-local; at 100 TB you'd store (cell, residual)
-    instead of duplicating the centroid per row."""
+    instead of duplicating the centroid per row, and the N·cells
+    ranking crossJoin goes hierarchical (rank against √cells
+    super-cells first) — the knobs, not the plan shape, change."""
 
     def build() -> DataFrame:
         e = t(spark, sf_dir, "embeddings").select(
             "vec_id", to_double_array("embedding").alias("v")
         ).withColumn("nrm", l2_norm(F.col("v")))
-        cent = e.filter(F.col("vec_id").between(1, IVF_CELLS)).select(
-            F.col("vec_id").cast("int").alias("cell"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
+        params = _ivf_params_rel(e)
+        cent = (
+            e.crossJoin(F.broadcast(params.select("cells")))
+            .filter(F.col("vec_id").between(1, F.col("cells")))
+            .select(
+                F.col("vec_id").cast("int").alias("cell"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            )
         )
         cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
         return (
@@ -595,8 +657,9 @@ def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
             )
-            .filter(F.col("crank") <= IVF_NPROBE)
-            .drop("cs")
+            .crossJoin(F.broadcast(params.select("nprobe")))
+            .filter(F.col("crank") <= F.col("nprobe"))
+            .drop("cs", "nprobe")
         )
 
     fp = source_fingerprint(sf_dir, "embeddings")
@@ -696,13 +759,14 @@ def _mp_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantization into IVF_CELLS cells, queries
-    probe their IVF_NPROBE nearest cells, exact cosine re-rank, top-3.
+    """IVF-style ANN: coarse quantization into √N cells, queries
+    probe their √cells nearest cells (both from the broadcast 1-row
+    ``_ivf_params_rel`` — VERDICT r11 #3), exact cosine re-rank, top-3.
 
-    Centroids are the first IVF_CELLS corpus vectors (a deterministic
+    Centroids are the first ``cells`` corpus vectors (a deterministic
     seed choice — production would k-means them; the *plan shape* is the
     point). Everything is relational: assignment = broadcast cross join
-    against the 8-row centroid relation + per-vector rank-1 window —
+    against the √N-row centroid relation + per-vector rank window —
     corpus shuffles once on vec_id, never pairwise. Candidate join is an
     equi-join on the cell id: linear shuffle, the IVF scale property.
     Query side bounded (≤ 20 rows) per the module contract. Coarse
@@ -713,7 +777,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, cand_id, cosine) — exact cosine over every candidate
-    in the query's IVF_NPROBE probed cells."""
+    in the query's nprobe probed cells."""
     ranked = _ivf_coarse_assign(spark, sf_dir)
     corpus = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("cand_id"),
@@ -721,7 +785,8 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cnorm"),
         F.col("cell"),
     )
-    probes = ranked.filter((F.col("crank") <= IVF_NPROBE) & _query_side()).select(
+    # the producer already cut crank <= nprobe (data-derived)
+    probes = ranked.filter(_query_side()).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qvec"),
         F.col("nrm").alias("qnorm"),
@@ -856,7 +921,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codes-only): every vector is coarse-assigned to its nearest IVF
     cell, the RESIDUAL v − centroid is product-quantized (residuals
     are centered and far more quantizable than raw vectors — the whole
-    point of the composition), queries probe their ``IVF_NPROBE``
+    point of the composition), queries probe their ``nprobe``
     nearest cells with a PER-CELL residual lookup table, ADC runs only
     against codes in probed cells, and the ADC top-``RERANK_K``
     shortlist is re-ranked by EXACT cosine against the raw vectors
@@ -866,9 +931,10 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ann_recall_audit`` and the RERANK_K curve).
 
     Deterministic seeds per the module policy (centroids = first
-    ``IVF_CELLS`` vectors; PQ codebooks = residual sub-vectors of the
+    ``cells`` vectors, √N of them — ``_ivf_params_rel``; PQ codebooks
+    = residual sub-vectors of the
     first ``PQ_KS`` vectors, shared across cells as FAISS defaults to).
-    Physical shape: 8-row centroid and 32-row codebook broadcasts; the
+    Physical shape: √N-row centroid and 32-row codebook broadcasts; the
     corpus shuffles once for the coarse rank-1 window and once for the
     per-(vec, m) code argmin; candidate scoring is ONE equi-join on
     (cell, m, k) against the ≤ 20·nprobe·4·8-row broadcast query LUT —
@@ -948,9 +1014,8 @@ def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select(F.col("vec_id").alias("cand_id"), "cell", "m", "k")
     )
-    qsub = ranked.filter(
-        (F.col("crank") <= IVF_NPROBE) & _query_side()
-    ).select(
+    # the producer already cut crank <= nprobe (data-derived)
+    qsub = ranked.filter(_query_side()).select(
         F.col("vec_id").alias("query_id"),
         "cell",
         F.explode(sub_of(resid)).alias("s"),
@@ -1760,20 +1825,24 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 20·k rows — driver-free and constant-size regardless of corpus
     scale.
 
-    Measured at the round-11 operating point (scratch sf0.1, 2000
-    vectors; means over the 20 queries — recall@10 / mean candidates):
-    **ivfpq 0.560 / 1017** (the RERANK_K=500 exact re-rank lifted it
-    from 0.075 ADC-only past the ≥0.5 bar — VERDICT r10 #2's ask — at
-    16× less vector memory; the in-probed-cells ceiling is ivf's
-    0.735, and the full recall-vs-K curve lives in the RERANK_K
-    comment), **ivf 0.735 / 1017** (nprobe 4 of 8 cells, uncompressed),
-    **lsh_mp 0.605 / 710** (22 of 64 buckets — ~70% of ivf's candidate
-    cost for ~82% of its recall, the frontier the counts column
-    exists to show), lsh 0.080 / 38 (single probe — the untuned
-    baseline), pq 0.075 / 1999 (ADC-only: scores EVERY code, and still
-    can't rank 64-d near-random vectors from 4×32 codebooks — the
-    compression trade shown honestly, and why the re-rank stage
-    exists)."""
+    Measured at the round-12 operating point (√N cells, nprobe =
+    3.4·√cells — VERDICT r11 #3; scratch sf0.1 → sf1, means over the
+    20 queries, recall@10 / mean candidates): **ivf 0.775 / 1031 →
+    0.775 / 5685** — the fixed-8-cell design paid 1017 → 10086
+    candidates (LINEAR, the probed-cells-degenerate-to-half-corpus
+    failure) for 0.735 → 0.775; scaled cells hold the same recall at
+    N^0.75 candidate growth, and the matched-budget frontier strictly
+    dominates (nprobe ladder: 0.77 vs 0.735 at ~1k, 0.925 vs 0.775 at
+    ~10k — evidence/r12/IVF_NPROBE_ladder.json). **ivfpq 0.53 / 1031
+    → 0.25 / 5685** (the fixed RERANK_K=500 shortlist covers a
+    shrinking fraction of the probed set as N grows; before the cell
+    scaling it was 0.56 → 0.15 — better everywhere it changed, and the
+    honest fix at scale is growing K with the probed-set size),
+    **lsh_mp 0.605 / 710** (22 of 64 buckets), lsh 0.080 / 38 (single
+    probe — the untuned baseline), pq 0.075 / 1999 (ADC-only: scores
+    EVERY code, and still can't rank 64-d near-random vectors from
+    4×32 codebooks — the compression trade shown honestly, and why
+    the re-rank stage exists)."""
     truth = (
         sim_brute_topk(spark, sf_dir)
         .filter(F.col("rank") <= ANN_TOPK)
@@ -2196,7 +2265,7 @@ _ND_BAND_SELECTS = "\n          UNION ALL ".join(
     for i in range(ND_BANDS)
 )
 # Mirror of _nd_params_rel + hyperplane_band_rows: the same
-# Δ = round(log2(N/2048)) off count(*) drives both clamp(8+Δ, 8, 15)
+# Δ = round(log2(N/2048)) off count(*) drives both clamp(8+Δ, 8, 27)
 # width and the fixed nb = 6 band count; planes for bands ≥ nb are cut
 # in pl's WHERE (the oracle pays the same data-dependent dot work);
 # band signature = conditional power-of-two sum over plane_idx % 15;
@@ -2256,6 +2325,7 @@ _ND_ADAPTIVE_BAND_CTES = f"""
                       THEN 1.0 ELSE -1.0 END AS pval
           FROM range(0, {ND_MAX_BANDS * ND_MAX_BITS * DIM}) t(i), params
           WHERE i // {DIM} < nb * {ND_MAX_BITS}
+            AND (i // {DIM}) % {ND_MAX_BITS} < w
         ),
         ex AS MATERIALIZED (
           SELECT vec_id, CAST(pos AS INTEGER) AS pos, v[pos + 1] AS x
@@ -2939,12 +3009,23 @@ _MP_CHAIN = f"""
           JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.vec_id
         )"""
 
-# Mirror of _ivf_scored: coarse rank-1 assignment, probed-cell join.
+# Mirror of _ivf_scored: √N-cell coarse assignment (data-derived
+# iparams — the _ivf_params_rel mirror), probed-cell join.
 _IVF_CHAIN = f"""
         WITH e AS ({_E_CTE}),
+        iparams0 AS (
+          SELECT GREATEST(8, LEAST(65536,
+                 CAST(round(sqrt(count(*))) AS INTEGER))) AS cells
+          FROM e
+        ),
+        iparams AS MATERIALIZED (
+          SELECT cells, GREATEST(4, LEAST(256,
+                 CAST(round(3.4 * sqrt(cells)) AS INTEGER))) AS nprobe
+          FROM iparams0
+        ),
         cent AS (
           SELECT vec_id AS cid, v AS cv, nrm AS cn
-          FROM e WHERE vec_id BETWEEN 1 AND {IVF_CELLS}
+          FROM e, iparams WHERE vec_id BETWEEN 1 AND cells
         ),
         ranked AS (
           SELECT vec_id, v, nrm, cid,
@@ -2960,7 +3041,7 @@ _IVF_CHAIN = f"""
         ),
         probes AS (
           SELECT vec_id AS query_id, v AS qvec, nrm AS qnorm, cid AS cell
-          FROM ranked WHERE crank <= {IVF_NPROBE} AND {_Q_SIDE}
+          FROM ranked, iparams WHERE crank <= nprobe AND {_Q_SIDE}
         ),
         scored AS (
           SELECT query_id, cand_id,
@@ -3035,9 +3116,19 @@ ORACLES["sim_ann_pq_adc"] = _ann_topk_sql(_PQ_CHAIN, "adc_d2", "ASC")
 # per-cell query LUTs, decimal-exact ADC — rankings match bit-for-bit.
 _IVFPQ_CHAIN = f"""
     WITH e AS ({_E_CTE}),
+    iparams0 AS (
+          SELECT GREATEST(8, LEAST(65536,
+                 CAST(round(sqrt(count(*))) AS INTEGER))) AS cells
+          FROM e
+        ),
+        iparams AS MATERIALIZED (
+          SELECT cells, GREATEST(4, LEAST(256,
+                 CAST(round(3.4 * sqrt(cells)) AS INTEGER))) AS nprobe
+          FROM iparams0
+        ),
     cent AS (
       SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv, nrm AS cn
-      FROM e WHERE vec_id BETWEEN 1 AND {IVF_CELLS}
+      FROM e, iparams WHERE vec_id BETWEEN 1 AND cells
     ),
     ranked AS MATERIALIZED (
       SELECT vec_id, v, cell, cv,
@@ -3076,8 +3167,8 @@ _IVFPQ_CHAIN = f"""
              list_transform(range(1, {PQ_SUB_DIM}+1),
                i -> v[m * {PQ_SUB_DIM} + i] - cv[m * {PQ_SUB_DIM} + i])
                AS qsubr
-      FROM ranked, range(0, {PQ_M}) t(m)
-      WHERE crank <= {IVF_NPROBE} AND {_Q_SIDE}
+      FROM ranked, range(0, {PQ_M}) t(m), iparams
+      WHERE crank <= nprobe AND {_Q_SIDE}
     ),
     qlut AS (
       SELECT q.query_id, q.cell, q.m, c.k,

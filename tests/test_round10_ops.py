@@ -175,9 +175,11 @@ def test_novelty_decay_monotone_semantics(spark, sf_dir):
 def test_scaled_band_params_values(spark):
     """Pin the corpus-size-scaled LSH knobs at the corpus sizes the
     scaling evidence cites: width stays 8 bits at driver scales,
-    11/13 at sf1/sf3 scratch sizes, clamped at ND_MAX_BITS; the band
-    count is FIXED at 6 everywhere (round-11 operating point — growing
-    it alongside the probe factor double-paid, wall exp 1.47)."""
+    11/13 at sf1/sf3 scratch sizes, UNSATURATED through 20M vectors
+    (round 12 lifted the ceiling 15 → 27; the old cap bound at
+    N ≈ 260k), clamped at ND_MAX_BITS only near 10⁹; the band count is
+    FIXED at 6 everywhere (round-11 operating point — growing it
+    alongside the probe factor double-paid, wall exp 1.47)."""
     from content_analytics_etl_spark.plans.similarity_queries import (
         ND_MAX_BITS,
         ND_NB_FIXED,
@@ -195,7 +197,8 @@ def test_scaled_band_params_values(spark):
     assert params(2000) == (8, nb)     # sf0.1 (anchor)
     assert params(20000) == (11, nb)   # sf1
     assert params(60000) == (13, nb)   # sf3
-    assert params(20_000_000) == (ND_MAX_BITS, nb)  # width clamp
+    assert params(20_000_000) == (21, nb)   # old cap was 15: now unsaturated
+    assert params(1_200_000_000) == (ND_MAX_BITS, nb)  # width clamp at ~10⁹
 
 
 def test_neardup_banded_subset_of_exact(spark, sf001_dir):

@@ -31,7 +31,7 @@ ALLOW_NESTED_LOOP = {
     "sim_neardup_exact": "DIAGNOSTIC: exact all-pairs recall baseline, input "
     "hard-capped at EXACT_CAP=3000 rows (linear twin: sim_neardup_pairs)",
     "sim_brute_topk": "exact top-k baseline, bounded (≤20-row) broadcast query side",
-    "sim_ann_ivf_topk": "8-row centroid relation cross join (IVF assignment)",
+    "sim_ann_ivf_topk": "sqrt(N)-row centroid relation cross join (IVF assignment; cells/nprobe from a 1-row count-derived params relation)",
     "kmeans_assign": "k-row centroid relation cross join (Lloyd assignment)",
     "tpch_q11_important_volume": "1-row scalar-subquery total",
     "tpch_q22_sales_opportunity": "1-row scalar-subquery average",
@@ -47,7 +47,7 @@ ALLOW_NESTED_LOOP = {
     "join_bloom_prefilter": "1-row 8-KiB bloom word-array broadcast onto the probe scan",
     "sim_ann_recall_audit": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "sim_neardup_pairs": "1-row corpus-count aggregate broadcast (scaled "
-    "LSH band width w = clamp(8 + round(log2(N/2048)), 8, 15))",
+    "LSH band width w = clamp(8 + round(log2(N/2048)), 8, 27))",
     "sim_neardup_recall_audit": "cross join of five 1-row count "
     "aggregates (operating-point report) + sim_neardup_exact's "
     "hard-capped exact baseline, which it measures by contract",
@@ -120,9 +120,9 @@ ALLOW_NESTED_LOOP = {
     "broadcast (continuation-probability denominator) onto the model join",
     "doc_sparse_cosine_topk": "1-row corpus-doc-count aggregate broadcast "
     "(idf numerator + fractional DF cut) onto the term-frequency table",
-    "sim_ann_ivfpq_topk": "8-row centroid cross join (coarse assignment) "
-    "+ 32-row residual codebook and bounded query-LUT broadcasts "
-    "(sim_ann_ivf_topk / sim_ann_pq_adc shapes composed)",
+    "sim_ann_ivfpq_topk": "sqrt(N)-row centroid cross join (coarse "
+    "assignment) + 32-row residual codebook and bounded query-LUT "
+    "broadcasts (sim_ann_ivf_topk / sim_ann_pq_adc shapes composed)",
     "dedup_minhash_band_tuning": "1-row exact-truth-count aggregate "
     "broadcast onto the 3-row per-config report",
     "doc_domain_surprisal": "1-row global-LM-size aggregate broadcast "
