@@ -100,21 +100,24 @@ _MODULES = [
 # (ADVICE r11, medium): a pre-r11 bare-int record cannot prove the
 # verified content is the current content, so all 180 of them re-enter
 # the window oldest-round-first until re-hashed and stamped.  This
-# window leads with the round-12 additions (sim_neardup_clustered and
-# its audit — never verified), then the three round-12 REWRITES whose
-# recorded fingerprints no longer match (sim_ann_recall_audit,
-# sim_neardup_recall_audit, sim_range_search — the drift rule firing
-# as designed), then the first 45 of that backlog (the r03/r04-era
-# cohorts: joins, windows, set-ops, early dedup/doc).
+# window leads with the round-12 additions (sim_neardup_clustered +
+# its audit, sim_range_recall_audit — never verified), then the four
+# round-12 REWRITES whose recorded fingerprints no longer match
+# (sim_ann_recall_audit, sim_neardup_recall_audit, sim_range_search,
+# sim_semantic_decontaminate — the drift rule firing as designed),
+# then the first 43 of that backlog (the r03/r04-era cohorts: joins,
+# windows, set-ops, early dedup/doc).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
     "sim_neardup_clustered",
     "sim_neardup_clustered_audit",
+    "sim_range_recall_audit",
     "sim_ann_recall_audit",
     "sim_neardup_recall_audit",
     "sim_range_search",
+    "sim_semantic_decontaminate",
     "device_count_distinct",
     "device_count_rows",
     "dim_scd2_upsert",
@@ -158,8 +161,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_systematic_sample",
     "dedup_block_exact",
     "dedup_incremental",
-    "dedup_lsh_incremental",
-    "dedup_minhash_band_tuning",
 ]
 
 

@@ -325,37 +325,49 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_query_side`` subset, ≤ 20 rows at any corpus size) reaches the
     ``SEMDECON_COSINE`` threshold (looser than the near-dup 0.45:
     leakage screening optimizes recall, borderline hits get human or
-    exact-pipeline review). Candidates come from the same 4×8-bit banded
-    hyperplane LSH as ``sim_neardup_pairs``; because the eval band
-    relation is constant-size, the candidate join broadcasts it and the
-    train side NEVER shuffles after its signature aggregation — at
-    100 TB this is a map-side probe of a benchmark fingerprint table,
-    the exact shape eval-set decontamination runs in production. Exact
-    cosine verification after the LSH candidates; per-train-vector
-    rollup (hit count, max cosine) keeps the output compact."""
+    exact-pipeline review). Candidates come from the corpus-size-scaled
+    band index WITH Hamming-≤1 probing on the EVAL side — since round
+    12 the SAME generator as ``sim_range_search`` (ADVICE r11 #3: the
+    hit-level view and these per-doc flags previously used different
+    indexes and could disagree on marginal hits; measured at the three
+    scratch scales, tools/range_recall_report.py, the scaled+probed
+    posture's recall ≥ the legacy fixed 4×8-bit path everywhere —
+    0.49 vs 0.08 / 0.15 vs 0.06 / 0.066 vs 0.065 — so the migration
+    costs nothing and the two contamination views now share one recall
+    profile by construction). The probe explode runs on the ≤ 20-row
+    eval side only, so the train side never pays the (1+w) factor and
+    NEVER shuffles after its signature aggregation — at 100 TB this is
+    a map-side probe of a benchmark fingerprint table, the exact shape
+    eval-set decontamination runs in production. Exact cosine
+    verification after the LSH candidates; per-train-vector rollup
+    (hit count, max cosine) keeps the output compact."""
     emb = t(spark, sf_dir, "embeddings")
     e = (
         emb.select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    # Signature aggregation runs per SIDE, after the eval/train split —
-    # filtering a shared band relation twice would recompute the
-    # full-corpus signature pipeline for each branch (measured 2.3×
-    # slower); here the train side pays it once and the eval side's is
-    # over a constant ≤20-row frame.
-    eval_bands = _band_rows(
-        hyperplane_bucket_agg(
-            emb.filter(_query_side()), ND_BANDS * ND_BAND_BITS, DIM
-        )
-    ).select(F.col("vec_id").alias("eval_id"), "band_idx", "band_key")
-    train_bands = _band_rows(
-        hyperplane_bucket_agg(
-            emb.filter(~_query_side()), ND_BANDS * ND_BAND_BITS, DIM
+    params = _nd_params_rel(emb)
+    bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
+    eval_probes = (
+        bands.filter(_query_side())
+        .crossJoin(F.broadcast(params.select("w")))
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            "band_idx",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, w), j -> CASE WHEN j = 0 "
+                    "THEN band_key ELSE band_key ^ "
+                    "shiftleft(CAST(1 AS BIGINT), j - 1) END)"
+                )
+            ).alias("band_key"),
         )
     )
     cand = (
-        train_bands.join(F.broadcast(eval_bands), ["band_idx", "band_key"])
-        .select(F.col("vec_id").alias("train_id"), "eval_id")
+        bands.filter(~_query_side())
+        .withColumnRenamed("vec_id", "train_id")
+        .join(F.broadcast(eval_probes), ["band_idx", "band_key"])
+        .select("train_id", "eval_id")
         .distinct()
     )
     et = e.select(
@@ -423,11 +435,12 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_semantic_decontaminate``'s per-train rollup flags a corpus:
     which benchmark item leaked, where, and how close.
 
-    Unlike the rollup twin (which still runs the legacy fixed 4×8-bit
-    bucket path), candidates come from the corpus-size-scaled band
+    Candidates come from the corpus-size-scaled band
     index WITH Hamming-≤1 probing — the same `hyperplane_band_rows` +
-    probe machinery as ``sim_neardup_pairs``, so the recall behavior
-    measured in SCALE.md round 11 carries over. The probe explode runs
+    probe machinery as ``sim_neardup_pairs`` (and, since round 12,
+    the rollup twin ``sim_semantic_decontaminate`` — the two
+    contamination views share this one generator). Recall vs the
+    uncapped exact truth is measured by ``sim_range_recall_audit``. The probe explode runs
     on the QUERY side only (≤ 20·nb band rows at any corpus size), so
     the corpus never pays the (1+w) factor: its band relation is built
     once and the candidate join broadcasts the probed query keys — at
@@ -478,6 +491,62 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ec, "cand_id")
         .select("query_id", "cand_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMDECON_COSINE)
+    )
+
+
+def sim_range_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall audit for the radius-search shape (VERDICT r11
+    #4): ``sim_range_search``'s hits over the EXACT truth at the same
+    threshold — and unlike the pair-mining audits, the truth here
+    needs no cap: the query side is the bounded ≤ 20-row subset, so
+    the exhaustive scan is 20·N cosines, the same linear cost as
+    ``sim_brute_topk``. Hits ⊆ truth by construction (the candidate
+    filter can only lose pairs), so the count ratio IS recall.
+    Columns: corpus size, the (w, nb) knobs the scaled band index
+    derived, hit/truth counts, recall. Registered so any retuning of
+    the index shows up as an oracle-checked hash change; the
+    legacy-vs-scaled posture comparison for the rollup twin
+    (ADVICE r11 #3) lives in tools/range_recall_report.py with the
+    decision in SCALE.md round 12."""
+    emb = t(spark, sf_dir, "embeddings")
+    hits = sim_range_search(spark, sf_dir)
+    e = (
+        emb.select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    eq = e.filter(_query_side()).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ec = e.filter(~_query_side()).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    exact = (
+        ec.join(F.broadcast(eq), F.lit(True))
+        .select(cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDECON_COSINE)
+    )
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(_nd_params_rel(emb))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .select(
+            "n_vectors",
+            "w",
+            "nb",
+            "n_hits",
+            "n_exact",
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_exact").cast("double"),
+            ).alias("recall"),
+        )
     )
 
 
@@ -2170,6 +2239,7 @@ QUERIES = {
     "sim_neardup_exact": sim_neardup_exact,
     "sim_neardup_recall_audit": sim_neardup_recall_audit,
     "sim_range_search": sim_range_search,
+    "sim_range_recall_audit": sim_range_recall_audit,
     "sim_ann_lsh_topk": sim_ann_lsh_topk,
     "sim_ann_multiprobe_topk": sim_ann_multiprobe_topk,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -2215,60 +2285,11 @@ def _bucket_sql(planes: list[list[float]]) -> str:
 
 
 _BUCKET_SQL = _bucket_sql(PLANES)
-_ND_MASK = (1 << ND_BAND_BITS) - 1
-
-# Mirror of operators/similarity.hyperplane_bucket_agg: the plane matrix
-# is re-derived in SQL from the same md5 formula as hyperplane_matrix
-# (sign of bit 0 of md5("lsh|plane|dim")), the plane dots are the same
-# decimal(28,12)-exact sums (order-independent in both engines), and the
-# bucket is the same conditional power-of-two sum.
-_ND_N = ND_BANDS * ND_BAND_BITS
-
-
-def _nd_bucket_ctes(n_planes: int) -> str:
-    """The plane/explode/dot/bucket CTE chain for an ``n_planes``-bit
-    signature (expects a preceding ``e`` CTE)."""
-    return f"""
-        pl AS MATERIALIZED (
-          SELECT CAST(i // {DIM} AS INTEGER) AS plane_idx,
-                 CAST(i % {DIM} AS INTEGER) AS pos,
-                 CASE WHEN (CAST(('0x' || substr(md5(
-                        'lsh|' || CAST(i // {DIM} AS VARCHAR)
-                        || '|' || CAST(i % {DIM} AS VARCHAR)), 1, 15))
-                      AS BIGINT) & 1) = 1
-                      THEN 1.0 ELSE -1.0 END AS pval
-          FROM range(0, {n_planes * DIM}) t(i)
-        ),
-        ex AS MATERIALIZED (
-          SELECT vec_id, CAST(pos AS INTEGER) AS pos, v[pos + 1] AS x
-          FROM e, range(0, {DIM}) r(pos)
-        ),
-        dots AS MATERIALIZED (
-          SELECT vec_id, plane_idx,
-                 sum(CAST(x * pval AS DECIMAL(28,12))) AS dot
-          FROM ex JOIN pl USING (pos)
-          GROUP BY vec_id, plane_idx
-        ),
-        bkt AS MATERIALIZED (
-          SELECT vec_id,
-                 CAST(sum(CASE WHEN dot > 0
-                               THEN (CAST(1 AS BIGINT) << plane_idx)
-                               ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY vec_id
-        )"""
-
-
-_ND_BUCKET_CTES = _nd_bucket_ctes(_ND_N)
-_ND_BAND_SELECTS = "\n          UNION ALL ".join(
-    f"SELECT vec_id, {i} AS band_idx, (bucket >> {ND_BAND_BITS * i}) & {_ND_MASK}"
-    f" AS band_key FROM bkt"
-    for i in range(ND_BANDS)
-)
 # Mirror of _nd_params_rel + hyperplane_band_rows: the same
 # Δ = round(log2(N/2048)) off count(*) drives both clamp(8+Δ, 8, 27)
 # width and the fixed nb = 6 band count; planes for bands ≥ nb are cut
 # in pl's WHERE (the oracle pays the same data-dependent dot work);
-# band signature = conditional power-of-two sum over plane_idx % 15;
+# band signature = conditional power-of-two sum over plane_idx % 27;
 # band key = low-w-bit mask. round() ties can't occur (log2 of an
 # integer ratio never lands on .5 exactly for non-power inputs), so
 # HALF_UP vs half-away agree.
@@ -2599,6 +2620,51 @@ ORACLES = {
         WHERE {_DOT(d=DIM, a="eq.v", b="ec.v")} / (eq.nrm * ec.nrm)
               >= {SEMDECON_COSINE}
     """,
+    "sim_range_recall_audit": f"""
+        WITH e AS MATERIALIZED ({_E_CTE}),
+        {_ND_PARAMS_CTE},
+        {_ND_ADAPTIVE_BAND_CTES},
+        qprobes AS (
+          SELECT vec_id AS query_id, band_idx,
+                 CASE WHEN j = 0 THEN band_key
+                      ELSE xor(band_key,
+                               CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER))
+                 END AS band_key
+          FROM bands, params, range(0, {ND_MAX_BITS + 1}) t(j)
+          WHERE j <= w AND ({_Q_SIDE})
+        ),
+        cand AS (
+          SELECT DISTINCT q.query_id, b.vec_id AS cand_id
+          FROM qprobes q JOIN bands b
+            ON q.band_idx = b.band_idx AND q.band_key = b.band_key
+          WHERE NOT (b.vec_id % {QUERY_MOD} = 0 AND b.vec_id < {QUERY_CAP})
+        ),
+        hits AS (
+          SELECT c.query_id, c.cand_id
+          FROM cand c
+          JOIN e eq ON eq.vec_id = c.query_id
+          JOIN e ec ON ec.vec_id = c.cand_id
+          WHERE {_DOT(d=DIM, a="eq.v", b="ec.v")} / (eq.nrm * ec.nrm)
+                >= {SEMDECON_COSINE}
+        ),
+        exact AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+          FROM (SELECT * FROM e WHERE {_Q_SIDE}) q
+          CROSS JOIN (SELECT * FROM e
+                      WHERE NOT ({_Q_SIDE})) c
+          WHERE {_DOT(d=DIM, a="q.v", b="c.v")} / (q.nrm * c.nrm)
+                >= {SEMDECON_COSINE}
+        )
+        SELECT (SELECT count(*) FROM e) AS n_vectors,
+               params.w AS w, params.nb AS nb,
+               (SELECT count(*) FROM hits) AS n_hits,
+               (SELECT count(*) FROM exact) AS n_exact,
+               CASE WHEN (SELECT count(*) FROM exact) > 0
+                    THEN CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                         / CAST((SELECT count(*) FROM exact) AS DOUBLE)
+               END AS recall
+        FROM params
+    """,
     "sim_neardup_recall_audit": f"""
         WITH e AS MATERIALIZED ({_E_CTE}),
         {_ND_PARAMS_CTE},
@@ -2651,16 +2717,22 @@ ORACLES = {
     """,
     "sim_semantic_decontaminate": f"""
         WITH e AS MATERIALIZED ({_E_CTE}),
-        {_ND_BUCKET_CTES},
-        bands AS MATERIALIZED (
-          {_ND_BAND_SELECTS}
+        {_ND_PARAMS_CTE},
+        {_ND_ADAPTIVE_BAND_CTES},
+        eprobes AS (
+          SELECT vec_id AS eval_id, band_idx,
+                 CASE WHEN j = 0 THEN band_key
+                      ELSE xor(band_key,
+                               CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER))
+                 END AS band_key
+          FROM bands, params, range(0, {ND_MAX_BITS + 1}) t(j)
+          WHERE j <= w AND ({_Q_SIDE})
         ),
         cand AS (
-          SELECT DISTINCT tr.vec_id AS train_id, ev.vec_id AS eval_id
-          FROM bands tr JOIN bands ev
+          SELECT DISTINCT tr.vec_id AS train_id, ev.eval_id
+          FROM bands tr JOIN eprobes ev
             ON tr.band_idx = ev.band_idx AND tr.band_key = ev.band_key
-          WHERE ev.vec_id % {QUERY_MOD} = 0 AND ev.vec_id < {QUERY_CAP}
-            AND NOT (tr.vec_id % {QUERY_MOD} = 0 AND tr.vec_id < {QUERY_CAP})
+          WHERE NOT (tr.vec_id % {QUERY_MOD} = 0 AND tr.vec_id < {QUERY_CAP})
         ),
         hits AS (
           SELECT c.train_id, c.eval_id,

@@ -77,3 +77,48 @@ def test_clustered_audit_consistent_with_query(spark, sf001_dir):
     assert row["n_candidates"] >= row["n_pairs"]
     if row["n_exact_cap"]:
         assert 0.0 <= row["recall_cap"] <= 1.0
+
+
+def test_range_recall_audit_consistent(spark, sf001_dir):
+    """Radius-search audit invariants: hits ⊆ exact truth (the
+    candidate filter can only lose pairs), so 0 ≤ recall ≤ 1, and the
+    hit count must equal the registered range-search query's row
+    count — no drift between the counted and the served relations."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        sim_range_recall_audit,
+        sim_range_search,
+    )
+
+    row = sim_range_recall_audit(spark, sf001_dir).collect()[0]
+    n_hits = sim_range_search(spark, sf001_dir).count()
+    assert row["n_hits"] == n_hits
+    assert row["n_exact"] >= row["n_hits"]
+    if row["n_exact"]:
+        assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_decontaminate_agrees_with_range_search(spark, sf001_dir):
+    """ADVICE r11 #3's exact complaint, inverted into a contract: the
+    per-train contamination flags and the hit-level radius view now
+    share one candidate generator, so a (train, eval) hit appears in
+    BOTH views or NEITHER — flagged docs always have hits, and every
+    hit's train doc is flagged."""
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        SEMDECON_COSINE,
+        sim_range_search,
+        sim_semantic_decontaminate,
+    )
+
+    flags = {
+        r["train_id"]: r["n_eval_hits"]
+        for r in sim_semantic_decontaminate(spark, sf001_dir).collect()
+    }
+    hits = [
+        r
+        for r in sim_range_search(spark, sf001_dir).collect()
+        if r["cosine"] >= SEMDECON_COSINE
+    ]
+    by_train: dict = {}
+    for r in hits:
+        by_train[r["cand_id"]] = by_train.get(r["cand_id"], 0) + 1
+    assert by_train == flags

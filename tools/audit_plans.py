@@ -54,6 +54,12 @@ ALLOW_NESTED_LOOP = {
     "sim_range_search": "1-row params-relation broadcast onto the "
     "bounded (≤20-row) query-side band rows; the corpus side joins "
     "by key only",
+    "sim_semantic_decontaminate": "1-row params-relation broadcast onto "
+    "the bounded (≤20-row) eval-side band rows (the sim_range_search "
+    "generator, shared since round 12); the train side joins by key only",
+    "sim_range_recall_audit": "sim_range_search's broadcasts + the "
+    "bounded (≤20-row) broadcast query side of the exact truth scan "
+    "(sim_brute_topk shape) + four 1-row count aggregates",
     "sim_mmr_diversify": "inherits sim_brute_topk's bounded ≤20-row query-side cross join",
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
