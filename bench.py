@@ -196,8 +196,16 @@ def main() -> None:
         # noise-hostage shape PERF 14 killed (VERDICT r7 #7); threshold
         # lowered 2.0 → 1.0 s in r9 (VERDICT r8 #7: the 1-2 s band was
         # still single-pass, the exact shape that manufactured the r7
-        # "drift" finding)
-        ext_min3 = sorted(n for n, v in extended.items() if v >= 1.0)
+        # "drift" finding). SPARK_GRAFT_BENCH_MIN3_ALL=on promotes EVERY
+        # extended entry (VERDICT r11 #5: the sf1/sf3 scale captures'
+        # sub-second single-pass rows kept manufacturing exponent
+        # outliers — doc_sample_stratified's 1.62 was one timed pass
+        # catching a pause); the default stays tiered for the per-round
+        # driver bench where sub-second noise doesn't feed exponents.
+        if os.environ.get("SPARK_GRAFT_BENCH_MIN3_ALL", "off") == "on":
+            ext_min3 = sorted(extended)
+        else:
+            ext_min3 = sorted(n for n, v in extended.items() if v >= 1.0)
         for _ in range(2):
             for name in ext_min3:
                 t0 = time.time()
@@ -214,10 +222,14 @@ def main() -> None:
         "passes": passes,
         "aggregation": "per-query min (headline); extended tier is a "
         "single timed pass after warm, except entries in extended_min3 "
-        "(first-pass >= 1s) which are min-of-3",
+        "(first-pass >= 1s, or ALL when SPARK_GRAFT_BENCH_MIN3_ALL=on) "
+        "which are min-of-3",
         "extended_wall_seconds": round(sum(extended.values()), 3),
         "n_extended": len(extended),
         "extended_min3": ext_min3,
+        # one-pass rows are explicitly named so exponent readers know
+        # which numbers carry single-pass noise (VERDICT r11 #5)
+        "single_pass": sorted(n for n in extended if n not in set(ext_min3)),
         # wall-seconds of the ACTUAL producer-pipeline builds (manifest,
         # dedup clusters, per-doc LM scores...), which run once in the
         # untimed warm pass and are served from the session cache in
@@ -237,6 +249,7 @@ def main() -> None:
     compact = dict(full)
     compact.pop("headline", None)
     compact.pop("extended_min3", None)  # full map lives in BENCH_FULL.json
+    compact.pop("single_pass", None)
     compact["queries"] = {
         n: timings[n] for n in STDOUT_QUERIES if n in timings
     }

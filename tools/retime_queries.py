@@ -54,13 +54,29 @@ def main() -> None:
     if patch:
         with open(patch) as f:
             cap = json.load(f)
-        cap["queries"].update(out)
+        # ADVICE r11 (low): record the re-timed values ALONGSIDE the
+        # originals, never over them — a later-session re-time mixes
+        # measurement conditions (JVM, cache, machine load) into the
+        # capture, so the original same-session numbers must stay
+        # readable and every patched entry carries both values.
         cap.setdefault("retimed", {}).update(
-            {n: "post-capture fix re-time, same warm+min3 protocol" for n in out}
+            {
+                n: {
+                    "original_seconds": cap["queries"].get(n),
+                    "retimed_seconds": v,
+                    "note": "post-capture fix re-time in a SEPARATE "
+                    "session, same warm+min3 protocol — conditions "
+                    "differ from the capture's; exponent readers "
+                    "should prefer a full re-capture when headline "
+                    "queries change",
+                }
+                for n, v in out.items()
+            }
         )
+        cap["queries"].update(out)
         with open(patch, "w") as f:
             json.dump(cap, f, indent=1, sort_keys=True)
-        print(f"patched {patch}")
+        print(f"patched {patch} (originals preserved under 'retimed')")
 
 
 if __name__ == "__main__":
