@@ -17,6 +17,7 @@ from ..multimodal import (
     audio_window_stats,
     phash_images,
     decode_gif_properties,
+    decode_jpeg_properties,
     decode_planned_frames,
     decode_png_properties,
     decode_properties,
@@ -25,6 +26,7 @@ from ..multimodal import (
     resize_images,
     synthetic_assets,
     synthetic_gif_assets,
+    synthetic_jpeg_assets,
     synthetic_media_assets,
     synthetic_png_assets,
     synthetic_video_assets,
@@ -138,6 +140,27 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_properties(assets)
 
 
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL compressed-image codec, and the first LOSSY one:
+    genuine baseline JFIF JPEGs (all-ones DQT, SOF0, the Annex K
+    luminance Huffman tables, DC-differential + AC run-length entropy
+    coding with byte stuffing) decoded back by a from-scratch baseline
+    decoder (marker walk, canonical Huffman, dequantize, dezigzag,
+    general float IDCT — multimodal.decode_jpeg_gray). Lossiness is
+    what makes the oracle interesting: the generative image is CONSTANT
+    per 8×8 block, for which the round-trip is EXACT (all AC
+    coefficients are mathematically zero and the DC path is pure
+    power-of-two scaling), so the position-weighted checksum oracle
+    carries over from the PNG/GIF paths while the entropy and marker
+    layers run in full generality. The general-DCT path on non-constant
+    blocks is pinned by inverse-consistency tests, and the Huffman
+    decoder against a hand-packed stream
+    (tests/test_multimodal_decode.py) — encoder and decoder cannot be
+    wrong together."""
+    assets = synthetic_jpeg_assets(t(spark, sf_dir, "documents"))
+    return decode_jpeg_properties(assets)
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image dedup — the multimodal counterpart of
     dedup_exact: decode each REAL BMP payload, 8×8 NN-resample, 2-D
@@ -220,6 +243,7 @@ QUERIES = {
     "multimodal_video_decode": multimodal_video_decode,
     "multimodal_png_decode": multimodal_png_decode,
     "multimodal_gif_decode": multimodal_gif_decode,
+    "multimodal_jpeg_decode": multimodal_jpeg_decode,
 }
 
 _KIND = (
@@ -352,6 +376,26 @@ ORACLES = {
                         * (1 + x + y * (8 + doc_id % 9)))))) AS BIGINT)
                  AS weighted_sum
         FROM documents WHERE doc_id % 3 = 0
+    """,
+    # Mirror of multimodal_jpeg_decode: the block-constant generative
+    # formula recomputed relationally — the lossy codec round-trips this
+    # pattern exactly (see the plan docstring), so a decoder that gets
+    # any pixel value OR position wrong hash-fails.
+    "multimodal_jpeg_decode": """
+        SELECT doc_id AS asset_id,
+               CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+               CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+               list_avg(flatten(list_transform(range(0, 8 * (1 + doc_id % 3)),
+                 y -> list_transform(range(0, 8 * (1 + doc_id % 4)),
+                   x -> CAST((doc_id % 253 + 3*(x // 8) + 5*(y // 8)) % 256
+                        AS DOUBLE)))))
+                 AS mean_pixel,
+               CAST(list_sum(flatten(list_transform(range(0, 8 * (1 + doc_id % 3)),
+                 y -> list_transform(range(0, 8 * (1 + doc_id % 4)),
+                   x -> ((doc_id % 253 + 3*(x // 8) + 5*(y // 8)) % 256)
+                        * (1 + x + y * (8 * (1 + doc_id % 4))))))) AS BIGINT)
+                 AS weighted_sum
+        FROM documents WHERE doc_id % 3 = 2
     """,
     # Mirror of multimodal_gif_decode: the generative pixel formula
     # recomputed relationally — decode must reproduce every pixel at

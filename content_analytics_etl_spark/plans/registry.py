@@ -101,16 +101,18 @@ _MODULES = [
 # verified content is the current content, so all 180 of them re-enter
 # the window oldest-round-first until re-hashed and stamped.  This
 # window leads with the round-12 additions (sim_neardup_clustered +
-# its audit, sim_range_recall_audit — never verified), then the four
+# its audit, sim_range_recall_audit, multimodal_jpeg_decode — never
+# verified), then the four
 # round-12 REWRITES whose recorded fingerprints no longer match
 # (sim_ann_recall_audit, sim_neardup_recall_audit, sim_range_search,
 # sim_semantic_decontaminate — the drift rule firing as designed),
-# then the first 43 of that backlog (the r03/r04-era cohorts: joins,
+# then the first 42 of that backlog (the r03/r04-era cohorts: joins,
 # windows, set-ops, early dedup/doc).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "multimodal_jpeg_decode",
     "sim_neardup_clustered",
     "sim_neardup_clustered_audit",
     "sim_range_recall_audit",
@@ -160,7 +162,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_quality_report",
     "corpus_systematic_sample",
     "dedup_block_exact",
-    "dedup_incremental",
 ]
 
 
