@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_simhash",
     "sim_brute_topk",
     "sim_neardup_pairs",
+    "sim_neardup_clustered",
     "sim_ann_lsh_topk",
     "sim_ann_pq_adc",
     "embedding_quantize",

@@ -40,7 +40,13 @@ MAX_SHUFFLES = {
     # (13 → 54 TEXT exchanges while executed work dropped ~7×), same
     # class as doc_sparse_cosine_topk / the producer-backed queries.
     "sim_neardup_pairs": 9,
-    "sim_semantic_decontaminate": 6,
+    # 6 → 8 in round 12: migrated to the scaled+probed band index
+    # (hyperplane_band_rows: posexplode spread + per-(id, plane) and
+    # per-(id, band) aggregations replace the packed single-bucket
+    # aggregation) — two extra COMPACT n·nb-row exchanges bought
+    # recall 0.062 → 0.153 at sf1 and view-agreement with
+    # sim_range_search (PERF 75)
+    "sim_semantic_decontaminate": 8,
     # 3 serving-side + 1 inside the embedded cached-build lineage: the
     # session-materialized PQ code table's one-time argmin shuffle
     # (PERF 52) prints inside the InMemoryTableScan node, so the plan
