@@ -97,9 +97,22 @@ EXACT_CAP = 3000
 # (_ivf_params_rel: cells = sqrt(N), nprobe = 3.4*sqrt(cells)).
 IVF_CELLS = 8
 KMEANS_K = 8
-PQ_M = 4  # subspaces
+# Round 12: PQ_M 4 → 8 and PQ_KS 32 → 256 (a full byte per code, the
+# standard FAISS PQ8 configuration — codes are 8 bytes/vector, 32×
+# smaller than float32). Measured on the scratch corpora: 4×32
+# codebooks were information-starved on 64-d near-random vectors
+# (ADC-only recall@10 0.075; ivfpq post-re-rank 0.53 at 2k and a
+# shortlist-starved 0.25 at 20k). With 8×256: ADC-only 0.255/0.195,
+# ivfpq 0.765/0.59 at 2k/20k — past the ≥0.5 bar at BOTH scales with
+# the same fixed RERANK_K=500 shortlist. The ladder (evidence in the
+# audit docstring history): KS 32→256 at M=4 bought 0.25→0.43 at 20k;
+# M 4→8 at KS=256 bought 0.43→0.59. Costs: the code table build pays
+# N·M·KS sub-distance argmins (a one-time session-materialized index
+# build, exactly where production PQ spends its training budget), ADC
+# pays 8 partials per (query, cand) instead of 4.
+PQ_M = 8  # subspaces
 PQ_SUB_DIM = DIM // PQ_M
-PQ_KS = 32  # sub-centroids per subspace (1-byte codes have room for 256)
+PQ_KS = 256  # sub-centroids per subspace (full 1-byte codes)
 
 # 4 bands × 8 bits for near-dup candidates (planes derived in-engine by
 # hyperplane_band_rows from the same md5 formula); 6 literal planes for
@@ -902,7 +915,7 @@ def _sq_l2(a, b):
 
 
 def _pq_codebook(sub: DataFrame) -> DataFrame:
-    """32-row codebook: subspace slices of the first PQ_KS vectors."""
+    """PQ_KS-row-per-subspace codebook: slices of the first PQ_KS vectors."""
     return sub.filter(F.col("vec_id").between(1, PQ_KS)).select(
         "m", F.col("vec_id").cast("int").alias("k"), F.col("subv").alias("cv")
     )
@@ -940,7 +953,7 @@ def _pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) — the FAISS IVF-PQ memory-side story: 64-d vectors encoded as
-    M_SUB=4 one-byte codes (16× smaller than float32), queries scored
+    PQ_M=8 one-byte codes (32× smaller than float32), queries scored
     against codes via a per-query lookup table, never against the raw
     corpus vectors.
 
@@ -956,8 +969,8 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Kept ADC-only BY DESIGN (no exact re-rank stage): this entry is the
     memory-side diagnostic that shows what 4-byte codes alone can rank
-    (recall ≈ 0.075 at k=10 on near-random 64-d vectors — the honest
-    compression trade); the production posture with the re-rank stage
+    (recall ≈ 0.075 at k=10 with 4×32 codebooks, 0.255 with the
+    round-12 8×256 — the honest compression trade either way); the production posture with the re-rank stage
     is ``sim_ann_ivfpq_topk``."""
     return _ann_topk(_pq_scored(spark, sf_dir), "adc_d2", ascending=True)
 
@@ -996,14 +1009,16 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist is re-ranked by EXACT cosine against the raw vectors
     (VERDICT r10 #2: every production PQ deployment re-ranks — 4×32
     codebooks alone can't rank fine neighbors on near-random 64-d
-    vectors; recall@10 measured 0.075 ADC-only → 0.560 re-ranked, see
+    vectors; recall@10 measured 0.075 ADC-only → 0.560 re-ranked at the
+    round-10/11 4×32 codebooks; the round-12 8×256 codebooks lift the
+    pair to 0.255 ADC-only → 0.765 re-ranked at the same scale — see
     ``sim_ann_recall_audit`` and the RERANK_K curve).
 
     Deterministic seeds per the module policy (centroids = first
     ``cells`` vectors, √N of them — ``_ivf_params_rel``; PQ codebooks
     = residual sub-vectors of the
     first ``PQ_KS`` vectors, shared across cells as FAISS defaults to).
-    Physical shape: √N-row centroid and 32-row codebook broadcasts; the
+    Physical shape: √N-row centroid and 8×256-row codebook broadcasts; the
     corpus shuffles once for the coarse rank-1 window and once for the
     per-(vec, m) code argmin; candidate scoring is ONE equi-join on
     (cell, m, k) against the ≤ 20·nprobe·4·8-row broadcast query LUT —
@@ -1011,7 +1026,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact. The re-rank stage is a ≤ 20·RERANK_K-row broadcast
     probed INTO the raw-vector table (map-side, no corpus shuffle) —
     exactly the "fetch the shortlist's full vectors" step a 100 TB
-    serving tier does, and why the index stays 16× smaller than floats
+    serving tier does, and why the index stays 32× smaller than floats
     while recall survives compression. Output: (query_id, cand_id,
     adc_d2, cosine, rank) with rank = exact-cosine rank within the
     shortlist. Coarse assignment from the session-materialized producer
@@ -1902,11 +1917,13 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     failure) for 0.735 → 0.775; scaled cells hold the same recall at
     N^0.75 candidate growth, and the matched-budget frontier strictly
     dominates (nprobe ladder: 0.77 vs 0.735 at ~1k, 0.925 vs 0.775 at
-    ~10k — evidence/r12/IVF_NPROBE_ladder.json). **ivfpq 0.53 / 1031
-    → 0.25 / 5685** (the fixed RERANK_K=500 shortlist covers a
-    shrinking fraction of the probed set as N grows; before the cell
-    scaling it was 0.56 → 0.15 — better everywhere it changed, and the
-    honest fix at scale is growing K with the probed-set size),
+    ~10k — evidence/r12/IVF_NPROBE_ladder.json). **ivfpq 0.765 / 1031
+    → 0.59 / 5685** (after the round-12 PQ_M=8 / PQ_KS=256 codebook
+    upgrade — the 4×32 configuration was information-starved, see the
+    PQ_M comment: with it, ivfpq read 0.53 → 0.25 as the fixed
+    RERANK_K=500 shortlist covered a shrinking fraction of the probed
+    set; richer codes fixed the ranking rather than growing the
+    fetch),
     **lsh_mp 0.605 / 710** (22 of 64 buckets), lsh 0.080 / 38 (single
     probe — the untuned baseline), pq 0.075 / 1999 (ADC-only: scores
     EVERY code, and still can't rank 64-d near-random vectors from
