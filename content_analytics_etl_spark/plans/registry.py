@@ -112,56 +112,56 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    "multimodal_jpeg_decode",
-    "sim_neardup_clustered",
-    "sim_neardup_clustered_audit",
-    "sim_range_recall_audit",
-    "sim_ann_recall_audit",
-    "sim_neardup_recall_audit",
-    "sim_range_search",
-    "sim_semantic_decontaminate",
-    "device_count_distinct",
-    "device_count_rows",
-    "dim_scd2_upsert",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality",
-    "doc_source_distinctive_terms",
-    "doc_subword_counts",
-    "embedding_label_outliers",
-    "events_approx_distinct",
-    "events_asof_forward",
-    "events_sliding",
-    "events_tumbling",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_theta",
-    "kmeans_assign",
-    "monthly_revenue",
-    "multimodal_frame_plan",
-    "order_limit",
-    "pivot_nulls",
-    "setops_distinct",
-    "setops_except",
-    "setops_intersect",
-    "sim_brute_topk",
-    "sim_hard_negatives",
-    "star_fk_integrity",
-    "string_funcs",
-    "topk_per_group",
-    "warehouse_orc_roundtrip",
-    "window_lag",
-    "window_rank",
-    "window_running",
-    "corpus_dedup_rate_by_source",
-    "corpus_epoch_shuffle",
-    "corpus_quality_report",
-    "corpus_systematic_sample",
-    "dedup_block_exact",
+    "dedup_incremental",
+    "dedup_lsh_incremental",
+    "dedup_minhash_band_tuning",
+    "dedup_sorted_neighborhood",
+    "doc_bigram_perplexity",
+    "doc_blocklist_filter",
+    "doc_bm25_search",
+    "doc_domain_surprisal",
+    "doc_dsir_importance",
+    "doc_duplicated_spans",
+    "doc_kneser_ney_perplexity",
+    "doc_length_winsorized",
+    "doc_quality_classifier",
+    "doc_rrf_fusion",
+    "doc_source_mix",
+    "doc_sparse_cosine_topk",
+    "doc_split_assign",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "embedding_drift_monitor",
+    "embedding_kmeans",
+    "embedding_pq_train",
+    "embedding_quantize",
+    "events_asof_join",
+    "events_asof_nearest",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_gapfill_locf",
+    "events_json_props",
+    "events_key_skew_profile",
+    "events_partition_pruned",
+    "events_quantile_sketch_rollup",
+    "events_range_join",
+    "events_session",
+    "events_sketch_set_ops",
+    "graph_clustering_coefficient",
+    "graph_kcore_decomposition",
+    "graph_label_propagation",
+    "graph_negative_samples",
+    "lineitem_zorder_layout",
+    "sim_ann_ivfpq_topk",
+    "sim_dim_truncation_recall",
+    "vocab_coverage_curve",
+    "warehouse_csv_roundtrip",
+    "warehouse_json_roundtrip",
+    "agg_stats",
+    "bigram_frequency",
+    "bpe_first_merges",
+    "corpus_curation_funnel",
+    "corpus_curation_manifest",
 ]
 
 
