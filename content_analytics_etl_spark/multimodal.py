@@ -1049,10 +1049,15 @@ _JPEG_AC_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
-# Zigzag order: _JPEG_ZZ[k] = (row, col) of the k-th coefficient.
+# Zigzag order: _JPEG_ZZ[k] = (row, col) of the k-th coefficient, per the
+# ITU T.81 Figure 5 sequence: (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),...
+# Odd anti-diagonals (row+col odd) are walked top-right -> bottom-left
+# (row ascending); even anti-diagonals bottom-left -> top-right (col
+# ascending).  tests/test_multimodal_decode.py pins the published prefix
+# so encoder and decoder cannot share a transposed table (ADVICE r12).
 _JPEG_ZZ = sorted(
     ((u, v) for u in range(8) for v in range(8)),
-    key=lambda t: (t[0] + t[1], t[1] if (t[0] + t[1]) % 2 else t[0]),
+    key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else t[1]),
 )
 _JPEG_COS = np.array(
     [[np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)] for u in range(8)]

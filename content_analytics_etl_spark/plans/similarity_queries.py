@@ -1021,8 +1021,8 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: √N-row centroid and 8×256-row codebook broadcasts; the
     corpus shuffles once for the coarse rank-1 window and once for the
     per-(vec, m) code argmin; candidate scoring is ONE equi-join on
-    (cell, m, k) against the ≤ 20·nprobe·4·8-row broadcast query LUT —
-    never a pairwise scan; the 4 ADC partials per (query, cand) sum
+    (cell, m, k) against the ≤ 20·nprobe·PQ_M·PQ_KS-row broadcast query
+    LUT — never a pairwise scan; the PQ_M=8 ADC partials per (query, cand) sum
     decimal-exact. The re-rank stage is a ≤ 20·RERANK_K-row broadcast
     probed INTO the raw-vector table (map-side, no corpus shuffle) —
     exactly the "fetch the shortlist's full vectors" step a 100 TB
@@ -1259,7 +1259,7 @@ def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
     Scale shape: the centroid matrix rides in as ONE collect_list row
     (order-irrelevant — the per-row sort below imposes the total
     order), broadcast onto the corpus; per-row distances are computed
-    inside a ``transform`` lambda and the 2 winners taken by
+    inside a ``transform`` lambda and the CLUS_PROBE winners taken by
     ``array_sort`` + ``slice`` — lexicographic (d2, cid) struct order
     is exactly the (d2 ASC, cid ASC) tie rule of ``assign_clusters``'s
     window.  NO N·k row explosion and NO corpus-wide window shuffle:
@@ -2765,7 +2765,7 @@ ORACLES = {
     """,
 # Mirror of _clus_params_rel + _clus_assign + _clus_cand_pairs: the
 # same k = clamp(round(sqrt(50·N)), 8, 65536) off count(*), centroids =
-# the k lowest-vec_id vectors, per-vector rank-≤2 window on the
+# the k lowest-vec_id vectors, per-vector rank-≤CLUS_PROBE window on the
 # IDENTICAL (v·v − 2·v·c) + c·c expression (ties → lowest cid — the
 # Spark side's lexicographic (d2, cid) struct sort), same-cid pair
 # join, exact-cosine verify at the shared threshold.

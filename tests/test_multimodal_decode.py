@@ -501,3 +501,24 @@ def test_jpeg_huffman_decoder_against_hand_packed_stream():
     assert ws == 128 * int(
         (1 + np.arange(8)[None, :] + np.arange(8)[:, None] * 8).sum()
     )
+
+
+def test_jpeg_zigzag_matches_published_t81_sequence():
+    """The zigzag table pinned against the PUBLISHED ITU T.81 Figure 5
+    sequence, not a self-round-trip (ADVICE r12: encoder and decoder
+    sharing one transposed table passes every in-repo round-trip but
+    emits non-conformant files for any non-constant block).  The first
+    16 (row, col) entries and two interior spot points are the
+    standard's, transcribed from the spec."""
+    from content_analytics_etl_spark.multimodal import _JPEG_ZZ
+
+    assert _JPEG_ZZ[:16] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    ]
+    # interior + tail spot checks from the published index matrix
+    assert _JPEG_ZZ[35] == (7, 0)
+    assert _JPEG_ZZ[36] == (7, 1)
+    assert _JPEG_ZZ[62] == (7, 6)
+    assert _JPEG_ZZ[63] == (7, 7)
+    assert len(set(_JPEG_ZZ)) == 64

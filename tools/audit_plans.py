@@ -127,7 +127,7 @@ ALLOW_NESTED_LOOP = {
     "doc_sparse_cosine_topk": "1-row corpus-doc-count aggregate broadcast "
     "(idf numerator + fractional DF cut) onto the term-frequency table",
     "sim_ann_ivfpq_topk": "sqrt(N)-row centroid cross join (coarse "
-    "assignment) + 32-row residual codebook and bounded query-LUT "
+    "assignment) + 8x256-row residual codebooks and bounded query-LUT "
     "broadcasts (sim_ann_ivf_topk / sim_ann_pq_adc shapes composed)",
     "dedup_minhash_band_tuning": "1-row exact-truth-count aggregate "
     "broadcast onto the 3-row per-config report",

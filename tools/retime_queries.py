@@ -59,10 +59,19 @@ def main() -> None:
         # measurement conditions (JVM, cache, machine load) into the
         # capture, so the original same-session numbers must stay
         # readable and every patched entry carries both values.
+        # ADVICE r12 (low): on a REPEATED patch of the same query,
+        # cap["queries"][n] already holds the first re-time's value —
+        # keep the first recorded original (the true same-session
+        # number), never overwrite it with a prior re-time.
+        prior = cap.get("retimed", {})
         cap.setdefault("retimed", {}).update(
             {
                 n: {
-                    "original_seconds": cap["queries"].get(n),
+                    "original_seconds": (
+                        prior[n]["original_seconds"]
+                        if n in prior
+                        else cap["queries"].get(n)
+                    ),
                     "retimed_seconds": v,
                     "note": "post-capture fix re-time in a SEPARATE "
                     "session, same warm+min3 protocol — conditions "
