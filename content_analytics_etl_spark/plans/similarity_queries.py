@@ -313,21 +313,71 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the explode join, so the dot work scales with the
     data-dependent band count): aggregates are codegen'd and form a
     projection barrier, so each band signature is computed exactly
-    once however many times it is referenced downstream."""
+    once however many times it is referenced downstream.
+
+    Round 13 (VERDICT r12 #3): the verify is BUCKET-LOCAL — the vector
+    payload rides the band/probe rows into the (band_idx, band_key)
+    equi-join and the cosine is computed inside it, replacing the old
+    distinct-candidates-then-join-raw-vectors chain whose second join
+    shuffled C·512 B (the ~250 GB spill PERF 74 measured at 600k
+    vectors).  Payload traffic is now nb·(1+w)·N rows on the probe
+    side + nb·N on the band side (~34 GB at 600k vs ~250 GB); a pair
+    colliding in m (band, probe) slots is verified m times and
+    collapsed by the final distinct on bit-identical rows — the result
+    SET is exactly the old chain's, which the unchanged oracle
+    replays.  Parity is pinned by
+    ``tests/test_round13_ops.py::test_lsh_bucket_local_verify_parity``."""
     emb = t(spark, sf_dir, "embeddings")
     e = (
         emb.select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    cand = _nd_candidates(emb)
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return _nd_pairs_bucket_local(emb, e)
+
+
+def _nd_pairs_bucket_local(emb: DataFrame, e: DataFrame) -> DataFrame:
+    """Verified near-dup pairs of the scaled+probed LSH with the
+    cosine computed INSIDE the band-key join (see sim_neardup_pairs).
+    ``e`` carries (vec_id, v, nrm); the probe explode and join
+    predicate are byte-identical to ``_nd_candidates`` — only WHERE
+    the raw vectors meet changes."""
+    params = _nd_params_rel(emb)
+    bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
+    bands_v = bands.join(e, "vec_id")
+    probes_v = (
+        bands_v.crossJoin(F.broadcast(params.select("w")))
+        .select(
+            "vec_id",
+            "band_idx",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, w), j -> CASE WHEN j = 0 "
+                    "THEN band_key ELSE band_key ^ "
+                    "shiftleft(CAST(1 AS BIGINT), j - 1) END)"
+                )
+            ).alias("band_key"),
+            "v",
+            "nrm",
+        )
+    )
+    a, b = probes_v.alias("a"), bands_v.alias("b")
+    cos = dot_product(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .distinct()
     )
 
 
@@ -1220,87 +1270,184 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall 0.187 there vs 0.867 here, and recall RISES with N (0.665 /
 # 0.711 / 0.867 at 2k/20k/60k) instead of halving per decade — cells
 # grow as sqrt(N), so the probed neighborhood widens with the corpus.
-# At true 100-TB scale the standard move is a TWO-level quantizer
-# (assign against sqrt(k) super-cells first) with FIXED target cell
-# size, which makes both terms linear and keeps this plan's shape; the
-# knob, not the plan, changes.  CLUS_K_CAP bounds the broadcast
-# centroid matrix (65536 × 64 doubles = 33 MB) — it binds at
-# N ≈ 86M, past which the single-level design degenerates and the
-# two-level variant is the documented path.
+# Round 13 (VERDICT r12 #1) ships the documented evolution: a
+# TWO-level quantizer with FIXED target cell size.  k = round(N/T)
+# cells (T = CLUS_TARGET vectors per cell, the sf3 operating point's
+# measured cell size — at sf3 the two parameterizations coincide, so
+# the r12 ladder above remains the tuning evidence), grouped under
+# s = round(sqrt(k)) super-cells; every vector ranks the s supers
+# first and then only the cells OWNED by its CLUS_SUPER_PROBE nearest
+# supers.  Cost: assignment is N·(s + p1·k/s) = O(N·sqrt(N/T))
+# row-local dots — the sqrt factor replaces the single-level's full k,
+# a 7x cut at sf3 and growing with N — and the same-cell pair scan is
+# k·(p·T)²/2 = (p²·T/2)·N candidates, LINEAR in N (the single-level's
+# N^1.5 term, measured exp 1.51 in r12, is gone: cells no longer widen
+# with the corpus).  Recall holds because near-dup pairs (cosine ≥
+# 0.45) rank supers almost identically — both members prune to the
+# same super neighborhood — so the pair-collision probability is
+# governed by (p, T) exactly as in the single-level ladder.
+# CLUS_K_CAP bounds the broadcast grouped-centroid matrix (65536 × 64
+# doubles = 33 MB); with fixed T it binds at N ≈ T·65536 ≈ 2.3M, past
+# which cells coarsen gracefully (size N/k grows, pair scan reverts
+# toward N²/k) — the unlimited evolution is stage-2 as a plain sid
+# equi-join (vectors shuffle p1 payload rows each to meet their probed
+# supers' cell groups; no broadcast of cells at all), one extra
+# exchange, same logical chain.
 CLUS_PROBE = 5
-CLUS_K_FACTOR = 50.0
+CLUS_TARGET = 35  # target vectors per cell (fixed — this is what
+# makes the pair scan linear; 35 = sf3's measured N/k at the shipped
+# r12 ladder point (p=5, f=50), so recall evidence carries over)
+CLUS_SUPER_PROBE = 5  # supers probed at level 1 (p1); the r13 ladder
+# at sf3 (evidence/r13/) picks the knee — loss vs the unpruned
+# single-level assignment is the measured gap
 CLUS_K_MIN = 8
 CLUS_K_CAP = 65536
 
 
 def _clus_params_rel(e: DataFrame) -> DataFrame:
-    """1-row (k int) relation: k = clamp(round(sqrt(f·N)), 8, 65536)
-    from ONE count aggregate — the `_nd_params_rel` pattern; never a
-    driver value.  round() ties cannot occur (sqrt(f·N) lands on .5
-    only if f·N = (m+1/2)², never an integer for integer f·N), so
-    HALF_UP vs half-away agree cross-engine."""
-    k = F.round(
-        F.sqrt(F.lit(CLUS_K_FACTOR) * F.col("n").cast("double"))
-    ).cast("int")
-    return e.agg(F.count(F.lit(1)).alias("n")).select(
-        F.greatest(
-            F.lit(CLUS_K_MIN), F.least(F.lit(CLUS_K_CAP), k)
-        ).alias("k")
+    """1-row (k int, s int) relation: k = clamp(round(N/T), 8, 65536)
+    cells (T = CLUS_TARGET, fixed — k grows LINEARLY with the corpus
+    so cell size stays ~T) and s = round(sqrt(k)) super-cells, from
+    ONE count aggregate — the `_nd_params_rel` pattern; never a driver
+    value.  round() ties cannot occur: N/35 lands on .5 only if
+    N = 35m + 17.5 (never an integer), and sqrt(k) lands on .5 only if
+    k = m² + m + 1/4 (never an integer) — so HALF_UP vs half-away
+    agree cross-engine, and the true quotients sit ≥ 1/70 away from
+    any .5 (far beyond double ulp, so both engines see the same side)."""
+    k = F.greatest(
+        F.lit(CLUS_K_MIN),
+        F.least(
+            F.lit(CLUS_K_CAP),
+            F.round(
+                F.col("n").cast("double") / F.lit(float(CLUS_TARGET))
+            ).cast("int"),
+        ),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n"))
+        .select(k.alias("k"))
+        .select("k", F.round(F.sqrt(F.col("k"))).cast("int").alias("s"))
     )
 
 
 def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
-    """(vec_id, cid) rows, ≤ CLUS_PROBE per vector: the CLUS_PROBE
-    nearest of the k lowest-vec_id vectors (Lloyd's deterministic
-    init, the ``kmeans_assign`` contract; a 3-round Lloyd fit was
-    measured at +0.035 recall for 3× assignment cost and a dynamic-k
-    unrolled oracle — not worth it next to the (p, f) ladder).
+    """(vec_id, cid) rows, ≤ CLUS_PROBE per vector — the TWO-level
+    quantizer (round 13, VERDICT r12 #1): rank the s super-centroids
+    (the s lowest-vec_id vectors), keep the CLUS_SUPER_PROBE nearest,
+    then rank ONLY the cells owned by those supers (cell centroids =
+    the k lowest-vec_id vectors, each owned by its rank-1 nearest
+    super) and keep the CLUS_PROBE nearest.  Lloyd's deterministic
+    init at both levels, the ``kmeans_assign`` contract.
 
-    Scale shape: the centroid matrix rides in as ONE collect_list row
-    (order-irrelevant — the per-row sort below imposes the total
-    order), broadcast onto the corpus; per-row distances are computed
-    inside a ``transform`` lambda and the CLUS_PROBE winners taken by
-    ``array_sort`` + ``slice`` — lexicographic (d2, cid) struct order
-    is exactly the (d2 ASC, cid ASC) tie rule of ``assign_clusters``'s
-    window.  NO N·k row explosion and NO corpus-wide window shuffle:
-    the relational crossJoin+window form would push N·k rows through a
-    partitionBy(vec_id) exchange, which at k ∝ sqrt(N) is N^1.5 rows
-    shuffled — this form shuffles nothing."""
+    Scale shape: supers and the super-grouped cell matrix ride in as
+    ONE combined collect_list row (order-irrelevant — the per-row
+    sorts impose the total order), broadcast onto the corpus; per-row
+    distances run inside ``transform`` lambdas with |v|², |c|², |s|²
+    hoisted (PERF 72 — HOF lambdas are not codegen'd) and winners
+    taken by ``array_sort`` + ``slice`` — lexicographic (d2, id)
+    struct order is exactly the (d2 ASC, id ASC) tie rule of
+    ``assign_clusters``'s window.  Per-vector work is s + p1·k/s dots
+    instead of the single-level's k (7× less at sf3, growing with N);
+    NO N·k row explosion and NO corpus-wide window shuffle.  The
+    cell→super ownership pass is k rows × s dots — control-plane-sized
+    (≤ 65536 × 256) — computed once against the tiny super matrix."""
+    sup = (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") < F.col("s"))
+        .select(
+            F.col("vec_id").cast("int").alias("sid"),
+            F.col("v").alias("sv"),
+            dot_product(F.col("v"), F.col("v")).alias("sn2"),
+        )
+    )
+    smat = sup.agg(F.collect_list(F.struct("sid", "sv", "sn2")).alias("smat"))
     cent = (
         e.crossJoin(F.broadcast(params))
         .filter(F.col("vec_id") < F.col("k"))
         .select(
             F.col("vec_id").cast("int").alias("cid"),
             F.col("v").alias("cv"),
-            # |c|² once per centroid, not once per (row, centroid) —
-            # the transform lambda below runs N·k times and the fold
-            # dots are its whole cost; hoisting |v|² and |c|² cuts the
-            # per-cell work from 3·dim to dim multiply-adds. Same fold
-            # → bit-identical d2 values, so the oracle needs no change.
             dot_product(F.col("v"), F.col("v")).alias("cn2"),
         )
     )
-    cmat = cent.agg(F.collect_list(F.struct("cid", "cv", "cn2")).alias("cmat"))
 
-    def _cand(c):
-        # same operation ORDER as assign_clusters: (v·v − 2·v·c) + c·c
-        d2 = (
-            F.col("n2")
-            - 2.0 * dot_product(F.col("v"), c["cv"])
-            + c["cn2"]
-        )
+    def _sup_cand(base_n2, base_v):
+        # same operation ORDER as assign_clusters: (v·v − 2·v·s) + s·s
+        def inner(t):
+            d2 = base_n2 - 2.0 * dot_product(base_v, t["sv"]) + t["sn2"]
+            return F.struct(d2.alias("d2"), t["sid"].alias("sid"))
+
+        return inner
+
+    # cell → owning super: rank-1 against the broadcast super matrix,
+    # row-local (k rows, s dots each)
+    owned = cent.crossJoin(F.broadcast(smat)).select(
+        "cid",
+        "cv",
+        "cn2",
+        F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("smat"), _sup_cand(F.col("cn2"), F.col("cv"))
+                )
+            ),
+            1,
+        )["sid"].alias("sid"),
+    )
+    # one broadcast row carrying BOTH matrices: the super list and the
+    # super-grouped cells (33 MB at the k cap — CLUS_K_CAP's bound)
+    gmat = owned.groupBy("sid").agg(
+        F.collect_list(F.struct("cid", "cv", "cn2")).alias("cells")
+    )
+    mats = smat.crossJoin(
+        gmat.agg(F.collect_list(F.struct("sid", "cells")).alias("gmat"))
+    )
+
+    def _cell_cand(c):
+        d2 = F.col("n2") - 2.0 * dot_product(F.col("v"), c["cv"]) + c["cn2"]
         return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
 
     return (
         e.select(
             "vec_id", "v", dot_product(F.col("v"), F.col("v")).alias("n2")
         )
-        .crossJoin(F.broadcast(cmat))
+        .crossJoin(F.broadcast(mats))
+        .withColumn(
+            "psids",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("smat"),
+                            _sup_cand(F.col("n2"), F.col("v")),
+                        )
+                    ),
+                    1,
+                    CLUS_SUPER_PROBE,
+                ),
+                lambda t: t["sid"],
+            ),
+        )
         .select(
             "vec_id",
             F.explode(
                 F.slice(
-                    F.array_sort(F.transform(F.col("cmat"), _cand)),
+                    F.array_sort(
+                        F.transform(
+                            F.flatten(
+                                F.transform(
+                                    F.filter(
+                                        F.col("gmat"),
+                                        lambda g: F.array_contains(
+                                            F.col("psids"), g["sid"]
+                                        ),
+                                    ),
+                                    lambda g: g["cells"],
+                                )
+                            ),
+                            _cell_cand,
+                        )
+                    ),
                     1,
                     CLUS_PROBE,
                 )
@@ -1312,9 +1459,24 @@ def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
 
 def _clus_cand_pairs(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(candidates, verified pairs) of the clustered near-dup scan —
-    shared verbatim by ``sim_neardup_clustered`` (the query) and
-    ``sim_neardup_clustered_audit`` (which also counts both relations).
-    ``e`` carries (vec_id, v, nrm)."""
+    shared by ``sim_neardup_clustered`` (the query, which consumes
+    ONLY ``pairs``) and ``sim_neardup_clustered_audit`` (which also
+    counts the distinct candidate relation).  ``e`` carries
+    (vec_id, v, nrm).
+
+    The verify is BUCKET-LOCAL (round 13, VERDICT r12 #3): the vector
+    payload rides the p·N assignment rows into ONE cid equi-join and
+    the cosine is computed inside that join, so no candidate-sized
+    relation ever carries a vector through an exchange.  The old
+    distinct-then-verify chain shuffled C·(512 B + 512 B) — ~138 GB at
+    600k vectors (PERF 74) — where this shuffles 2·p·N·528 B ≈ 3 GB, a
+    ~40× cut; the only candidate-sized traffic left is the audit's
+    compact (vec_a, vec_b) count, which the production query never
+    runs.  A pair sharing m probed cells is verified m times and
+    collapsed by the final distinct (cosine is a deterministic fold,
+    so duplicate rows are bit-identical) — the result SET is exactly
+    the old chain's, which is what the unchanged-shape oracle
+    replays."""
     asg = _clus_assign(e, _clus_params_rel(e))
     a = asg.select("cid", F.col("vec_id").alias("vec_a"))
     b = asg.select("cid", F.col("vec_id").alias("vec_b")).hint("merge")
@@ -1324,22 +1486,26 @@ def _clus_cand_pairs(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = e.select(
+    m = asg.join(e, "vec_id")
+    av = m.select(
+        "cid",
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na_"),
     )
-    eb = e.select(
+    bv = m.select(
+        "cid",
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb_"),
-    )
+    ).hint("merge")
     cos = dot_product(F.col("va"), F.col("vb")) / (F.col("na_") * F.col("nb_"))
     pairs = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        av.join(bv, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .distinct()
     )
     return cand, pairs
 
@@ -1347,13 +1513,20 @@ def _clus_cand_pairs(e: DataFrame) -> tuple[DataFrame, DataFrame]:
 def sim_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at cosine ≥ 0.45 via CLUSTER-SCOPED exact scan —
     the SemDeDup posture (Abbas et al. 2023) applied to pair MINING,
-    the measured alternative VERDICT r11 #1 asked for: assign every
-    vector to its ``CLUS_PROBE`` = 5 nearest of k = round(sqrt(50·N))
-    fixed-init k-means cells, emit pairs sharing ≥ 1 cell, verify by
-    exact cosine.  Same (vec_a, vec_b, cosine) contract as
+    the measured alternative VERDICT r11 #1 asked for, LINEAR-cost
+    since round 13 (VERDICT r12 #1): a two-level quantizer assigns
+    every vector to its ``CLUS_PROBE`` = 5 nearest of k = round(N/T)
+    fixed-init k-means cells (T = ``CLUS_TARGET`` fixed, so cell size
+    — and with it the per-cell pair scan — no longer grows with the
+    corpus), pruning the cell ranking to the cells owned by the
+    vector's ``CLUS_SUPER_PROBE`` nearest of sqrt(k) super-cells; emit
+    pairs sharing ≥ 1 cell, verify by exact cosine INSIDE the cid join
+    (bucket-local — no candidate-sized payload shuffle, VERDICT r12
+    #3).  Same (vec_a, vec_b, cosine) contract as
     ``sim_neardup_pairs`` so the two methods are directly comparable;
     ``sim_neardup_clustered_audit`` carries the head-to-head recall
-    numbers and SCALE.md round 12 the decision.
+    numbers, SCALE.md round 12 the posture decision and round 13 the
+    two-level cost/recall measurements.
 
     Why this escapes the LSH family's bound: hyperplane LSH must hold
     per-pair collision probability against a 0.5-per-bit background —
@@ -1361,19 +1534,20 @@ def sim_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps cost linear (PERF 67's N^(1+rho) floor).  Partition-then-scan
     has no per-bit background: recall is the probability that a true
     pair shares one of the p·p probed-cell intersections (measured
-    RISING in N — 0.665/0.711/0.867 at 2k/20k/60k, evidence/r12/ —
-    because sqrt(N)-sized cells widen the probed neighborhood as the
-    corpus grows), and cost is the probed-cell pair scan, tunable by
-    (p, f) alone.  The trade is cost exponent ~1.5 (single-level;
-    two-level quantization with fixed cell size makes it linear at
-    production scale) for recall that does NOT decay with N — the
-    opposite corner from the LSH point (cost exp 0.94, recall ~halving
-    per decade), at the SAME candidate budget at the largest measured
-    scale.
+    RISING in N in round 12 with sqrt(N)-sized cells —
+    0.665/0.711/0.867 at 2k/20k/60k, evidence/r12/; the fixed-T r13
+    trajectory is in evidence/r13/), and cost is the probed-cell pair
+    scan, tunable by
+    (p, T) alone.  With T fixed the pair scan is (p²·T/2)·N candidates
+    — LINEAR — and the assignment N·(s + p1·k/s) row-local dots; the
+    recall-vs-LSH comparison (same candidate budget at sf3: 0.867 vs
+    0.187) carries over because T reproduces the r12 ladder's shipped
+    operating point at that scale.
 
-    Candidate generation is an equi-join on cid (one shuffle of 2N
-    compact rows per side); the audit plan-gate bans apply (no
-    cartesian, no row UDFs, no data-sized collect)."""
+    Candidate generation is an equi-join on cid (one shuffle of p·N
+    compact-plus-payload rows per side, the bucket-local verify); the
+    audit plan-gate bans apply (no cartesian, no row UDFs, no
+    data-sized collect)."""
     emb = t(spark, sf_dir, "embeddings")
     e = (
         emb.select("vec_id", to_double_array("embedding").alias("v"))
@@ -1411,6 +1585,7 @@ def sim_neardup_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_vectors",
             "k",
+            "s",
             "n_candidates",
             "n_pairs",
             "n_banded_cap",
@@ -2321,22 +2496,62 @@ _ND_PARAMS_CTE = f"""
           FROM e
         )"""
 # Mirror of _clus_params_rel / _clus_assign / _clus_cand_pairs (the
-# clustered near-dup path): expects a preceding ``e`` CTE with
-# (vec_id, v, nrm).
+# TWO-level clustered near-dup path, round 13): the same
+# k = clamp(round(N/T), 8, 65536) and s = round(sqrt(k)) off count(*),
+# supers/cells = the s/k lowest-vec_id vectors, cell→super ownership by
+# rank-1 window, per-vector rank-≤CLUS_SUPER_PROBE super window, then
+# the rank-≤CLUS_PROBE cell window restricted (by joins) to the probed
+# supers' cells — every d2 the IDENTICAL (x·x − 2·x·y) + y·y left-fold
+# expression with (d2, id) tie order, matching the Spark side's
+# lexicographic struct sorts.
 _CLUS_D2 = (
     f"{_DOT(d=DIM, a='e.v', b='e.v')}"
     f" - 2.0 * {_DOT(d=DIM, a='e.v', b='c.cv')}"
     f" + {_DOT(d=DIM, a='c.cv', b='c.cv')}"
 )
+_CLUS_SUP_D2 = (
+    f"{_DOT(d=DIM, a='e.v', b='e.v')}"
+    f" - 2.0 * {_DOT(d=DIM, a='e.v', b='u.sv')}"
+    f" + {_DOT(d=DIM, a='u.sv', b='u.sv')}"
+)
+_CLUS_C2S_D2 = (
+    f"{_DOT(d=DIM, a='c.cv', b='c.cv')}"
+    f" - 2.0 * {_DOT(d=DIM, a='c.cv', b='u.sv')}"
+    f" + {_DOT(d=DIM, a='u.sv', b='u.sv')}"
+)
 _CLUS_CTES = f"""
         cparams AS MATERIALIZED (
-          SELECT GREATEST({CLUS_K_MIN}, LEAST({CLUS_K_CAP},
-                 CAST(round(sqrt(50.0 * count(*))) AS INTEGER))) AS k
-          FROM e
+          SELECT k, CAST(round(sqrt(k)) AS INTEGER) AS s FROM (
+            SELECT GREATEST({CLUS_K_MIN}, LEAST({CLUS_K_CAP},
+                   CAST(round(count(*) / {CLUS_TARGET}.0) AS INTEGER))) AS k
+            FROM e
+          )
+        ),
+        sup AS MATERIALIZED (
+          SELECT CAST(e.vec_id AS INTEGER) AS sid, e.v AS sv
+          FROM e, cparams WHERE e.vec_id < cparams.s
         ),
         cent AS MATERIALIZED (
           SELECT CAST(e.vec_id AS INTEGER) AS cid, e.v AS cv
           FROM e, cparams WHERE e.vec_id < cparams.k
+        ),
+        c2s AS MATERIALIZED (
+          SELECT cid, sid FROM (
+            SELECT c.cid, u.sid,
+                   row_number() OVER (
+                     PARTITION BY c.cid
+                     ORDER BY {_CLUS_C2S_D2} ASC, u.sid) AS rk
+            FROM cent c CROSS JOIN sup u
+          ) WHERE rk = 1
+        ),
+        vsup AS MATERIALIZED (
+          SELECT vec_id, sid FROM (
+            SELECT e.vec_id, u.sid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {_CLUS_SUP_D2} ASC, u.sid) AS rk
+            FROM e CROSS JOIN sup u
+          ) WHERE rk <= {CLUS_SUPER_PROBE}
         ),
         asg AS MATERIALIZED (
           SELECT vec_id, cid FROM (
@@ -2344,7 +2559,9 @@ _CLUS_CTES = f"""
                    row_number() OVER (
                      PARTITION BY e.vec_id
                      ORDER BY {_CLUS_D2} ASC, c.cid) AS rk
-            FROM e CROSS JOIN cent c
+            FROM e JOIN vsup ON vsup.vec_id = e.vec_id
+                   JOIN c2s ON c2s.sid = vsup.sid
+                   JOIN cent c ON c.cid = c2s.cid
           ) WHERE rk <= {CLUS_PROBE}
         ),
         cand AS MATERIALIZED (
@@ -2764,11 +2981,12 @@ ORACLES = {
         FROM hits GROUP BY train_id
     """,
 # Mirror of _clus_params_rel + _clus_assign + _clus_cand_pairs: the
-# same k = clamp(round(sqrt(50·N)), 8, 65536) off count(*), centroids =
-# the k lowest-vec_id vectors, per-vector rank-≤CLUS_PROBE window on the
-# IDENTICAL (v·v − 2·v·c) + c·c expression (ties → lowest cid — the
-# Spark side's lexicographic (d2, cid) struct sort), same-cid pair
-# join, exact-cosine verify at the shared threshold.
+# _CLUS_CTES two-level chain (see its comment), same-cid pair join,
+# exact-cosine verify at the shared threshold.  The oracle verifies
+# the DISTINCT candidate relation once per pair where the Spark side
+# verifies inside the cid join and dedups after the filter — identical
+# result set (cosine is a deterministic fold, duplicates are
+# bit-identical rows).
 "sim_neardup_clustered": f"""
         WITH e AS MATERIALIZED ({_E_CTE}),
         {_CLUS_CTES}
@@ -2800,6 +3018,7 @@ ORACLES = {
         )
         SELECT (SELECT count(*) FROM e) AS n_vectors,
                cparams.k AS k,
+               cparams.s AS s,
                (SELECT count(*) FROM cand) AS n_candidates,
                (SELECT count(*) FROM pairs) AS n_pairs,
                (SELECT count(*) FROM pairs

@@ -29,3 +29,10 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def sf001_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf01_dir() -> str:
+    # Large enough (2000 vectors) that the two-level quantizer's
+    # super-cell pruning is real (s > CLUS_SUPER_PROBE).
+    return "/root/testdata/sf0.1"

@@ -64,9 +64,11 @@ ALLOW_NESTED_LOOP = {
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
     "sim_semdedup": "k-row centroid relation cross join (Lloyd assignment)",
-    "sim_neardup_clustered": "two 1-row broadcasts (count-derived k "
-    "params; collect_list centroid matrix, O(k·dim) by construction) — "
-    "assignment is row-local, candidates are a cid equi-join",
+    "sim_neardup_clustered": "1-row broadcasts only (count-derived "
+    "(k, s) params; collect_list super matrix, O(s·dim); combined "
+    "super+grouped-cell matrix, O(k·dim) by construction — the "
+    "CLUS_K_CAP bound) — two-level assignment is row-local, "
+    "candidates/verify are a cid equi-join",
     "sim_neardup_clustered_audit": "cross join of five 1-row count "
     "aggregates (operating-point report) + sim_neardup_clustered's "
     "1-row broadcasts + sim_neardup_exact's hard-capped exact "

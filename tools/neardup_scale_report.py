@@ -32,6 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from content_analytics_etl_spark.plans.similarity_queries import (  # noqa: E402
     CLUS_PROBE,
+    CLUS_SUPER_PROBE,
     EXACT_CAP,
     _clus_params_rel,
     _nd_candidates,
@@ -82,7 +83,7 @@ def main() -> None:
         emb.select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    k = _clus_params_rel(e).collect()[0]["k"]
+    crow = _clus_params_rel(e).collect()[0]
     exact = sim_neardup_exact(spark, sf_dir).count()
     lsh = _method(
         lambda: sim_neardup_pairs(spark, sf_dir), _nd_candidates(emb), exact
@@ -101,7 +102,13 @@ def main() -> None:
             "n_bands": prow["nb"],
             **lsh,
         },
-        "clustered": {"k_cells": k, "probe_cells": CLUS_PROBE, **clus},
+        "clustered": {
+            "k_cells": crow["k"],
+            "s_supers": crow["s"],
+            "probe_cells": CLUS_PROBE,
+            "probe_supers": CLUS_SUPER_PROBE,
+            **clus,
+        },
     }
     print(json.dumps(out))
     if len(sys.argv) > 2:
