@@ -80,7 +80,20 @@ ANN_TOPK = 10
 # Honest either way: the audit now reports both recall AND per-query
 # candidate cost, so the trade is visible, and the re-rank join cost
 # is noise next to the ADC pass at any K in this range.
+#
+# Round 13 (VERDICT r12 #4): the shortlist SCALES with the probed set.
+# A constant K=500 covered 49% of the ~1k probed candidates at sf0.1
+# but 8.8% of the ~5.7k at sf1 (recall@10 0.765 → 0.59) and keeps
+# shrinking at N^0.75; rerank_k = clamp(floor(RERANK_FRAC · nprobe ·
+# N / cells), RERANK_K, RERANK_K_CAP) holds the covered FRACTION at
+# sf0.1's measured operating point (0.5) instead, so recall stops
+# decaying with scale. Cost: the re-rank join is |queries| · rerank_k
+# rows ∝ N^0.75 — the same sublinear shape as the ADC pass it follows,
+# and a broadcast-sized relation at any N under the cap. RERANK_K
+# stays as the floor (small-N behavior unchanged below ~1k probed).
 RERANK_K = 500
+RERANK_FRAC = 0.5
+RERANK_K_CAP = 65536
 N_PLANES = 6
 NEARDUP_COSINE = 0.45
 SEMDECON_COSINE = 0.25  # looser than near-dup: eval leakage flags need recall
@@ -752,6 +765,35 @@ def _ivf_params_rel(e: DataFrame) -> DataFrame:
     )
 
 
+def _rerank_params_rel(e: DataFrame) -> DataFrame:
+    """1-row (rerank_k int) relation: the ADC→exact shortlist depth,
+    proportional to the probed-set size (RERANK_FRAC · nprobe·N/cells
+    — VERDICT r12 #4), floored at the legacy RERANK_K and capped.
+    floor() (not round) so there is no tie semantics to reconcile
+    cross-engine; the product 0.5·nprobe·N is exact in double and the
+    single division is the same IEEE op in both engines."""
+    return (
+        _ivf_params_rel(e)
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n")))
+        .select(
+            F.greatest(
+                F.lit(RERANK_K),
+                F.least(
+                    F.lit(RERANK_K_CAP),
+                    F.floor(
+                        (
+                            F.lit(RERANK_FRAC)
+                            * F.col("nprobe").cast("double")
+                            * F.col("n").cast("double")
+                        )
+                        / F.col("cells").cast("double")
+                    ).cast("int"),
+                ),
+            ).alias("rerank_k")
+        )
+    )
+
+
 def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, nrm, cell, cv, crank ≤ nprobe) — the coarse
     quantizer's assignment, shared verbatim by the IVF and residual
@@ -1081,12 +1123,22 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc_d2, cosine, rank) with rank = exact-cosine rank within the
     shortlist. Coarse assignment from the session-materialized producer
     (shared with ``sim_ann_ivf_topk``)."""
-    short = _ann_topk(
-        _ivfpq_adc_scored(spark, sf_dir),
-        "adc_d2",
-        ascending=True,
-        k=RERANK_K,
-    ).drop("rank")
+    scored = _ivfpq_adc_scored(spark, sf_dir)
+    wsl = W.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("cand_id")
+    )
+    short = (
+        scored.withColumn("rr", F.row_number().over(wsl))
+        .crossJoin(
+            F.broadcast(
+                _rerank_params_rel(
+                    t(spark, sf_dir, "embeddings").select("vec_id")
+                )
+            )
+        )
+        .filter(F.col("rr") <= F.col("rerank_k"))
+        .drop("rr", "rerank_k")
+    )
     e = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", to_double_array("embedding").alias("v"))
@@ -1293,13 +1345,16 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-join (vectors shuffle p1 payload rows each to meet their probed
 # supers' cell groups; no broadcast of cells at all), one extra
 # exchange, same logical chain.
-CLUS_PROBE = 5
-CLUS_TARGET = 35  # target vectors per cell (fixed — this is what
-# makes the pair scan linear; 35 = sf3's measured N/k at the shipped
-# r12 ladder point (p=5, f=50), so recall evidence carries over)
-CLUS_SUPER_PROBE = 5  # supers probed at level 1 (p1); the r13 ladder
-# at sf3 (evidence/r13/) picks the knee — loss vs the unpruned
-# single-level assignment is the measured gap
+CLUS_PROBE = 6  # cells per vector (p)
+CLUS_TARGET = 24  # target vectors per cell (T, fixed — this is what
+# makes the pair scan linear: candidates ≈ (p²·T/2)·N at any N)
+CLUS_SUPER_PROBE = 12  # supers probed at level 1 (p1)
+CLUS_CELL_SPILL = 2  # supers each CELL is owned by (R — spilled /
+# replicated assignment, the ScaNN-SOAR posture): a cell near a super
+# boundary is visible from both sides, which is exactly where the
+# true pair's shared cell lives when the pair's probed super sets
+# differ; measured +0.04-0.07 recall at fixed candidate budget
+# (evidence/r13/CLUS_KNOBS_*.json)
 CLUS_K_MIN = 8
 CLUS_K_CAP = 65536
 
@@ -1309,11 +1364,12 @@ def _clus_params_rel(e: DataFrame) -> DataFrame:
     cells (T = CLUS_TARGET, fixed — k grows LINEARLY with the corpus
     so cell size stays ~T) and s = round(sqrt(k)) super-cells, from
     ONE count aggregate — the `_nd_params_rel` pattern; never a driver
-    value.  round() ties cannot occur: N/35 lands on .5 only if
-    N = 35m + 17.5 (never an integer), and sqrt(k) lands on .5 only if
-    k = m² + m + 1/4 (never an integer) — so HALF_UP vs half-away
-    agree cross-engine, and the true quotients sit ≥ 1/70 away from
-    any .5 (far beyond double ulp, so both engines see the same side)."""
+    value.  round() determinism: N/24 CAN land exactly on .5 (N =
+    24m + 12; the quotient is exact in double since 24 = 8·3 and the
+    halves are representable) — Spark's HALF_UP and DuckDB's
+    half-away-from-zero agree on positive ties, so both engines round
+    up.  sqrt(k) lands on .5 only if k = m² + m + 1/4 (never an
+    integer), so the s tie is unreachable."""
     k = F.greatest(
         F.lit(CLUS_K_MIN),
         F.least(
@@ -1379,20 +1435,31 @@ def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
 
         return inner
 
-    # cell → owning super: rank-1 against the broadcast super matrix,
-    # row-local (k rows, s dots each)
-    owned = cent.crossJoin(F.broadcast(smat)).select(
-        "cid",
-        "cv",
-        "cn2",
-        F.element_at(
-            F.array_sort(
-                F.transform(
-                    F.col("smat"), _sup_cand(F.col("cn2"), F.col("cv"))
+    # cell → owning supers: rank-≤CLUS_CELL_SPILL against the broadcast
+    # super matrix, row-local (k rows, s dots each).  R > 1 is spilled
+    # assignment (ScaNN's SOAR): boundary cells are visible from both
+    # adjacent supers, recovering the pairs whose two members probe
+    # different super sets.
+    owned = (
+        cent.crossJoin(F.broadcast(smat))
+        .select(
+            "cid",
+            "cv",
+            "cn2",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("smat"),
+                            _sup_cand(F.col("cn2"), F.col("cv")),
+                        )
+                    ),
+                    1,
+                    CLUS_CELL_SPILL,
                 )
-            ),
-            1,
-        )["sid"].alias("sid"),
+            ).alias("o"),
+        )
+        .select("cid", "cv", "cn2", F.col("o.sid").alias("sid"))
     )
     # one broadcast row carrying BOTH matrices: the super list and the
     # super-grouped cells (33 MB at the k cap — CLUS_K_CAP's bound)
@@ -1431,21 +1498,36 @@ def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             F.explode(
+                # With CLUS_CELL_SPILL > 1 a cell owned by two probed
+                # supers appears twice in the flattened pool (its
+                # (d2, cid) structs are bit-identical — same fold).
+                # Each cid appears ≤ R times, so every one of the top-p
+                # DISTINCT cells lies within the top R·p entries of the
+                # sorted multiset: sort, slice R·p, THEN dedup — the
+                # O(n²) array_distinct runs over R·p structs instead of
+                # the whole p1·R·k/s pool (measured 3× on the whole
+                # assignment, PERF.md round 13).
                 F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.flatten(
+                    F.array_distinct(
+                        F.slice(
+                            F.array_sort(
                                 F.transform(
-                                    F.filter(
-                                        F.col("gmat"),
-                                        lambda g: F.array_contains(
-                                            F.col("psids"), g["sid"]
-                                        ),
+                                    F.flatten(
+                                        F.transform(
+                                            F.filter(
+                                                F.col("gmat"),
+                                                lambda g: F.array_contains(
+                                                    F.col("psids"), g["sid"]
+                                                ),
+                                            ),
+                                            lambda g: g["cells"],
+                                        )
                                     ),
-                                    lambda g: g["cells"],
+                                    _cell_cand,
                                 )
                             ),
-                            _cell_cand,
+                            1,
+                            CLUS_CELL_SPILL * CLUS_PROBE,
                         )
                     ),
                     1,
@@ -2078,7 +2160,8 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME scored producer that query ranks — the counted relation and
     the served relation are one dataframe. For ivfpq, n_candidates is
     the ADC-scored relation (probed-cells candidates), the cost the
-    compressed index pays before the constant ≤ 20·RERANK_K re-rank.
+    compressed index pays before the probed-set-proportional re-rank
+    (``_rerank_params_rel`` — ≤ 20·rerank_k rows, ∝ N^0.75).
     Scale shape: each input keeps the bounded ≤20-row query relation
     broadcast against a linear corpus pass; the audit joins run over
     ≤ 20·k rows — driver-free and constant-size regardless of corpus
@@ -2098,7 +2181,9 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_M comment: with it, ivfpq read 0.53 → 0.25 as the fixed
     RERANK_K=500 shortlist covered a shrinking fraction of the probed
     set; richer codes fixed the ranking rather than growing the
-    fetch),
+    fetch; round 13 then scaled the shortlist with the probed set —
+    VERDICT r12 #4 — and ivfpq reads 0.770 at sf1, the ivf ceiling,
+    evidence/r13/),
     **lsh_mp 0.605 / 710** (22 of 64 buckets), lsh 0.080 / 38 (single
     probe — the untuned baseline), pq 0.075 / 1999 (ADC-only: scores
     EVERY code, and still can't rank 64-d near-random vectors from
@@ -2542,7 +2627,7 @@ _CLUS_CTES = f"""
                      PARTITION BY c.cid
                      ORDER BY {_CLUS_C2S_D2} ASC, u.sid) AS rk
             FROM cent c CROSS JOIN sup u
-          ) WHERE rk = 1
+          ) WHERE rk <= {CLUS_CELL_SPILL}
         ),
         vsup AS MATERIALIZED (
           SELECT vec_id, sid FROM (
@@ -2553,15 +2638,18 @@ _CLUS_CTES = f"""
             FROM e CROSS JOIN sup u
           ) WHERE rk <= {CLUS_SUPER_PROBE}
         ),
+        pool AS MATERIALIZED (
+          SELECT DISTINCT vsup.vec_id, c2s.cid
+          FROM vsup JOIN c2s ON c2s.sid = vsup.sid
+        ),
         asg AS MATERIALIZED (
           SELECT vec_id, cid FROM (
             SELECT e.vec_id, c.cid,
                    row_number() OVER (
                      PARTITION BY e.vec_id
                      ORDER BY {_CLUS_D2} ASC, c.cid) AS rk
-            FROM e JOIN vsup ON vsup.vec_id = e.vec_id
-                   JOIN c2s ON c2s.sid = vsup.sid
-                   JOIN cent c ON c.cid = c2s.cid
+            FROM pool JOIN e ON e.vec_id = pool.vec_id
+                      JOIN cent c ON c.cid = pool.cid
           ) WHERE rk <= {CLUS_PROBE}
         ),
         cand AS MATERIALIZED (
@@ -3495,9 +3583,25 @@ _IVFPQ_CHAIN = f"""
     )"""
 
 
+def _rerank_k_sql(erel: str) -> str:
+    """Scalar-subquery twin of ``_rerank_params_rel`` — self-contained
+    (recomputes cells/nprobe from count(*) over ``erel``) because the
+    audit's call site has no ``iparams`` CTE in scope."""
+    return (
+        f"(SELECT GREATEST({RERANK_K}, LEAST({RERANK_K_CAP},"
+        f" CAST(floor(({RERANK_FRAC} * nprobe * n) / cells) AS INTEGER)))"
+        f" FROM (SELECT n, cells, GREATEST(4, LEAST(256,"
+        f" CAST(round(3.4 * sqrt(cells)) AS INTEGER))) AS nprobe"
+        f" FROM (SELECT n, GREATEST(8, LEAST(65536,"
+        f" CAST(round(sqrt(n)) AS INTEGER))) AS cells"
+        f" FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM {erel}))))"
+    )
+
+
 def _ivfpq_rerank_sql(src: str, erel: str = "e") -> str:
     """The SQL twin of sim_ann_ivfpq_topk's re-rank stage: the ADC
-    top-RERANK_K shortlist of ``src``, exact-cosine re-ranked against
+    top-rerank_k shortlist of ``src`` (probed-set-proportional depth,
+    the ``_rerank_k_sql`` scalar), exact-cosine re-ranked against
     the raw vectors in ``erel`` — a (vec_id, v, nrm) relation in scope
     (parameterized because the audit must NOT name its top-level vector
     CTE ``e``: the method chains nest their own ``e`` CTEs, and a
@@ -3517,7 +3621,7 @@ def _ivfpq_rerank_sql(src: str, erel: str = "e") -> str:
             SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY adc_d2 ASC, cand_id) AS rr
             FROM {src})
-          WHERE rr <= {RERANK_K}
+          WHERE rr <= {_rerank_k_sql(erel)}
         ) s
         JOIN {erel} eq ON eq.vec_id = s.query_id
         JOIN {erel} ec ON ec.vec_id = s.cand_id
