@@ -134,7 +134,7 @@ def test_bucket_local_verify_matches_distinct_then_verify(spark, sf01_dir):
     )
 
     e = _e(spark, sf01_dir)
-    cand, pairs = _clus_cand_pairs(e)
+    cand, pairs = _clus_cand_pairs(spark, sf01_dir)
     ea = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),

@@ -171,9 +171,14 @@ def single_partition_violations(plan: str) -> list[str]:
             r"^\((\d+)\) (\w+).*?(?=^\(\d+\) |\Z)", plan, re.MULTILINE | re.DOTALL
         )
     }
-    # tree section: node name + indent per line, e.g. "   +- Exchange (2)"
-    tree = plan.split("\n\n", 1)[0]
-    tree_lines = tree.splitlines()
+    # tree sections: node name + indent per line, e.g. "   +- Exchange (2)".
+    # Search the WHOLE text, not just the first section: plans over
+    # session-materialized producers print the InMemoryRelation's cached
+    # plan (and its AQE "Subplan:" stages) as LATER tree sections, and a
+    # global-agg exchange living there used to find no child line and
+    # flag spuriously (round 13).  Detail blocks use the "(id) Name"
+    # header shape, so the "Name (id)" tree pattern cannot match them.
+    tree_lines = plan.splitlines()
     probs: list[str] = []
     for node_id, (name, block) in blocks.items():
         if not name.startswith("Exchange") or "SinglePartition" not in block:

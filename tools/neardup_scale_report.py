@@ -90,7 +90,7 @@ def main() -> None:
     )
     clus = _method(
         lambda: sim_neardup_clustered(spark, sf_dir),
-        _clus_cand_pairs(e)[0],
+        _clus_cand_pairs(spark, sf_dir)[0],
         exact,
     )
     out = {
