@@ -112,6 +112,9 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "sim_ann_recall_audit",
+    "sim_neardup_clustered",
+    "sim_neardup_clustered_audit",
     "dedup_incremental",
     "dedup_lsh_incremental",
     "dedup_minhash_band_tuning",
@@ -159,9 +162,6 @@ DRIVER_WINDOW: list[str] = [
     "warehouse_json_roundtrip",
     "agg_stats",
     "bigram_frequency",
-    "bpe_first_merges",
-    "corpus_curation_funnel",
-    "corpus_curation_manifest",
 ]
 
 

@@ -1323,23 +1323,36 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.711 / 0.867 at 2k/20k/60k) instead of halving per decade — cells
 # grow as sqrt(N), so the probed neighborhood widens with the corpus.
 # Round 13 (VERDICT r12 #1) ships the documented evolution: a
-# TWO-level quantizer with FIXED target cell size.  k = round(N/T)
-# cells (T = CLUS_TARGET vectors per cell, the sf3 operating point's
-# measured cell size — at sf3 the two parameterizations coincide, so
-# the r12 ladder above remains the tuning evidence), grouped under
-# s = round(sqrt(k)) super-cells; every vector ranks the s supers
-# first and then only the cells OWNED by its CLUS_SUPER_PROBE nearest
-# supers.  Cost: assignment is N·(s + p1·k/s) = O(N·sqrt(N/T))
-# row-local dots — the sqrt factor replaces the single-level's full k,
-# a 7x cut at sf3 and growing with N — and the same-cell pair scan is
-# k·(p·T)²/2 = (p²·T/2)·N candidates, LINEAR in N (the single-level's
-# N^1.5 term, measured exp 1.51 in r12, is gone: cells no longer widen
-# with the corpus).  Recall holds because near-dup pairs (cosine ≥
-# 0.45) rank supers almost identically — both members prune to the
-# same super neighborhood — so the pair-collision probability is
-# governed by (p, T) exactly as in the single-level ladder.
+# TWO-level quantizer with FIXED target cell size, split into a
+# session-materialized assignment INDEX (build) and a linear pair SCAN
+# (the registered query) — the _ivf_coarse_assign posture.
+#   Partitioner: k = round(N/T) cells (T = CLUS_TARGET, fixed → cell
+# size no longer widens with the corpus), grouped under s =
+# round(sqrt(k)) super-cells; each CELL is owned by its
+# CLUS_CELL_SPILL nearest supers (spilled assignment, ScaNN-SOAR:
+# boundary cells stay visible from both sides); each VECTOR ranks the
+# s supers, keeps the CLUS_SUPER_PROBE nearest, and ranks ONLY their
+# owned cells for its CLUS_PROBE cells.
+#   Cost split: the pair scan (bucket-local verify inside one cid
+# equi-join) is k·(p·N/k)²/2 = (p²·T/2)·N candidates — LINEAR (the
+# single-level's candidates exp 1.51 measured 1.02 in r13); the index
+# build is N·(s + p1·R·k/s) row-local dots — N^1.5/sqrt(T) with a
+# small constant, paid once per corpus snapshot and reported by
+# bench.py as producer_build_seconds (measured 15.2 s / 31.5 s at
+# 20k/60k on local[32]).
+#   Knobs (r13 ladders, evidence/r13/CLUS_KNOBS_*.json, all at the
+# ~437·N candidate budget the r12 default spent): finer cells + more
+# probes keep strictly winning — (p=6, T=24, p1=12, R=2) reads
+# recall@0.45 0.704/0.939 at 20k/60k vs the single-level (5, 50)'s
+# 0.711/0.867, with candidates 8.4M/25.8M vs 4.9M/25.8M (fixed T
+# spends relatively more of its budget at SMALL N — that is exactly
+# the linearity trade).  Decoupling s from sqrt(k) (more, finer
+# supers) cuts build dots but collapses the probed pool fraction and
+# with it recall (0.704 → 0.601); prefix-subspace cell ranking (8/16
+# of 64 dims) collapses it outright (0.939 → 0.16/0.29) — cell choice
+# needs the full metric on near-random vectors.
 # CLUS_K_CAP bounds the broadcast grouped-centroid matrix (65536 × 64
-# doubles = 33 MB); with fixed T it binds at N ≈ T·65536 ≈ 2.3M, past
+# doubles = 33 MB); with fixed T it binds at N ≈ T·65536 ≈ 1.6M, past
 # which cells coarsen gracefully (size N/k grows, pair scan reverts
 # toward N²/k) — the unlimited evolution is stage-2 as a plain sid
 # equi-join (vectors shuffle p1 payload rows each to meet their probed
