@@ -795,15 +795,24 @@ def _rerank_params_rel(e: DataFrame) -> DataFrame:
 
 
 def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, nrm, cell, cv, crank ≤ nprobe) — the coarse
-    quantizer's assignment, shared verbatim by the IVF and residual
-    IVF-PQ paths. Cell count and probe depth come from the broadcast
-    1-row ``_ivf_params_rel`` (√N cells, √cells probes — never a
-    driver value). Carrying cv (the cell centroid) keeps residual
-    computation index-local; at 100 TB you'd store (cell, residual)
-    instead of duplicating the centroid per row, and the N·cells
-    ranking crossJoin goes hierarchical (rank against √cells
-    super-cells first) — the knobs, not the plan shape, change."""
+    """(vec_id, v, nrm, cell, cv, crank) — the coarse quantizer's
+    assignment, shared verbatim by the IVF and residual IVF-PQ paths.
+    Cell count and probe depth come from the broadcast 1-row
+    ``_ivf_params_rel`` (√N cells, √cells probes — never a driver
+    value).  Carrying cv (the cell centroid) keeps residual
+    computation index-local.
+
+    Round 13: ranking is ROW-LOCAL against one broadcast collect_list
+    centroid matrix (the ``_clus_assign`` posture) — the previous
+    crossJoin + rank window pushed N·cells rows through a
+    partitionBy(vec_id) exchange, which at 600k vectors × 775 cells is
+    ~465M 550-byte rows (~250 GB of shuffle writes): the 600k audit
+    run filled the disk before this fix (PERF.md round 13).  The
+    materialized index also keeps ONLY the rows its consumers read —
+    crank = 1 for every vector (cell membership / codes) plus
+    crank ≤ nprobe for the bounded ``_query_side`` rows (probe lists)
+    — instead of N·nprobe payload rows; downstream filters are
+    subsets of what is kept, so results are unchanged."""
 
     def build() -> DataFrame:
         e = t(spark, sf_dir, "embeddings").select(
@@ -819,21 +828,46 @@ def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nrm").alias("cn"),
             )
         )
-        cs = dot_product(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+        cmat = cent.agg(
+            F.collect_list(F.struct("cell", "cv", "cn")).alias("cmat")
+        ).crossJoin(params.select("nprobe"))
+
+        def _cand(c):
+            # negated cosine so lexicographic ASC struct order equals
+            # the oracle's (cs DESC, cell ASC); cell is unique so the
+            # cv field never participates in the comparison
+            negcs = -(
+                dot_product(F.col("v"), c["cv"]) / (F.col("nrm") * c["cn"])
+            )
+            return F.struct(
+                negcs.alias("negcs"),
+                c["cell"].alias("cell"),
+                c["cv"].alias("cv"),
+            )
+
         return (
-            e.crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "nrm", "cell", "cv", cs.alias("cs"))
-            .withColumn(
-                "crank",
-                F.row_number().over(
-                    W.partitionBy("vec_id").orderBy(
-                        F.col("cs").desc(), F.col("cell")
+            e.crossJoin(F.broadcast(cmat))
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                F.posexplode(
+                    F.slice(
+                        F.array_sort(F.transform(F.col("cmat"), _cand)),
+                        1,
+                        F.col("nprobe"),
                     )
                 ),
             )
-            .crossJoin(F.broadcast(params.select("nprobe")))
-            .filter(F.col("crank") <= F.col("nprobe"))
-            .drop("cs", "nprobe")
+            .select(
+                "vec_id",
+                "v",
+                "nrm",
+                F.col("col.cell").alias("cell"),
+                F.col("col.cv").alias("cv"),
+                (F.col("pos") + 1).cast("int").alias("crank"),
+            )
+            .filter((F.col("crank") == 1) | _query_side())
         )
 
     fp = source_fingerprint(sf_dir, "embeddings")
