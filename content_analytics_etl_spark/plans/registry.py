@@ -112,56 +112,56 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    "sim_ann_recall_audit",
-    "sim_neardup_clustered",
-    "sim_neardup_clustered_audit",
-    "dedup_incremental",
-    "dedup_lsh_incremental",
-    "dedup_minhash_band_tuning",
-    "dedup_sorted_neighborhood",
-    "doc_bigram_perplexity",
-    "doc_blocklist_filter",
-    "doc_bm25_search",
-    "doc_domain_surprisal",
-    "doc_dsir_importance",
-    "doc_duplicated_spans",
-    "doc_kneser_ney_perplexity",
-    "doc_length_winsorized",
-    "doc_quality_classifier",
-    "doc_rrf_fusion",
-    "doc_source_mix",
-    "doc_sparse_cosine_topk",
-    "doc_split_assign",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "embedding_drift_monitor",
-    "embedding_kmeans",
-    "embedding_pq_train",
-    "embedding_quantize",
-    "events_asof_join",
-    "events_asof_nearest",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_gapfill_locf",
-    "events_json_props",
-    "events_key_skew_profile",
-    "events_partition_pruned",
-    "events_quantile_sketch_rollup",
-    "events_range_join",
-    "events_session",
-    "events_sketch_set_ops",
-    "graph_clustering_coefficient",
-    "graph_kcore_decomposition",
-    "graph_label_propagation",
-    "graph_negative_samples",
-    "lineitem_zorder_layout",
-    "sim_ann_ivfpq_topk",
-    "sim_dim_truncation_recall",
-    "vocab_coverage_curve",
-    "warehouse_csv_roundtrip",
-    "warehouse_json_roundtrip",
-    "agg_stats",
-    "bigram_frequency",
+    "bpe_first_merges",
+    "corpus_curation_funnel",
+    "corpus_curation_manifest",
+    "corpus_mix_rebalance",
+    "corpus_priority_sample",
+    "corpus_quality_calibration",
+    "corpus_temperature_mix",
+    "corpus_token_kl_drift",
+    "customer_rfm_segments",
+    "dedup_edit_distance",
+    "dedup_exact_flags",
+    "dedup_keep_best",
+    "dedup_minhash_estimate_audit",
+    "dedup_ngram_jaccard",
+    "doc_char_entropy",
+    "doc_chunk",
+    "doc_fingerprint",
+    "doc_lm_perplexity",
+    "doc_ngram_scrub",
+    "doc_padding_waste",
+    "doc_quality_gates",
+    "doc_repetition",
+    "doc_rolling_hash",
+    "doc_sample_stratified",
+    "doc_token_novelty",
+    "embedding_pca_top2",
+    "events_stl_decompose",
+    "events_stl_residual_anomaly",
+    "events_zorder_layout",
+    "graph_pagerank",
+    "graph_triangles",
+    "join_bucketed",
+    "join_salted",
+    "lang_id",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_metadata",
+    "multimodal_phash_dedup",
+    "multimodal_video_decode",
+    "orders_merge_upsert",
+    "part_affinity_triples",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_ann_pq_adc",
+    "sim_neardup_pairs",
+    "vocab_zipf_fit",
+    "warehouse_compact_roundtrip",
+    "category_recode",
+    "corpus_bigram_novelty_decay",
 ]
 
 
