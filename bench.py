@@ -31,7 +31,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from content_analytics_etl_spark import cache  # noqa: E402
+from content_analytics_etl_spark import cache, index_store  # noqa: E402
 from content_analytics_etl_spark.plans import all_queries  # noqa: E402
 from content_analytics_etl_spark.schemas import TABLE_NAMES  # noqa: E402
 from content_analytics_etl_spark.session import get_spark  # noqa: E402
@@ -237,6 +237,11 @@ def main() -> None:
         # every timed pass — without this a regression in the build
         # itself is invisible (VERDICT r7 #3 / ADVICE r7)
         "producer_build_seconds": dict(sorted(cache.BUILD_SECONDS.items())),
+        # logical indexes served from a PRE-EXISTING on-disk table this
+        # run (index_store.persisted_index) — their build_seconds entry
+        # above is a warehouse READ-BACK, not a build; never compare it
+        # against a cold-build number without checking this list
+        "producer_from_disk": sorted(index_store.PERSISTED_FROM_DISK),
     }
     # SPARK_GRAFT_BENCH_OUT redirects the full map (e.g. BENCH_SF1.json
     # for the one-off sf1 scaling capture) — default stays BENCH_FULL.json

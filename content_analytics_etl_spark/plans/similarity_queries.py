@@ -47,11 +47,13 @@ from ..operators.kmeans import (
 from ..operators.similarity import (
     add_hyperplane_bucket,
     brute_topk,
+    exact_d2_topn_cogroup,
     hyperplane_band_rows,
     hyperplane_bucket_agg,
     hyperplane_matrix,
 )
 from ..cache import session_materialized
+from ..index_store import index_version, persisted_index
 from ._util import materialize_and_release, source_fingerprint, t
 
 DIM = 64
@@ -835,7 +837,14 @@ def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _cand(c):
             # negated cosine so lexicographic ASC struct order equals
             # the oracle's (cs DESC, cell ASC); cell is unique so the
-            # cv field never participates in the comparison
+            # cv field never participates in the comparison.
+            # Precondition (ADVICE r13, low): no zero-norm vectors or
+            # centroids — a NaN cosine would sort LAST under Spark's
+            # array_sort but FIRST under the oracle's DESC (DuckDB
+            # ranks NaN greatest), so the engines would rank probed
+            # cells differently on degenerate input.  The generator
+            # never emits zero vectors; pinned corpus-wide by
+            # tests/test_round14_ops.py::test_no_zero_norm_embeddings.
             negcs = -(
                 dot_product(F.col("v"), c["cv"]) / (F.col("nrm") * c["cn"])
             )
@@ -1237,11 +1246,14 @@ def _ivfpq_cb(ranked: DataFrame) -> DataFrame:
 
 def _ivfpq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cand_id, cell, m, k) — the residual-PQ CODES, the 8-byte-per-
-    vector compressed index FAISS persists.  Session-materialized per
-    corpus fingerprint (round 13): the code argmin is an N·PQ_M × PQ_KS
-    join + per-(vec, m) rank window — by far the heaviest stage of the
-    ivfpq chain — and was previously re-executed by every consumer
-    (the served query AND the audit) in every sweep."""
+    vector compressed index FAISS persists.  And persist it we do
+    (round 14, VERDICT r13 #3): a cand_id-bucketed parquet table in
+    the warehouse, written once per (corpus fingerprint × algorithm
+    version) and read by every consumer in every session — the code
+    argmin is an N·PQ_M × PQ_KS join + per-(vec, m) rank window, by
+    far the heaviest stage of the ivfpq chain, and before round 13 it
+    was re-executed by every consumer (the served query AND the
+    audit) in every sweep."""
 
     def build() -> DataFrame:
         ranked = _ivf_coarse_assign(spark, sf_dir)
@@ -1266,7 +1278,26 @@ def _ivfpq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fp = source_fingerprint(sf_dir, "embeddings")
-    return session_materialized(spark, f"ann_ivfpq_codes:{fp}", build)
+    ver = index_version(
+        build,
+        _ivf_coarse_assign,
+        _ivfpq_resid_sub,
+        _ivfpq_cb,
+        _sq_l2,
+        _ivf_params_rel,
+        PQ_M,
+        PQ_SUB_DIM,
+        PQ_KS,
+    )
+    return persisted_index(
+        spark,
+        "ann_ivfpq_codes",
+        sf_dir,
+        fp,
+        ver,
+        build,
+        bucket_cols=("cand_id",),
+    )
 
 
 def _ivfpq_adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,13 +1462,22 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with it recall (0.704 → 0.601); prefix-subspace cell ranking (8/16
 # of 64 dims) collapses it outright (0.939 → 0.16/0.29) — cell choice
 # needs the full metric on near-random vectors.
-# CLUS_K_CAP bounds the broadcast grouped-centroid matrix (65536 × 64
-# doubles = 33 MB); with fixed T it binds at N ≈ T·65536 ≈ 1.6M, past
-# which cells coarsen gracefully (size N/k grows, pair scan reverts
-# toward N²/k) — the unlimited evolution is stage-2 as a plain sid
-# equi-join (vectors shuffle p1 payload rows each to meet their probed
-# supers' cell groups; no broadcast of cells at all), one extra
-# exchange, same logical chain.
+# Round 14 (VERDICT r13 #1 + #4): k is UNCAPPED — the r13 CLUS_K_CAP
+# existed only to bound the broadcast grouped-centroid matrix, which no
+# longer exists.  Stage 2 is now the documented sid equi-join: every
+# vector ships CLUS_SUPER_PROBE payload rows to meet its probed supers'
+# cell groups (a cogrouped Arrow kernel — no broadcast of cells at
+# all), so cell count tracks N/T forever and the pair scan stays
+# (p²·T/2)·N at ANY corpus size.  The only broadcast left is the 1-row
+# params relation; the super matrix rides the cogroup exchange as
+# g·s replicated rows (s = √(N/T) grows as the corpus root — 1581 rows
+# at 60M vectors).  All three ranking passes (vector→super,
+# cell→super ownership, vector→cells-of-probed-supers) run through
+# ``operators/similarity.exact_d2_topn_cogroup`` — vectorized numpy
+# with the EXACT dot_product fold order, bit-identical to the HOF path
+# (parity test) and to the DuckDB oracle windows; this is also the
+# VERDICT r13 #4 build-constant cut (the per-row HOF struct pools were
+# ~6400 non-codegen'd 64-d dots per vector — 1601 s at 600k).
 CLUS_PROBE = 6  # cells per vector (p)
 CLUS_TARGET = 24  # target vectors per cell (T, fixed — this is what
 # makes the pair scan linear: candidates ≈ (p²·T/2)·N at any N)
@@ -1449,13 +1489,19 @@ CLUS_CELL_SPILL = 2  # supers each CELL is owned by (R — spilled /
 # differ; measured +0.04-0.07 recall at fixed candidate budget
 # (evidence/r13/CLUS_KNOBS_*.json)
 CLUS_K_MIN = 8
-CLUS_K_CAP = 65536
+CLUS_SALT_ROWS = 8192  # stage-1 salt-group size: vectors are salted
+# into g = ceil(N/8192) groups and the (tiny) super matrix replicated
+# to each, so stage-1 cogroups are bounded and the task count scales
+# with the corpus instead of pinning one giant group per key
 
 
 def _clus_params_rel(e: DataFrame) -> DataFrame:
-    """1-row (k int, s int) relation: k = clamp(round(N/T), 8, 65536)
-    cells (T = CLUS_TARGET, fixed — k grows LINEARLY with the corpus
-    so cell size stays ~T) and s = round(sqrt(k)) super-cells, from
+    """1-row (k int, s int, g int) relation: k = max(round(N/T), 8)
+    cells (T = CLUS_TARGET, fixed — k grows LINEARLY with the corpus so
+    cell size stays ~T; UNCAPPED since round 14, the stage-2 sid
+    equi-join needs no cell broadcast), s = round(sqrt(k)) super-cells
+    and g = ceil(N/CLUS_SALT_ROWS) stage-1 salt groups (physical only —
+    g never affects results, so the oracle does not mirror it), from
     ONE count aggregate — the `_nd_params_rel` pattern; never a driver
     value.  round() determinism: N/24 CAN land exactly on .5 (N =
     24m + 12; the quotient is exact in double since 24 = 8·3 and the
@@ -1465,41 +1511,41 @@ def _clus_params_rel(e: DataFrame) -> DataFrame:
     integer), so the s tie is unreachable."""
     k = F.greatest(
         F.lit(CLUS_K_MIN),
-        F.least(
-            F.lit(CLUS_K_CAP),
-            F.round(
-                F.col("n").cast("double") / F.lit(float(CLUS_TARGET))
-            ).cast("int"),
-        ),
+        F.round(
+            F.col("n").cast("double") / F.lit(float(CLUS_TARGET))
+        ).cast("int"),
     )
     return (
         e.agg(F.count(F.lit(1)).alias("n"))
-        .select(k.alias("k"))
-        .select("k", F.round(F.sqrt(F.col("k"))).cast("int").alias("s"))
+        .select(
+            k.alias("k"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("n").cast("double") / F.lit(float(CLUS_SALT_ROWS))
+                ).cast("int"),
+            ).alias("g"),
+        )
+        .select("k", F.round(F.sqrt(F.col("k"))).cast("int").alias("s"), "g")
     )
 
 
-def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
-    """(vec_id, cid) rows, ≤ CLUS_PROBE per vector — the TWO-level
-    quantizer (round 13, VERDICT r12 #1): rank the s super-centroids
-    (the s lowest-vec_id vectors), keep the CLUS_SUPER_PROBE nearest,
-    then rank ONLY the cells owned by those supers (cell centroids =
-    the k lowest-vec_id vectors, each owned by its rank-1 nearest
-    super) and keep the CLUS_PROBE nearest.  Lloyd's deterministic
-    init at both levels, the ``kmeans_assign`` contract.
-
-    Scale shape: supers and the super-grouped cell matrix ride in as
-    ONE combined collect_list row (order-irrelevant — the per-row
-    sorts impose the total order), broadcast onto the corpus; per-row
-    distances run inside ``transform`` lambdas with |v|², |c|², |s|²
-    hoisted (PERF 72 — HOF lambdas are not codegen'd) and winners
-    taken by ``array_sort`` + ``slice`` — lexicographic (d2, id)
-    struct order is exactly the (d2 ASC, id ASC) tie rule of
-    ``assign_clusters``'s window.  Per-vector work is s + p1·k/s dots
-    instead of the single-level's k (7× less at sf3, growing with N);
-    NO N·k row explosion and NO corpus-wide window shuffle.  The
-    cell→super ownership pass is k rows × s dots — control-plane-sized
-    (≤ 65536 × 256) — computed once against the tiny super matrix."""
+def _clus_assign_broadcast(e: DataFrame, params: DataFrame) -> DataFrame:
+    """(vec_id, cid) rows, ≤ CLUS_PROBE per vector — the round-13
+    broadcast/HOF form of the two-level quantizer, kept as the PARITY
+    REFERENCE for the production cogroup path (``_clus_assign`` below;
+    ``tests/test_round14_ops.py`` pins row-set equality).  Not in any
+    registered query's plan: its grouped-cell broadcast is the shape
+    whose 33 MB bound forced the r13 CLUS_K_CAP, and its per-row HOF
+    struct pools are the measured 1601-s-at-600k build constant
+    (VERDICT r13 #1/#4) — both replaced by the sid-equi-join Arrow
+    kernel.  Semantics (identical to the production path and the
+    oracle): rank the s super-centroids (the s lowest-vec_id vectors),
+    keep the CLUS_SUPER_PROBE nearest, then rank ONLY the cells owned
+    by those supers (cell centroids = the k lowest-vec_id vectors,
+    each owned by its rank-≤CLUS_CELL_SPILL nearest supers) and keep
+    the CLUS_PROBE nearest — (d2, id) lexicographic tie order, Lloyd's
+    deterministic init at both levels, the ``kmeans_assign`` contract."""
     sup = (
         e.crossJoin(F.broadcast(params))
         .filter(F.col("vec_id") < F.col("s"))
@@ -1632,16 +1678,118 @@ def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
     )
 
 
+def _clus_assign(e: DataFrame, params: DataFrame) -> DataFrame:
+    """(vec_id, cid) rows, ≤ CLUS_PROBE per vector — the two-level
+    quantizer's PRODUCTION assignment (round 14, VERDICT r13 #1 + #4):
+    the documented uncapped evolution of the r13 broadcast form, same
+    logical chain and the same (d2 ASC, id ASC) semantics at every
+    step, with no cell broadcast anywhere, so k tracks N/T at ANY
+    corpus size.
+
+    Three cogrouped Arrow passes (``exact_d2_topn_cogroup`` — numpy
+    with the exact ``dot_product`` fold order, bit-identical to
+    ``_clus_assign_broadcast``'s HOF chain, parity-pinned):
+
+    1. vector → supers: vectors salted into g = ceil(N/8192) groups,
+       the s-row super matrix replicated per salt (g·s small rows);
+       keep the CLUS_SUPER_PROBE nearest supers, payload (v, n2)
+       passing through — these ARE the "p1 payload rows" of the
+       stage-2 exchange.
+    2. cell → owning supers: the k cell centroids through the same
+       salted cogroup, keep CLUS_CELL_SPILL nearest (spilled / SOAR
+       ownership) — (sid, cid, cv, cn2) rows, k·R total.
+    3. vector → cells: stage-1 rows keyed by PROBED sid cogroup the
+       owned cells keyed by OWNING sid — the sid equi-join; each
+       (vector, probed super) row ranks that super's owned cells and
+       keeps the CLUS_PROBE nearest.
+
+    The global winner merge is exact: each cid appears at most once
+    per super (ownership explodes one row per owning super), so the
+    p-th smallest DISTINCT (d2, cid) of the full probed pool has
+    within-its-super rank ≤ p (at most p−1 distinct cids precede it
+    anywhere, in particular inside its own super) — every global
+    top-p distinct cid survives per-super top-p, and duplicates of a
+    cid reached via CLUS_CELL_SPILL > 1 probed owners are
+    bit-identical structs (the kernel's dot is independent of the
+    rest of the group matrix), so sort → distinct → slice p over the
+    ≤ p1·p collected structs reproduces the oracle's rank-≤p window
+    over the DISTINCT pool exactly.
+
+    Scale shape: hash exchanges only — N payload rows (stage 1),
+    p1·N payload rows (stage 3), k·R cell rows, p1·p·N compact
+    (d2, cid) structs into the merge — every term linear in N; the
+    dots are the same N·(s + p1·R·k/s) count as the broadcast form
+    but vectorized (measured at 600k: 1601 s → see SCALE.md round
+    14), and per-task memory is chunk-bounded."""
+    ep = e.crossJoin(F.broadcast(params))
+    sup_repl = (
+        ep.filter(F.col("vec_id") < F.col("s"))
+        .select(
+            F.col("vec_id").cast("int").alias("rid"),
+            F.col("v").alias("rv"),
+            dot_product(F.col("v"), F.col("v")).alias("rn2"),
+            F.explode(F.sequence(F.lit(0), F.col("g") - 1)).alias("gid"),
+        )
+    )
+    vecs = ep.select(
+        F.pmod(F.col("vec_id"), F.col("g")).cast("int").alias("gid"),
+        F.col("vec_id").alias("id"),
+        "v",
+        dot_product(F.col("v"), F.col("v")).alias("n2"),
+    )
+    probed = exact_d2_topn_cogroup(
+        vecs, sup_repl, CLUS_SUPER_PROBE, passthrough=("v", "n2")
+    )
+    cells = ep.filter(F.col("vec_id") < F.col("k")).select(
+        F.pmod(F.col("vec_id"), F.col("g")).cast("int").alias("gid"),
+        F.col("vec_id").cast("int").alias("id"),
+        "v",
+        dot_product(F.col("v"), F.col("v")).alias("n2"),
+    )
+    owned = exact_d2_topn_cogroup(
+        cells, sup_repl, CLUS_CELL_SPILL, passthrough=("v", "n2")
+    )
+    ranked = exact_d2_topn_cogroup(
+        probed.select(
+            F.col("rid").alias("gid"), "id", "v", "n2"
+        ),
+        owned.select(
+            F.col("rid").alias("gid"),
+            F.col("id").alias("rid"),
+            F.col("v").alias("rv"),
+            F.col("n2").alias("rn2"),
+        ),
+        CLUS_PROBE,
+    )
+    return (
+        ranked.groupBy("id")
+        .agg(
+            F.slice(
+                F.array_distinct(
+                    F.array_sort(F.collect_list(F.struct("d2", "rid")))
+                ),
+                1,
+                CLUS_PROBE,
+            ).alias("top")
+        )
+        .select(F.col("id").alias("vec_id"), F.explode("top").alias("t"))
+        .select("vec_id", F.col("t.rid").alias("cid"))
+    )
+
+
 def _clus_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, vec_id, v, nrm) — the two-level quantizer's assignment
     WITH the vector payload attached: the clustered near-dup INDEX.
-    Session-materialized per corpus fingerprint (the ``_ivf_coarse_
-    assign`` / ``_ann_lsh_buckets`` posture): at 100 TB this is the
-    table a near-dup pipeline writes once per corpus snapshot and
-    every scan reads — assignment cost (N·(s + p1·R·k/s) row-local
-    dots, the index BUILD) is paid once and reported by bench.py as
-    ``producer_build_seconds``, while the recurring pair scan below is
-    linear in N."""
+    PERSISTED since round 14 (VERDICT r13 #3) as a cid-BUCKETED,
+    per-bucket-sorted parquet table in the warehouse — the table a
+    near-dup pipeline writes once per corpus snapshot and every scan
+    (any session) reads.  Bucketing by cid makes the pair scan's cid
+    self-join exchange-free on BOTH sides (plan-asserted in
+    tests/test_round14_ops.py); assignment cost (N·(s + p1·R·k/s)
+    dots, the index BUILD) is paid once per (corpus fingerprint ×
+    algorithm version) and reported by bench.py as
+    ``producer_build_seconds`` / ``producer_from_disk``, while the
+    recurring pair scan below is linear in N."""
 
     def build() -> DataFrame:
         emb = t(spark, sf_dir, "embeddings")
@@ -1651,7 +1799,27 @@ def _clus_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _clus_assign(e, _clus_params_rel(e)).join(e, "vec_id")
 
     fp = source_fingerprint(sf_dir, "embeddings")
-    return session_materialized(spark, f"clus_assigned:{fp}", build)
+    ver = index_version(
+        build,
+        _clus_assign,
+        exact_d2_topn_cogroup,
+        _clus_params_rel,
+        CLUS_PROBE,
+        CLUS_TARGET,
+        CLUS_SUPER_PROBE,
+        CLUS_CELL_SPILL,
+        CLUS_K_MIN,
+    )
+    return persisted_index(
+        spark,
+        "clus_assigned",
+        sf_dir,
+        fp,
+        ver,
+        build,
+        bucket_cols=("cid",),
+        sort_cols=("cid",),
+    )
 
 
 def _clus_cand_pairs(
@@ -1712,19 +1880,24 @@ def sim_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at cosine ≥ 0.45 via CLUSTER-SCOPED exact scan —
     the SemDeDup posture (Abbas et al. 2023) applied to pair MINING,
     the measured alternative VERDICT r11 #1 asked for, LINEAR-cost
-    since round 13 (VERDICT r12 #1): a two-level quantizer assigns
-    every vector to its ``CLUS_PROBE`` = 5 nearest of k = round(N/T)
-    fixed-init k-means cells (T = ``CLUS_TARGET`` fixed, so cell size
-    — and with it the per-cell pair scan — no longer grows with the
-    corpus), pruning the cell ranking to the cells owned by the
-    vector's ``CLUS_SUPER_PROBE`` nearest of sqrt(k) super-cells; emit
-    pairs sharing ≥ 1 cell, verify by exact cosine INSIDE the cid join
-    (bucket-local — no candidate-sized payload shuffle, VERDICT r12
-    #3).  Same (vec_a, vec_b, cosine) contract as
-    ``sim_neardup_pairs`` so the two methods are directly comparable;
-    ``sim_neardup_clustered_audit`` carries the head-to-head recall
-    numbers, SCALE.md round 12 the posture decision and round 13 the
-    two-level cost/recall measurements.
+    since round 13 (VERDICT r12 #1) and UNCAPPED since round 14
+    (VERDICT r13 #1): a two-level quantizer assigns every vector to
+    its ``CLUS_PROBE`` = 6 nearest of k = round(N/T) fixed-init
+    k-means cells (T = ``CLUS_TARGET`` fixed, so cell size — and with
+    it the per-cell pair scan — no longer grows with the corpus),
+    pruning the cell ranking to the cells owned by the vector's
+    ``CLUS_SUPER_PROBE`` nearest of sqrt(k) super-cells, with the
+    cell ranking executed as a sid equi-join (no cell broadcast, no k
+    cap — see ``_clus_assign``); emit pairs sharing ≥ 1 cell, verify
+    by exact cosine INSIDE the cid join (bucket-local — no
+    candidate-sized payload shuffle, VERDICT r12 #3), reading the
+    PERSISTED cid-bucketed index so the self-join needs no exchange
+    at all (round 14, VERDICT r13 #3).  Same (vec_a, vec_b, cosine)
+    contract as ``sim_neardup_pairs`` so the two methods are directly
+    comparable; ``sim_neardup_clustered_audit`` carries the
+    head-to-head recall numbers, SCALE.md round 12 the posture
+    decision, round 13 the two-level cost/recall measurements and
+    round 14 the uncapped/vectorized build.
 
     Why this escapes the LSH family's bound: hyperplane LSH must hold
     per-pair collision probability against a 0.5-per-bit background —
@@ -2718,8 +2891,8 @@ _CLUS_C2S_D2 = (
 _CLUS_CTES = f"""
         cparams AS MATERIALIZED (
           SELECT k, CAST(round(sqrt(k)) AS INTEGER) AS s FROM (
-            SELECT GREATEST({CLUS_K_MIN}, LEAST({CLUS_K_CAP},
-                   CAST(round(count(*) / {CLUS_TARGET}.0) AS INTEGER))) AS k
+            SELECT GREATEST({CLUS_K_MIN},
+                   CAST(round(count(*) / {CLUS_TARGET}.0) AS INTEGER)) AS k
             FROM e
           )
         ),

@@ -23,10 +23,10 @@ def _e(spark, sf_dir):
 
 
 def test_clus_params_fixed_target_cell_size(spark, sf001_dir):
-    """k = clamp(round(N/T), 8, cap) and s = round(sqrt(k)) — the
-    fixed-T contract that makes the pair scan linear in N."""
+    """k = max(round(N/T), 8) — UNCAPPED since round 14 — and
+    s = round(sqrt(k)): the fixed-T contract that makes the pair scan
+    linear in N at any corpus size."""
     from content_analytics_etl_spark.plans.similarity_queries import (
-        CLUS_K_CAP,
         CLUS_K_MIN,
         CLUS_TARGET,
         _clus_params_rel,
@@ -35,7 +35,7 @@ def test_clus_params_fixed_target_cell_size(spark, sf001_dir):
     e = _e(spark, sf001_dir)
     n = e.count()
     row = _clus_params_rel(e).collect()[0]
-    want_k = min(CLUS_K_CAP, max(CLUS_K_MIN, round(n / CLUS_TARGET)))
+    want_k = max(CLUS_K_MIN, round(n / CLUS_TARGET))
     assert row["k"] == want_k
     assert row["s"] == round(np.sqrt(want_k))
 

@@ -64,10 +64,9 @@ ALLOW_NESTED_LOOP = {
     "customer_rfm_segments": "1-row max-date + 1-row quantile-threshold broadcasts",
     "part_affinity": "1-row order-count aggregate broadcast (lift denominator)",
     "sim_semdedup": "k-row centroid relation cross join (Lloyd assignment)",
-    "sim_neardup_clustered": "1-row broadcasts only (count-derived "
-    "(k, s) params; collect_list super matrix, O(s·dim); combined "
-    "super+grouped-cell matrix, O(k·dim) by construction — the "
-    "CLUS_K_CAP bound) — two-level assignment is row-local, "
+    "sim_neardup_clustered": "1-row count-derived (k, s, g) params "
+    "broadcast only (round 14: no cell/super matrix broadcast at all — "
+    "assignment is three cogrouped Arrow exchanges, the sid equi-join), "
     "candidates/verify are a cid equi-join",
     "sim_neardup_clustered_audit": "cross join of five 1-row count "
     "aggregates (operating-point report) + sim_neardup_clustered's "
@@ -163,60 +162,99 @@ def single_partition_violations(plan: str) -> list[str]:
     ``part_revenue_abc``'s full per-part sort+window passed r4's audit).
     The exemption now requires the child aggregate's ``Keys`` detail to
     be empty; a keyed aggregate under a single-partition exchange flags
-    (negative-tested in tests/test_plan_shapes.py)."""
-    # detail blocks: node id -> (node name, block text)
-    blocks = {
-        m.group(1): (m.group(2), m.group(0))
-        for m in re.finditer(
-            r"^\((\d+)\) (\w+).*?(?=^\(\d+\) |\Z)", plan, re.MULTILINE | re.DOTALL
-        )
-    }
-    # tree sections: node name + indent per line, e.g. "   +- Exchange (2)".
-    # Search the WHOLE text, not just the first section: plans over
-    # session-materialized producers print the InMemoryRelation's cached
-    # plan (and its AQE "Subplan:" stages) as LATER tree sections, and a
-    # global-agg exchange living there used to find no child line and
-    # flag spuriously (round 13).  Detail blocks use the "(id) Name"
-    # header shape, so the "Name (id)" tree pattern cannot match them.
-    tree_lines = plan.splitlines()
+    (negative-tested in tests/test_plan_shapes.py).
+
+    ADVICE r13 (low) closed the cross-section collision the r13 rewrite
+    introduced: node numbering RESTARTS per plan section (AQE "Subplan"
+    stages, cached InMemoryRelation plans, the Subqueries appendix), so
+    resolving a bare id against the whole text can pair an Exchange with
+    a same-numbered node from a DIFFERENT section — and a dict keyed by
+    bare id lets a later section's block overwrite the main plan's.
+    ``_plan_sections`` splits the text into (tree, blocks) pairs and all
+    id lookups here are section-local."""
     probs: list[str] = []
-    for node_id, (name, block) in blocks.items():
-        if not name.startswith("Exchange") or "SinglePartition" not in block:
-            continue
-        if "REPARTITION_BY_NUM" in block:
-            probs.append(f"explicit repartition(1) (Exchange ({node_id}))")
-            continue
-        # locate the exchange in the tree and inspect its first child
-        # (the next line is always the child in a linear chain; Exchange
-        # is unary so no sibling ambiguity)
-        child = None
-        for i, line in enumerate(tree_lines):
-            if f"Exchange ({node_id})" in line and i + 1 < len(tree_lines):
-                child = tree_lines[i + 1]
-                break
-        ok = False
-        m = re.search(r"(\w+) \((\d+)\)", child or "")
-        if m:
-            cname, cid = m.group(1), m.group(2)
-            if cname in ("LocalLimit", "TakeOrderedAndProject"):
-                ok = True  # output bounded by the limit k
-            elif cname in (
-                "HashAggregate",
-                "SortAggregate",
-                "ObjectHashAggregate",
-            ):
-                # only a GLOBAL (keyless) aggregate is 1-row-bounded;
-                # `Keys: []` in the child's detail block, vs
-                # `Keys [n]: [...]` for a keyed group-by
-                cblock = blocks.get(cid, ("", ""))[1]
-                ok = bool(
-                    re.search(r"^Keys(?: \[0\])?: \[\]", cblock, re.MULTILINE)
+    for tree_lines, blocks in _plan_sections(plan):
+        for node_id, (name, block) in blocks.items():
+            if not name.startswith("Exchange") or "SinglePartition" not in block:
+                continue
+            if "REPARTITION_BY_NUM" in block:
+                probs.append(f"explicit repartition(1) (Exchange ({node_id}))")
+                continue
+            # locate the exchange in this section's tree and inspect its
+            # first child (the next line is always the child in a linear
+            # chain; Exchange is unary so no sibling ambiguity)
+            child = None
+            for i, line in enumerate(tree_lines):
+                if f"Exchange ({node_id})" in line and i + 1 < len(tree_lines):
+                    child = tree_lines[i + 1]
+                    break
+            ok = False
+            m = re.search(r"(\w+) \((\d+)\)", child or "")
+            if m:
+                cname, cid = m.group(1), m.group(2)
+                if cname in ("LocalLimit", "TakeOrderedAndProject"):
+                    ok = True  # output bounded by the limit k
+                elif cname in (
+                    "HashAggregate",
+                    "SortAggregate",
+                    "ObjectHashAggregate",
+                ):
+                    # only a GLOBAL (keyless) aggregate is 1-row-bounded;
+                    # `Keys: []` in the child's detail block, vs
+                    # `Keys [n]: [...]` for a keyed group-by
+                    cblock = blocks.get(cid, ("", ""))[1]
+                    ok = bool(
+                        re.search(
+                            r"^Keys(?: \[0\])?: \[\]", cblock, re.MULTILINE
+                        )
+                    )
+            if not ok:
+                probs.append(
+                    "single-partition exchange over non-aggregated rows "
+                    f"(Exchange ({node_id}))"
                 )
-        if not ok:
-            probs.append(
-                f"single-partition exchange over non-aggregated rows (Exchange ({node_id}))"
-            )
     return probs
+
+
+def _plan_sections(plan: str) -> list[tuple[list[str], dict]]:
+    """Split a formatted explain into (tree_lines, detail_blocks)
+    sections.  A section is one plan tree (lines ending in ``Name (id)``)
+    followed by its detail-block region (lines starting ``(id) Name``);
+    a tree line appearing AFTER detail blocks have begun starts a new
+    section (cached InMemoryRelation plans, AQE subplan stages, the
+    Subqueries appendix all print this way, each with node ids counted
+    from 1 again).  Headers/annotations (``== Physical Plan ==``,
+    ``Subquery:1 Hosting...``) belong to whichever region is open."""
+    tree_re = re.compile(r"\w+ \(\d+\)\s*$")
+    hdr_re = re.compile(r"^\(\d+\) (\w+)")
+    sections: list[tuple[list[str], str]] = []
+    cur_tree: list[str] = []
+    cur_detail: list[str] = []
+    in_detail = False
+    for ln in plan.splitlines():
+        if tree_re.search(ln) and not hdr_re.match(ln):
+            if in_detail:
+                sections.append((cur_tree, "\n".join(cur_detail)))
+                cur_tree, cur_detail, in_detail = [], [], False
+            cur_tree.append(ln)
+        else:
+            if hdr_re.match(ln):
+                in_detail = True
+            if in_detail:
+                cur_detail.append(ln)
+    sections.append((cur_tree, "\n".join(cur_detail)))
+    out = []
+    for tree, detail in sections:
+        blocks = {
+            m.group(1): (m.group(2), m.group(0))
+            for m in re.finditer(
+                r"^\((\d+)\) (\w+).*?(?=^\(\d+\) |\Z)",
+                detail,
+                re.MULTILINE | re.DOTALL,
+            )
+        }
+        out.append((tree, blocks))
+    return out
 
 
 def main() -> int:

@@ -18,6 +18,16 @@ call-site change (new arguments/constants), and the full-registry
 sf0.01 DuckDB sweep (`tools/check_correctness.py`) re-verifies every
 query each round regardless.
 
+Exception closed in round 14 (ADVICE r13, low): the multimodal codecs
+live ENTIRELY in module-level tables and helpers
+(``content_analytics_etl_spark/multimodal.py``) behind thin plan
+functions, AND their oracles use images too degenerate to observe every
+table (the r13 zigzag fix changed no plan source and no sweep output) —
+the "helper rewrites come with a call-site change" mitigation is
+structurally false there.  ``EXTRA_SOURCES`` folds the whole helper
+module's bytes into those queries' fingerprints, so any codec edit
+re-enters them into the driver window.
+
 Usage:
     python tools/qfp.py            # print name<TAB>fp for all queries
 """
@@ -28,6 +38,19 @@ import hashlib
 import inspect
 import os
 import sys
+
+
+# plan modules whose queries delegate their substance to a helper
+# module: the helper's full source is folded into the fingerprint of
+# every query the plan module registers (keys are fn.__module__ values,
+# paths are repo-relative)
+EXTRA_SOURCES: dict[str, list[str]] = {
+    "content_analytics_etl_spark.plans.multimodal_queries": [
+        "content_analytics_etl_spark/multimodal.py",
+    ],
+}
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def fingerprint(fn, oracle_sql: str | None) -> str:
@@ -41,6 +64,10 @@ def fingerprint(fn, oracle_sql: str | None) -> str:
     h.update(src.encode())
     h.update(b"\x00")
     h.update((oracle_sql or "").encode())
+    for extra in EXTRA_SOURCES.get(getattr(fn, "__module__", ""), []):
+        h.update(b"\x00")
+        with open(os.path.join(_REPO, extra), "rb") as fh:
+            h.update(fh.read())
     return h.hexdigest()[:16]
 
 
