@@ -112,6 +112,15 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "multimodal_audio_windows",
+    "multimodal_frame_decode",
+    "multimodal_frame_plan",
+    "multimodal_gif_decode",
+    "multimodal_image_resize",
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "sim_neardup_clustered",
+    "sim_neardup_clustered_audit",
     "bpe_first_merges",
     "corpus_curation_funnel",
     "corpus_curation_manifest",
@@ -153,15 +162,6 @@ DRIVER_WINDOW: list[str] = [
     "multimodal_video_decode",
     "orders_merge_upsert",
     "part_affinity_triples",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_multiprobe_topk",
-    "sim_ann_pq_adc",
-    "sim_neardup_pairs",
-    "vocab_zipf_fit",
-    "warehouse_compact_roundtrip",
-    "category_recode",
-    "corpus_bigram_novelty_decay",
 ]
 
 
