@@ -173,10 +173,16 @@ def test_clus_index_persisted_bucketed_scan(spark, sf001_dir):
         .select("vec_id", "cid")
         .collect()
     }
+    # exactly one snapshot for THIS corpus directory; other corpora's
+    # indexes (built by earlier tests in the same session) coexist by
+    # design — the prune is per (logical, corpus-dir scope)
+    import hashlib
+
+    scope = hashlib.md5(sf001_dir.encode()).hexdigest()[:6]
     names = [
         tb.name
         for tb in spark.catalog.listTables()
-        if tb.name.startswith("idx_clus_assigned_")
+        if tb.name.startswith(f"idx_clus_assigned_{scope}_")
     ]
     assert len(names) == 1
     # round-trip: a second call serves the SAME on-disk table,
@@ -217,10 +223,13 @@ def test_ivfpq_codes_persisted(spark, sf001_dir):
     rows = {
         tuple(r) for r in _ivfpq_code_table(spark, sf001_dir).collect()
     }
+    import hashlib
+
+    scope = hashlib.md5(sf001_dir.encode()).hexdigest()[:6]
     names = [
         tb.name
         for tb in spark.catalog.listTables()
-        if tb.name.startswith("idx_ann_ivfpq_codes_")
+        if tb.name.startswith(f"idx_ann_ivfpq_codes_{scope}_")
     ]
     assert len(names) == 1
     again = {
