@@ -1481,7 +1481,15 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CLUS_PROBE = 6  # cells per vector (p)
 CLUS_TARGET = 24  # target vectors per cell (T, fixed — this is what
 # makes the pair scan linear: candidates ≈ (p²·T/2)·N at any N)
-CLUS_SUPER_PROBE = 12  # supers probed at level 1 (p1)
+CLUS_SUPER_PROBE = 20  # supers probed at level 1 (p1).  12 → 20 in
+# round 14 (VERDICT r13 #7): with the vectorized build the p1 ladder
+# at 600k (evidence/r14/CLUS_KNOBS_600k.json) reads recall@0.45
+# 0.811 / 0.881 / 0.923 / 0.952 for p1 = 12/16/20/24 at a ~CONSTANT
+# ~262M candidate budget (p1 widens the probed pool, not the scan —
+# candidates are (p²·T/2)·N in p and T only), with build wall 134.7 /
+# 106.3 / 162.3 / 191.4 s.  p1 = 20 takes the 0.92 point at 1.2× the
+# p1=12 build — the r13 600k "recall dip" was pure probed-pool
+# fraction, and the vectorized build makes buying it back cheap.
 CLUS_CELL_SPILL = 2  # supers each CELL is owned by (R — spilled /
 # replicated assignment, the ScaNN-SOAR posture): a cell near a super
 # boundary is visible from both sides, which is exactly where the
@@ -2865,8 +2873,8 @@ _ND_PARAMS_CTE = f"""
           FROM e
         )"""
 # Mirror of _clus_params_rel / _clus_assign / _clus_cand_pairs (the
-# TWO-level clustered near-dup path, round 13): the same
-# k = clamp(round(N/T), 8, 65536) and s = round(sqrt(k)) off count(*),
+# TWO-level clustered near-dup path, round 13; k UNCAPPED since round
+# 14): the same k = max(round(N/T), 8) and s = round(sqrt(k)) off count(*),
 # supers/cells = the s/k lowest-vec_id vectors, cell→super ownership by
 # rank-1 window, per-vector rank-≤CLUS_SUPER_PROBE super window, then
 # the rank-≤CLUS_PROBE cell window restricted (by joins) to the probed
