@@ -42,6 +42,7 @@ __all__ = [
     "brute_topk_matmul",
     "brute_topk_chunked",
     "exact_d2_topn_cogroup",
+    "pq_argmin_codes",
 ]
 
 # Above this many query rows the fold-based broadcast path is the wrong
@@ -393,6 +394,95 @@ def brute_topk_chunked(
     if out is None:
         raise ValueError("empty query set")
     return out
+
+
+def pq_argmin_codes(
+    sub: DataFrame,
+    codebook_rows: list,
+    *,
+    id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
+    chunk_rows: int = 8192,
+) -> DataFrame:
+    """Nearest-codeword assignment per (id, m) sub-vector row, ROW-LOCAL
+    against a driver-resident codebook — the optimization-round
+    replacement (guide §2.3/§2.4) for the ``sub ⋈ broadcast(cb)`` ×
+    rank-window chain, which materialized N·PQ_M·PQ_KS rows (×256 the
+    input) and pushed them through a partitionBy(vec_id, m) exchange:
+    at 600k vectors that is ~1.2G shuffled rows for an argmin whose
+    codebook is 128 KB.  Here the codebook rides in as a task closure
+    and each Arrow batch computes its own argmins — zero extra rows,
+    zero exchanges, one pass.
+
+    BIT-IDENTICAL to the old chain and to the DuckDB oracles' ``ad``
+    CTE (``list_sum(list_transform(... (x−y)*(x−y)))`` + row_number
+    (d2 ASC, k ASC)): the squared-L2 accumulates dimension-by-dimension
+    — ``t = x_d − c_d`` rounds, ``t·t`` rounds, ``acc + t²`` rounds —
+    the exact IEEE sequence of the JVM ``aggregate(zip_with(...))``
+    fold (numpy does not fuse multiply-add), and ties resolve to the
+    LOWEST k because the per-m codeword matrix is k-sorted and
+    ``np.argmin`` returns the first minimum.  Parity with the old chain
+    is pinned by ``tests/test_round14_ops.py::test_pq_argmin_parity``.
+
+    ``codebook_rows``: the collected (m, k, cv) rows — bounded
+    O(PQ_M·PQ_KS·SUB_DIM) by construction (the kmeans-centroid
+    collect policy: index metadata, never corpus data).
+    ``sub`` needs (id_col, m, subv[, *passthrough]); output is
+    (id_col, m, k[, *passthrough]) with the same row count."""
+    import numpy as np
+    import pandas as pd
+
+    by_m: dict[int, list] = {}
+    for r in codebook_rows:
+        by_m.setdefault(int(r["m"]), []).append((int(r["k"]), list(r["cv"])))
+    cmats = {
+        m: (
+            np.asarray([k for k, _ in sorted(rows)], dtype=np.int32),
+            np.asarray([cv for _, cv in sorted(rows)], dtype=np.float64),
+        )
+        for m, rows in by_m.items()
+    }
+
+    in_fields = {f.name: f for f in sub.schema.fields}
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [in_fields[id_col], in_fields["m"], StructField("k", IntegerType(), False)]
+        + [in_fields[c] for c in passthrough]
+    )
+    out_cols = [id_col, "m", "k", *passthrough]
+
+    def assign(batches: Iterator):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            marr = pdf["m"].to_numpy()
+            kout = np.empty(len(pdf), dtype=np.int32)
+            for m, (ks, cmat) in cmats.items():
+                mask = marr == m
+                if not mask.any():
+                    continue
+                rows = pdf["subv"][mask].to_numpy()
+                idx_out = np.empty(mask.sum(), dtype=np.int64)
+                for start in range(0, len(rows), chunk_rows):
+                    X = np.stack(rows[start : start + chunk_rows])
+                    # exact left fold of (x−y)² per dimension — one
+                    # sub, one mul, one add per step, matching
+                    # aggregate(zip_with(a, b, (x,y) -> (x−y)*(x−y)))
+                    acc = np.zeros((X.shape[0], cmat.shape[0]))
+                    for d in range(X.shape[1]):
+                        tdiff = X[:, d, None] - cmat[:, d]
+                        acc += tdiff * tdiff
+                    idx_out[start : start + chunk_rows] = np.argmin(acc, axis=1)
+                kout[mask] = ks[idx_out]
+            data = {id_col: pdf[id_col], "m": pdf["m"], "k": kout}
+            for c in passthrough:
+                data[c] = pdf[c]
+            yield pd.DataFrame(data)[out_cols]
+
+    in_cols = [id_col, "m", "subv"]
+    in_cols += [c for c in passthrough if c not in in_cols]
+    return sub.select(*in_cols).mapInPandas(assign, schema=out_schema)
 
 
 def exact_d2_topn_cogroup(

@@ -51,6 +51,7 @@ from ..operators.similarity import (
     hyperplane_band_rows,
     hyperplane_bucket_agg,
     hyperplane_matrix,
+    pq_argmin_codes,
 )
 from ..cache import session_materialized
 from ..index_store import index_version, persisted_index
@@ -1064,22 +1065,15 @@ def _pq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     system stores — 4 bytes/vector instead of 256."""
 
     def build() -> DataFrame:
+        # r14 optimization (guide §2.3/§2.4): row-local Arrow argmin
+        # against the driver-collected codebook (bounded PQ_M·PQ_KS×
+        # SUB_DIM — the kmeans-centroid collect policy) replaces the
+        # broadcast join + rank window that materialized N·PQ_M·PQ_KS
+        # rows (×PQ_KS the input) and shuffled them on (vec_id, m).
+        # Bit-identical d2 fold and tie rule — see pq_argmin_codes.
         sub = _pq_subvectors(spark, sf_dir)
-        cb = _pq_codebook(sub)
-        return (
-            sub.join(F.broadcast(cb), "m")
-            .withColumn("d2", _sq_l2(F.col("subv"), F.col("cv")))
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("vec_id", "m").orderBy(
-                        F.col("d2").asc(), F.col("k")
-                    )
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "m", "k")
-        )
+        cb_rows = _pq_codebook(sub).collect()
+        return pq_argmin_codes(sub, cb_rows)
 
     fp = source_fingerprint(sf_dir, "embeddings")
     return session_materialized(spark, f"ann_pq_codes:{fp}", build)
@@ -1256,25 +1250,22 @@ def _ivfpq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit) in every sweep."""
 
     def build() -> DataFrame:
+        # r14 optimization: row-local Arrow argmin against the
+        # driver-collected residual codebook — same rewrite as
+        # _pq_code_table (removes the N·PQ_M·PQ_KS join+window rows),
+        # bit-identical d2 fold and tie rule (pq_argmin_codes).
         ranked = _ivf_coarse_assign(spark, sf_dir)
         resid = F.zip_with("v", "cv", lambda x, y: x - y)
         assigned = ranked.filter(F.col("crank") == 1).select(
             "vec_id", "cell", F.explode(_ivfpq_resid_sub(resid)).alias("s")
-        ).select("vec_id", "cell", "s.m", "s.subr")
-        cb = _ivfpq_cb(ranked)
-        return (
-            assigned.join(F.broadcast(cb), "m")
-            .withColumn("d2", _sq_l2(F.col("subr"), F.col("cbv")))
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("vec_id", "m").orderBy(
-                        F.col("d2").asc(), F.col("k")
-                    )
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select(F.col("vec_id").alias("cand_id"), "cell", "m", "k")
+        ).select("vec_id", "cell", "s.m", F.col("s.subr").alias("subv"))
+        cb_rows = (
+            _ivfpq_cb(ranked)
+            .select("m", "k", F.col("cbv").alias("cv"))
+            .collect()
+        )
+        return pq_argmin_codes(assigned, cb_rows, passthrough=("cell",)).select(
+            F.col("vec_id").alias("cand_id"), "cell", "m", "k"
         )
 
     fp = source_fingerprint(sf_dir, "embeddings")
@@ -1283,7 +1274,7 @@ def _ivfpq_code_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_coarse_assign,
         _ivfpq_resid_sub,
         _ivfpq_cb,
-        _sq_l2,
+        pq_argmin_codes,
         _ivf_params_rel,
         PQ_M,
         PQ_SUB_DIM,
@@ -2307,23 +2298,13 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = sub.filter(F.col("vec_id").between(1, PQ_KS)).select(
         "m", F.col("vec_id").cast("int").alias("k"), F.col("subv").alias("cv")
     )
-    sq_l2 = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        sub.join(F.broadcast(cb), "m")
-        .withColumn("d2", sq_l2(F.col("subv"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("k"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("m", "k", "subv")
-    )
+    # r14 optimization: row-local Arrow argmin against the collected
+    # codebook (see _pq_code_table — removes the N·PQ_M·PQ_KS broadcast
+    # join + (vec_id, m) rank-window shuffle; bit-identical d2 fold and
+    # tie rule via pq_argmin_codes).
+    assigned = pq_argmin_codes(
+        sub, cb.collect(), passthrough=("subv",)
+    ).select("m", "k", "subv")
     dims = assigned.select(
         "m", "k", F.posexplode("subv").alias("dim_idx", "comp")
     )

@@ -236,3 +236,78 @@ def test_ivfpq_codes_persisted(spark, sf001_dir):
         tuple(r) for r in _ivfpq_code_table(spark, sf001_dir).collect()
     }
     assert again == rows and rows
+
+
+def test_pq_argmin_parity(spark, sf001_dir):
+    """r14 OPTIMIZATION pin: the row-local Arrow argmin
+    (``pq_argmin_codes``) reproduces the old broadcast-join +
+    rank-window code assignment EXACTLY — same (vec_id, m) → k map —
+    on a real corpus, where float near-ties would surface any fold or
+    tie divergence."""
+    from pyspark.sql import Window as W
+
+    from content_analytics_etl_spark.operators.similarity import (
+        pq_argmin_codes,
+    )
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        _pq_codebook,
+        _pq_subvectors,
+        _sq_l2,
+    )
+
+    sub = _pq_subvectors(spark, sf001_dir)
+    cb = _pq_codebook(sub)
+    old = {
+        (r["vec_id"], r["m"], r["k"])
+        for r in (
+            sub.join(F.broadcast(cb), "m")
+            .withColumn("d2", _sq_l2(F.col("subv"), F.col("cv")))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("vec_id", "m").orderBy(
+                        F.col("d2").asc(), F.col("k")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "k")
+        ).collect()
+    }
+    new = {
+        (r["vec_id"], r["m"], r["k"])
+        for r in pq_argmin_codes(sub, cb.collect()).collect()
+    }
+    assert new == old
+    assert new  # non-vacuous
+
+
+def test_pq_argmin_tie_order_and_passthrough(spark):
+    """Synthetic pin: bit-equal d2 ties resolve to the LOWEST k (the
+    row_number (d2 ASC, k ASC) rule), and passthrough columns survive
+    unchanged."""
+    from content_analytics_etl_spark.operators.similarity import (
+        pq_argmin_codes,
+    )
+
+    # codebook: k=2 duplicates k=1 exactly -> ties must pick k=1
+    cb_rows = [
+        {"m": 0, "k": 1, "cv": [1.0, 0.0]},
+        {"m": 0, "k": 2, "cv": [1.0, 0.0]},
+        {"m": 0, "k": 3, "cv": [9.0, 9.0]},
+        {"m": 1, "k": 1, "cv": [0.0, 0.0]},
+        {"m": 1, "k": 2, "cv": [5.0, 5.0]},
+    ]
+    sub = spark.createDataFrame(
+        [
+            (10, 0, [1.0, 0.0], "a"),
+            (10, 1, [4.9, 4.9], "b"),
+            (11, 0, [8.0, 8.5], "c"),
+        ],
+        "vec_id long, m int, subv array<double>, tag string",
+    )
+    got = {
+        (r["vec_id"], r["m"], r["k"], r["tag"])
+        for r in pq_argmin_codes(sub, cb_rows, passthrough=("tag",)).collect()
+    }
+    assert got == {(10, 0, 1, "a"), (10, 1, 2, "b"), (11, 0, 3, "c")}
