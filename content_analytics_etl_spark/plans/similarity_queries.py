@@ -673,16 +673,27 @@ def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COSINE)
     )
-    capped = pairs.filter(
-        (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP)
+    # r14 optimization (guide §2.4): n_pairs and n_banded_cap come from
+    # ONE aggregate over the verify join — the old separate
+    # `capped = pairs.filter(...)` branch re-ran the whole candidate +
+    # verify chain a third time (the pre-AQE plan shows no
+    # ReusedExchange; plans/r14/sim_neardup_recall_audit_before.txt).
+    # count(when(...)) counts non-nulls = the old filtered count.
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(
+            F.when(
+                (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP),
+                F.lit(1),
+            )
+        ).alias("n_banded_cap"),
     )
     exact = sim_neardup_exact(spark, sf_dir)
     return (
         emb.agg(F.count(F.lit(1)).alias("n_vectors"))
         .crossJoin(_nd_params_rel(emb))
         .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
-        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
-        .crossJoin(capped.agg(F.count(F.lit(1)).alias("n_banded_cap")))
+        .crossJoin(pstats)
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_cap")))
         .select(
             "n_vectors",
@@ -885,17 +896,34 @@ def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_topk(
-    scored: DataFrame, score: str, *, ascending: bool = False, k: int = ANN_TOPK
+    scored: DataFrame,
+    score: str,
+    *,
+    ascending: bool = False,
+    k: int = ANN_TOPK,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-query top-k over a scored candidate relation (ties → lowest
     cand_id). Every ANN method is <scored producer> → this wrapper, so
     the recall audit can count candidates from the SAME producer the
-    served query ranks — the two can never drift."""
+    served query ranks — the two can never drift.
+
+    ``count_col`` (r14 optimization, audit-only): additionally carry the
+    per-query candidate count as a second window over the SAME
+    partitioning — the audit then takes recall AND n_candidates from one
+    relation with one exchange, instead of re-running the scored
+    producer through a separate groupBy branch (guide §2.4: two
+    operations keyed the same way share one exchange). The count window
+    has no ordering (whole-partition count), so it cannot perturb the
+    rank; registered top-k queries leave it None and are unchanged."""
     o = F.col(score).asc() if ascending else F.col(score).desc()
     w = W.partitionBy("query_id").orderBy(o, F.col("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    df = scored.withColumn("rank", F.row_number().over(w))
+    if count_col is not None:
+        df = df.withColumn(
+            count_col, F.count(F.lit(1)).over(W.partitionBy("query_id"))
+        )
+    return df.filter(F.col("rank") <= k)
 
 
 def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2462,26 +2490,27 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY code, and still can't rank 64-d near-random vectors from
     4×32 codebooks — the compression trade shown honestly, and why
     the re-rank stage exists)."""
+    # r14 optimization: (a) the exact ground truth is persisted for the
+    # invocation — it was referenced 6× (the base counts + five hit
+    # joins), re-running the brute-force pass each time; (b) the four
+    # single-stage methods take recall AND n_candidates from ONE
+    # _ann_topk(count_col=...) relation — same rank window, same scored
+    # producer, plus a whole-partition count over the same exchange —
+    # instead of a separate groupBy branch that re-ran the scored
+    # producer (guide §2.4). ivfpq keeps the two-relation shape: its
+    # candidate cost is the ADC relation while its served query re-ranks
+    # a shortlist, so the two are genuinely different dataframes. The
+    # result is materialized (≤ 20·5 rows) and the truth cache released
+    # before returning.
     truth = (
         sim_brute_topk(spark, sf_dir)
         .filter(F.col("rank") <= ANN_TOPK)
         .select("query_id", "cand_id")
+        .persist()
     )
     base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
 
-    def per_method(method: str, scored: DataFrame, ann: DataFrame) -> DataFrame:
-        hits = (
-            truth.join(
-                ann.select("query_id", "cand_id"),
-                ["query_id", "cand_id"],
-                "left_semi",
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-        )
-        cand = scored.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_candidates")
-        )
+    def _assemble(method: str, hits: DataFrame, cand: DataFrame) -> DataFrame:
         return (
             base.join(hits, "query_id", "left")
             .join(cand, "query_id", "left")
@@ -2500,31 +2529,45 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return (
-        per_method(
-            "lsh",
-            _lsh_scored(spark, sf_dir),
-            sim_ann_lsh_topk(spark, sf_dir),
-        )
-        .unionByName(
-            per_method(
-                "lsh_mp",
-                _mp_scored(spark, sf_dir),
-                sim_ann_multiprobe_topk(spark, sf_dir),
+    def _hits(ann: DataFrame) -> DataFrame:
+        return (
+            truth.join(
+                ann.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_semi",
             )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+
+    def per_method_fused(
+        method: str, scored: DataFrame, score: str, *, ascending: bool = False
+    ) -> DataFrame:
+        ann_c = _ann_topk(
+            scored, score, ascending=ascending, count_col="n_candidates"
+        )
+        cand = ann_c.filter(F.col("rank") == 1).select(
+            "query_id", "n_candidates"
+        )
+        return _assemble(method, _hits(ann_c), cand)
+
+    def per_method(method: str, scored: DataFrame, ann: DataFrame) -> DataFrame:
+        cand = scored.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        return _assemble(method, _hits(ann), cand)
+
+    out = (
+        per_method_fused("lsh", _lsh_scored(spark, sf_dir), "cosine")
+        .unionByName(
+            per_method_fused("lsh_mp", _mp_scored(spark, sf_dir), "cosine")
         )
         .unionByName(
-            per_method(
-                "ivf",
-                _ivf_scored(spark, sf_dir),
-                sim_ann_ivf_topk(spark, sf_dir),
-            )
+            per_method_fused("ivf", _ivf_scored(spark, sf_dir), "cosine")
         )
         .unionByName(
-            per_method(
-                "pq",
-                _pq_scored(spark, sf_dir),
-                sim_ann_pq_adc(spark, sf_dir),
+            per_method_fused(
+                "pq", _pq_scored(spark, sf_dir), "adc_d2", ascending=True
             )
         )
         .unionByName(
@@ -2535,6 +2578,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return materialize_and_release(out, truth)
 
 
 # Matryoshka-style truncation audit (Kusupati et al. 2022): which
