@@ -1964,16 +1964,24 @@ def sim_neardup_clustered_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", l2_norm(F.col("v")))
     )
     cand, pairs = _clus_cand_pairs(spark, sf_dir)
-    capped = pairs.filter(
-        (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP)
+    # r14 optimization (guide §2.4, the sim_neardup_recall_audit fix):
+    # one aggregate yields n_pairs AND the capped count — the separate
+    # filter branch re-ran the whole cid-join verify a second time.
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(
+            F.when(
+                (F.col("vec_a") < EXACT_CAP) & (F.col("vec_b") < EXACT_CAP),
+                F.lit(1),
+            )
+        ).alias("n_banded_cap"),
     )
     exact = sim_neardup_exact(spark, sf_dir)
     return (
         emb.agg(F.count(F.lit(1)).alias("n_vectors"))
         .crossJoin(_clus_params_rel(e))
         .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
-        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
-        .crossJoin(capped.agg(F.count(F.lit(1)).alias("n_banded_cap")))
+        .crossJoin(pstats)
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_cap")))
         .select(
             "n_vectors",
@@ -2239,7 +2247,10 @@ def _power_rounds(e: DataFrame, deflate: list | None = None):
             yield pd.DataFrame({"d": np.arange(DIM, dtype=np.int32), "p": tot})
 
         w_df = (
-            e.mapInPandas(partials, "d int, p long")
+            # only the vector column crosses the Python boundary —
+            # Spark cannot prune columns through an opaque function
+            # (guide §4.1), so vec_id is dropped explicitly
+            e.select("x").mapInPandas(partials, "d int, p long")
             .groupBy("d")
             .agg((F.sum("p").cast("double") / F.lit(1e9)).alias("w"))
         )
@@ -2600,8 +2611,14 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncation is ``F.slice`` on the stored array — no re-embedding,
     no driver collect."""
     e = t(spark, sf_dir, "embeddings")
-    truth = brute_topk(e, e.filter(_query_side()), k=TOPK).select(
-        "query_id", "cand_id"
+    # r14 optimization: the full-dimension truth was plain lineage
+    # referenced 4× (base + one hit join per width) — each re-ran the
+    # exact brute pass; persist for the invocation, release on return
+    # (the sim_ann_recall_audit fix).
+    truth = (
+        brute_topk(e, e.filter(_query_side()), k=TOPK)
+        .select("query_id", "cand_id")
+        .persist()
     )
     base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
 
@@ -2633,7 +2650,7 @@ def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = per_dims(TRUNC_DIMS[0])
     for dims in TRUNC_DIMS[1:]:
         out = out.unionByName(per_dims(dims))
-    return out
+    return materialize_and_release(out, truth)
 
 
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
