@@ -465,7 +465,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count verify + distinct dedups multi-band collisions."""
     d = t(spark, sf_dir, "documents")
     rows = shingle_rows(d, ["doc_id", "lang"])
-    sg = simhash60_agg(shingle_hashes(rows, ["doc_id", "lang"]), ["doc_id", "lang"])
+    # r14 optimization (guide §5): the signature aggregation feeds both
+    # sides of the band self-join — persisted for the invocation so the
+    # shingle explode + 60-bit aggregation run once, released on return.
+    sg = simhash60_agg(
+        shingle_hashes(rows, ["doc_id", "lang"]), ["doc_id", "lang"]
+    ).persist()
 
     n_bands = SIMHASH_MAX_HAMMING + 1
     widths = [60 // n_bands + (1 if i < 60 % n_bands else 0) for i in range(n_bands)]
@@ -492,7 +497,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge hint ⇒ shuffle reuse across the self-join (see ngram above)
     a, b = bands.alias("a"), bands.alias("b").hint("merge")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
+    return materialize_and_release(
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -506,7 +511,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
+        .distinct(),
+        sg,
     )
 
 

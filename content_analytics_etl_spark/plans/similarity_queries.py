@@ -359,7 +359,12 @@ def _nd_pairs_bucket_local(emb: DataFrame, e: DataFrame) -> DataFrame:
     the raw vectors meet changes."""
     params = _nd_params_rel(emb)
     bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
-    bands_v = bands.join(e, "vec_id")
+    # r14 optimization (guide §5): the signature+payload relation feeds
+    # BOTH sides of the band-key join (probe explode + raw band rows) —
+    # persisted for the invocation so the plane-dot aggregation and the
+    # payload join run once; released via materialize_and_release by the
+    # callers' shared return path below.
+    bands_v = bands.join(e, "vec_id").persist()
     probes_v = (
         bands_v.crossJoin(F.broadcast(params.select("w")))
         .select(
@@ -380,7 +385,7 @@ def _nd_pairs_bucket_local(emb: DataFrame, e: DataFrame) -> DataFrame:
     cos = dot_product(F.col("a.v"), F.col("b.v")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
-    return (
+    return materialize_and_release(
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -393,7 +398,8 @@ def _nd_pairs_bucket_local(emb: DataFrame, e: DataFrame) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
-        .distinct()
+        .distinct(),
+        bands_v,
     )
 
 
@@ -426,7 +432,13 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", l2_norm(F.col("v")))
     )
     params = _nd_params_rel(emb)
-    bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
+    # r14 optimization (guide §5): the band relation feeds the eval-probe
+    # side AND the corpus side — persisted for the invocation (compact
+    # nb·N (vec_id, band_idx, band_key) rows) so the plane-dot signature
+    # aggregation runs once; released on return.
+    bands = hyperplane_band_rows(
+        emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM
+    ).persist()
     eval_probes = (
         bands.filter(_query_side())
         .crossJoin(F.broadcast(params.select("w")))
@@ -469,9 +481,12 @@ def sim_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_id", "eval_id", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMDECON_COSINE)
     )
-    return hits.groupBy("train_id").agg(
-        F.count(F.lit(1)).alias("n_eval_hits"),
-        F.max("cosine").alias("max_cosine"),
+    return materialize_and_release(
+        hits.groupBy("train_id").agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cosine").alias("max_cosine"),
+        ),
+        bands,
     )
 
 
@@ -527,7 +542,11 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact cosine verification behind it."""
     emb = t(spark, sf_dir, "embeddings")
     params = _nd_params_rel(emb)
-    bands = hyperplane_band_rows(emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM)
+    # r14 optimization: same both-sides band persist as
+    # sim_semantic_decontaminate (released on return)
+    bands = hyperplane_band_rows(
+        emb, params, ND_MAX_BANDS, ND_MAX_BITS, DIM
+    ).persist()
     qprobes = (
         bands.filter(_query_side())
         .crossJoin(F.broadcast(params.select("w")))
@@ -565,11 +584,12 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cos = dot_product(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    return (
+    return materialize_and_release(
         cand.join(F.broadcast(eq), "query_id")
         .join(ec, "cand_id")
         .select("query_id", "cand_id", cos.alias("cosine"))
-        .filter(F.col("cosine") >= SEMDECON_COSINE)
+        .filter(F.col("cosine") >= SEMDECON_COSINE),
+        bands,
     )
 
 
