@@ -200,8 +200,15 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer products ((n_ab·N) / (n_a·n_b), both < 2^63) — a single
     IEEE-exact op, bit-identical in any engine, instead of a chain of
     double multiplies whose association order could drift."""
+    # r14 optimization (guide §5): the distinct basket relation feeds
+    # FOUR consumers (corpus count, support table, both self-join sides)
+    # — persisted for the invocation (it is the basket table every
+    # market-basket pass materializes first) and released on return.
     op = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
     )
     n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
@@ -218,7 +225,7 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
-    return (
+    return materialize_and_release(
         pairs.join(sa, "part_a")
         .join(sb, "part_b")
         .crossJoin(F.broadcast(n_orders))
@@ -232,7 +239,8 @@ def part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_both") * F.col("n_orders")).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("lift"),
-        )
+        ),
+        op,
     )
 
 

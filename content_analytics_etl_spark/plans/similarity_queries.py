@@ -671,7 +671,11 @@ def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     files). Every component is a 1-row aggregate crossJoined (broadcast
     1-row builds) onto the params relation; nothing is collected."""
     emb = t(spark, sf_dir, "embeddings")
-    cand = _nd_candidates(emb)
+    # r14 optimization (guide §5): the candidate relation feeds the
+    # count AND the verify chain — persisted for the invocation
+    # (compact (vec_a, vec_b) rows) so banded candidate generation runs
+    # once; released on return.
+    cand = _nd_candidates(emb).persist()
     e = (
         emb.select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
@@ -709,7 +713,7 @@ def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_banded_cap"),
     )
     exact = sim_neardup_exact(spark, sf_dir)
-    return (
+    out = (
         emb.agg(F.count(F.lit(1)).alias("n_vectors"))
         .crossJoin(_nd_params_rel(emb))
         .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
@@ -730,6 +734,7 @@ def sim_neardup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_cap"),
         )
     )
+    return materialize_and_release(out, cand)
 
 
 # --- session-materialized ANN index tables ---------------------------------
