@@ -696,11 +696,23 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr("INTERVAL 1 DAY")
         ).alias("end_day"),
     )
+    # r14 optimization (guide §2.4): one pass emits both deltas per span
+    # via a row-local 2-element explode — the old unionAll of two
+    # projections evaluated the orders⋈lineitem span join twice.
     deltas = (
-        spans.select(F.col("start_day").alias("day"), F.lit(1).alias("d"))
-        .unionAll(
-            spans.select(F.col("end_day").alias("day"), F.lit(-1).alias("d"))
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_day").alias("day"), F.lit(1).alias("d")
+                    ),
+                    F.struct(
+                        F.col("end_day").alias("day"), F.lit(-1).alias("d")
+                    ),
+                )
+            ).alias("x")
         )
+        .select("x.day", "x.d")
         .groupBy("day")
         .agg(F.sum("d").alias("delta"))
     )

@@ -1117,15 +1117,20 @@ def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-token discipline as the Jaccard prefix filter's hot-shingle
     cap. Worst-case join fan-out is therefore |fps|·MAX_DF, linear in
     the corpus, never the C(df,2) blow-up of an uncapped posting list."""
+    # r14 optimization (guide §5): the winnowing-fingerprint relation
+    # fed the document-frequency aggregate AND both self-join sides as
+    # plain lineage — the full winnow pipeline ran per reference.
+    # Persist it for the invocation, release on return; the self-join's
+    # merge hint lets both sides share one sorted exchange.
     fps = (
         doc_winnow(spark, sf_dir).select("doc_id", "fp_hash").distinct()
-    )
+    ).persist()
     dfreq = fps.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
     kept = fps.join(
         dfreq.filter(F.col("df") <= WINNOW_MAX_DF).select("fp_hash"), "fp_hash"
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
+    a, b = kept.alias("a"), kept.alias("b").hint("merge")
+    return materialize_and_release(
         a.join(
             b,
             (F.col("a.fp_hash") == F.col("b.fp_hash"))
@@ -1135,7 +1140,8 @@ def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
-        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED),
+        fps,
     )
 
 
