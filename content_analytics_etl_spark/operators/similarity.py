@@ -43,6 +43,7 @@ __all__ = [
     "brute_topk_chunked",
     "exact_d2_topn_cogroup",
     "pq_argmin_codes",
+    "cosine_rank_assign",
 ]
 
 # Above this many query rows the fold-based broadcast path is the wrong
@@ -483,6 +484,109 @@ def pq_argmin_codes(
     in_cols = [id_col, "m", "subv"]
     in_cols += [c for c in passthrough if c not in in_cols]
     return sub.select(*in_cols).mapInPandas(assign, schema=out_schema)
+
+
+def cosine_rank_assign(
+    e: DataFrame,
+    cent_rows: list,
+    nprobe: int,
+    keep_mask,
+    *,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Row-local nearest-centroid ranking by cosine, Arrow-vectorized —
+    the r14-optimization replacement for the IVF coarse assignment's
+    per-row HOF struct pool (`transform` over a broadcast collect_list
+    matrix + `array_sort` + slice), which at 600k vectors × 775 cells
+    was the measured 1521-s build wall on this sandbox (the same
+    interpreted-lambda constant PERF 86 cut from the clustered build).
+
+    BIT-IDENTICAL ranking: the dot accumulates dimension-by-dimension
+    (one elementwise multiply + one add per step — the
+    ``functions/vectors.dot_product`` left-fold IEEE sequence), then
+    ``negcs = -(dot / (nrm · cn))`` with the same operation order as
+    the HOF chain and the oracle's ``cosine DESC``; ranking is a STABLE
+    argsort over a cell-ascending centroid matrix, so bit-equal cosines
+    resolve to the lower cell id exactly like the lexicographic
+    struct sort / the oracle's ``ORDER BY cs DESC, cell ASC``.
+    Precondition (shared with the HOF path, test-pinned): no zero-norm
+    vectors or centroids, so no NaN cosines.
+
+    ``cent_rows``: collected (cell, cv, cn) rows — bounded
+    O(cells·dim) = O(√N·dim) under the module's cell policy (the
+    kmeans-centroid collect discipline: index metadata, never corpus
+    data). ``keep_mask(vec_ids: np.ndarray, cranks: np.ndarray) ->
+    np.ndarray[bool]`` selects which (row, crank) pairs are emitted —
+    the caller's consumed-rows cut (crank = 1 everywhere plus the
+    bounded query side's crank ≤ nprobe).
+
+    ``e`` needs (vec_id, v array<double>, nrm double); output is
+    (vec_id, v, nrm, cell int, cv array<double>, crank int)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_sorted = sorted(
+        ((int(r["cell"]), list(r["cv"]), float(r["cn"])) for r in cent_rows)
+    )
+    cells = np.asarray([c for c, _, _ in cent_sorted], dtype=np.int32)
+    cmat = np.asarray([cv for _, cv, _ in cent_sorted], dtype=np.float64)
+    cn = np.asarray([n for _, _, n in cent_sorted], dtype=np.float64)
+    cvs = [cv for _, cv, _ in cent_sorted]
+    nsel = min(int(nprobe), len(cells))
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("v", ArrayType(DoubleType()), False),
+            StructField("nrm", DoubleType(), False),
+            StructField("cell", IntegerType(), False),
+            StructField("cv", ArrayType(DoubleType()), False),
+            StructField("crank", IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for start in range(0, len(pdf), chunk_rows):
+                ch = pdf.iloc[start : start + chunk_rows]
+                X = np.stack(ch["v"].to_numpy())
+                nrm = ch["nrm"].to_numpy()
+                ids = ch["vec_id"].to_numpy()
+                # exact left fold (the dot_product sequence)
+                dots = np.zeros((X.shape[0], cmat.shape[0]))
+                for d in range(X.shape[1]):
+                    dots += X[:, d, None] * cmat[:, d]
+                negcs = -(dots / (nrm[:, None] * cn[None, :]))
+                idx = np.argsort(negcs, axis=1, kind="stable")[:, :nsel]
+                b = X.shape[0]
+                vec_ids = np.repeat(ids, nsel)
+                cranks = np.tile(np.arange(1, nsel + 1, dtype=np.int32), b)
+                keep = keep_mask(vec_ids, cranks)
+                flat_idx = idx.ravel()[keep]
+                rows_rep = np.repeat(np.arange(b), nsel)[keep]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": vec_ids[keep],
+                        "v": ch["v"].to_numpy()[rows_rep],
+                        "nrm": nrm[rows_rep],
+                        "cell": cells[flat_idx],
+                        "cv": [cvs[i] for i in flat_idx],
+                        "crank": cranks[keep],
+                    }
+                )
+
+    return e.select("vec_id", "v", "nrm").mapInPandas(assign, schema=out_schema)
 
 
 def exact_d2_topn_cogroup(

@@ -47,6 +47,7 @@ from ..operators.kmeans import (
 from ..operators.similarity import (
     add_hyperplane_bucket,
     brute_topk,
+    cosine_rank_assign,
     exact_d2_topn_cogroup,
     hyperplane_band_rows,
     hyperplane_bucket_agg,
@@ -854,70 +855,106 @@ def _ivf_coarse_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsets of what is kept, so results are unchanged."""
 
     def build() -> DataFrame:
+        # r14 optimization (guide §4.2; the PERF-86 posture applied to
+        # the IVF assign): the r13 row-local HOF chain — `transform`
+        # over the broadcast collect_list centroid matrix + array_sort
+        # + slice — priced every vector at `cells` interpreted struct
+        # lambdas (600k × 775 cells × 64-dim fold = the measured
+        # 1521-s build wall on this sandbox). The ranking now runs in
+        # an Arrow kernel against the driver-collected centroid matrix
+        # (bounded O(cells·dim) = O(√N·dim) — the kmeans-centroid
+        # collect policy) with the exact dot_product fold sequence and
+        # stable argsort tie rule, so every emitted (vec_id, cell,
+        # crank) row is bit-identical to the HOF chain's (parity test:
+        # tests/test_round14_ops.py::test_ivf_assign_kernel_parity).
+        # The params relation's values are unchanged — the 1-row
+        # (cells, nprobe) aggregate is collected instead of broadcast;
+        # the oracle derives the same integers in SQL.
+        # NaN precondition unchanged (ADVICE r13, low): no zero-norm
+        # vectors/centroids, pinned by test_no_zero_norm_embeddings.
         e = t(spark, sf_dir, "embeddings").select(
             "vec_id", to_double_array("embedding").alias("v")
         ).withColumn("nrm", l2_norm(F.col("v")))
-        params = _ivf_params_rel(e)
-        cent = (
-            e.crossJoin(F.broadcast(params.select("cells")))
-            .filter(F.col("vec_id").between(1, F.col("cells")))
+        prow = _ivf_params_rel(e).collect()[0]
+        cent_rows = (
+            e.filter(F.col("vec_id").between(1, int(prow["cells"])))
             .select(
                 F.col("vec_id").cast("int").alias("cell"),
                 F.col("v").alias("cv"),
                 F.col("nrm").alias("cn"),
             )
+            .collect()
         )
-        cmat = cent.agg(
-            F.collect_list(F.struct("cell", "cv", "cn")).alias("cmat")
-        ).crossJoin(params.select("nprobe"))
 
-        def _cand(c):
-            # negated cosine so lexicographic ASC struct order equals
-            # the oracle's (cs DESC, cell ASC); cell is unique so the
-            # cv field never participates in the comparison.
-            # Precondition (ADVICE r13, low): no zero-norm vectors or
-            # centroids — a NaN cosine would sort LAST under Spark's
-            # array_sort but FIRST under the oracle's DESC (DuckDB
-            # ranks NaN greatest), so the engines would rank probed
-            # cells differently on degenerate input.  The generator
-            # never emits zero vectors; pinned corpus-wide by
-            # tests/test_round14_ops.py::test_no_zero_norm_embeddings.
-            negcs = -(
-                dot_product(F.col("v"), c["cv"]) / (F.col("nrm") * c["cn"])
-            )
-            return F.struct(
-                negcs.alias("negcs"),
-                c["cell"].alias("cell"),
-                c["cv"].alias("cv"),
+        def keep_mask(vec_ids, cranks):
+            return (cranks == 1) | (
+                ((vec_ids % QUERY_MOD) == 0) & (vec_ids < QUERY_CAP)
             )
 
-        return (
-            e.crossJoin(F.broadcast(cmat))
-            .select(
-                "vec_id",
-                "v",
-                "nrm",
-                F.posexplode(
-                    F.slice(
-                        F.array_sort(F.transform(F.col("cmat"), _cand)),
-                        1,
-                        F.col("nprobe"),
-                    )
-                ),
-            )
-            .select(
-                "vec_id",
-                "v",
-                "nrm",
-                F.col("col.cell").alias("cell"),
-                F.col("col.cv").alias("cv"),
-                (F.col("pos") + 1).cast("int").alias("crank"),
-            )
-            .filter((F.col("crank") == 1) | _query_side())
+        return cosine_rank_assign(
+            e, cent_rows, int(prow["nprobe"]), keep_mask
         )
 
     fp = source_fingerprint(sf_dir, "embeddings")
     return session_materialized(spark, f"ann_ivf_assign:{fp}", build)
+
+
+def _ivf_coarse_assign_hof(e: DataFrame, params: DataFrame) -> DataFrame:
+    """The r13 row-local HOF reference implementation of the coarse
+    assignment (broadcast collect_list matrix + transform/array_sort/
+    slice) — kept as the parity pin for ``cosine_rank_assign``'s
+    vectorized fold + stable-argsort tie rule, the same role
+    ``_clus_assign_broadcast`` plays for the cogroup kernel."""
+    cent = (
+        e.crossJoin(F.broadcast(params.select("cells")))
+        .filter(F.col("vec_id").between(1, F.col("cells")))
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cmat = cent.agg(
+        F.collect_list(F.struct("cell", "cv", "cn")).alias("cmat")
+    ).crossJoin(params.select("nprobe"))
+
+    def _cand(c):
+        # negated cosine so lexicographic ASC struct order equals the
+        # oracle's (cs DESC, cell ASC); cell is unique so the cv field
+        # never participates in the comparison.
+        negcs = -(
+            dot_product(F.col("v"), c["cv"]) / (F.col("nrm") * c["cn"])
+        )
+        return F.struct(
+            negcs.alias("negcs"),
+            c["cell"].alias("cell"),
+            c["cv"].alias("cv"),
+        )
+
+    return (
+        e.crossJoin(F.broadcast(cmat))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.posexplode(
+                F.slice(
+                    F.array_sort(F.transform(F.col("cmat"), _cand)),
+                    1,
+                    F.col("nprobe"),
+                )
+            ),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.col("col.cell").alias("cell"),
+            F.col("col.cv").alias("cv"),
+            (F.col("pos") + 1).cast("int").alias("crank"),
+        )
+        .filter((F.col("crank") == 1) | _query_side())
+    )
 
 
 def _ann_topk(

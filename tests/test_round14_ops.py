@@ -311,3 +311,62 @@ def test_pq_argmin_tie_order_and_passthrough(spark):
         for r in pq_argmin_codes(sub, cb_rows, passthrough=("tag",)).collect()
     }
     assert got == {(10, 0, 1, "a"), (10, 1, 2, "b"), (11, 0, 3, "c")}
+
+
+def _ivf_parity(spark, sf_dir):
+    from content_analytics_etl_spark.operators.similarity import (
+        cosine_rank_assign,
+    )
+    from content_analytics_etl_spark.plans.similarity_queries import (
+        QUERY_CAP,
+        QUERY_MOD,
+        _ivf_coarse_assign_hof,
+        _ivf_params_rel,
+    )
+
+    e = _e(spark, sf_dir)
+    params = _ivf_params_rel(e)
+    want = {
+        (r["vec_id"], r["cell"], r["crank"])
+        for r in _ivf_coarse_assign_hof(e, params).collect()
+    }
+    prow = params.collect()[0]
+    cent_rows = (
+        e.filter(F.col("vec_id").between(1, int(prow["cells"])))
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .collect()
+    )
+
+    def keep_mask(vec_ids, cranks):
+        return (cranks == 1) | (
+            ((vec_ids % QUERY_MOD) == 0) & (vec_ids < QUERY_CAP)
+        )
+
+    got = {
+        (r["vec_id"], r["cell"], r["crank"])
+        for r in cosine_rank_assign(
+            e, cent_rows, int(prow["nprobe"]), keep_mask
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_ivf_assign_kernel_parity_small(spark, sf001_dir):
+    """sf0.01 (500 vectors, 22 cells): the vectorized cosine ranking
+    reproduces the r13 HOF chain's (vec_id, cell, crank) rows exactly —
+    fold arithmetic and the (cosine DESC, cell ASC) tie rule."""
+    _ivf_parity(spark, sf001_dir)
+
+
+def test_ivf_assign_kernel_parity_sf1(spark):
+    """scratch sf1 (20k vectors, 141 cells, nprobe 40): the regime with
+    real probe-depth pruning and dense near-ties."""
+    sf_dir = ".scratch/sf1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("scratch sf1 corpus not generated (tools/gen_testdata.py)")
+    _ivf_parity(spark, sf_dir)
