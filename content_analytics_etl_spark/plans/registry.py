@@ -108,60 +108,73 @@ _MODULES = [
 # sim_semantic_decontaminate — the drift rule firing as designed),
 # then the first 42 of that backlog (the r03/r04-era cohorts: joins,
 # windows, set-ops, early dedup/doc).
+# Round-15 rotation (the VERDICT r14 gate fix): CORRECTNESS_r14 came
+# back 50/50, but the r14 optimizer session rewrote the plan source of
+# 14 registered queries AFTER the last rotation and never re-rotated —
+# the shipped window excluded every one of them (tests/
+# test_driver_window.py was red; VERIFY_r14 tests_ok false).  This
+# window leads with those 14 fingerprint-drifted rewrites
+# (dedup_clusters, dedup_simhash, doc_winnow_overlap,
+# embedding_pq_train, graph_common_neighbors{,_pruned},
+# graph_kcore_decomposition, orders_open_backlog, part_affinity,
+# sim_ann_recall_audit, sim_dim_truncation_recall,
+# sim_neardup_recall_audit, sim_range_search,
+# sim_semantic_decontaminate), then the oldest-verdict fill (the r12-
+# era cohort: remaining sim_ann top-k family, events_* windows, etc.).
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
-    "multimodal_audio_windows",
-    "multimodal_frame_decode",
-    "multimodal_frame_plan",
-    "multimodal_gif_decode",
-    "multimodal_image_resize",
-    "multimodal_jpeg_decode",
-    "multimodal_png_decode",
-    "sim_neardup_clustered",
-    "sim_neardup_clustered_audit",
-    "bpe_first_merges",
-    "corpus_curation_funnel",
-    "corpus_curation_manifest",
-    "corpus_mix_rebalance",
-    "corpus_priority_sample",
-    "corpus_quality_calibration",
-    "corpus_temperature_mix",
-    "corpus_token_kl_drift",
-    "customer_rfm_segments",
-    "dedup_edit_distance",
-    "dedup_exact_flags",
-    "dedup_keep_best",
-    "dedup_minhash_estimate_audit",
-    "dedup_ngram_jaccard",
-    "doc_char_entropy",
-    "doc_chunk",
-    "doc_fingerprint",
-    "doc_lm_perplexity",
-    "doc_ngram_scrub",
-    "doc_padding_waste",
-    "doc_quality_gates",
-    "doc_repetition",
-    "doc_rolling_hash",
-    "doc_sample_stratified",
-    "doc_token_novelty",
-    "embedding_pca_top2",
-    "events_stl_decompose",
-    "events_stl_residual_anomaly",
-    "events_zorder_layout",
-    "graph_pagerank",
-    "graph_triangles",
-    "join_bucketed",
-    "join_salted",
-    "lang_id",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_metadata",
-    "multimodal_phash_dedup",
-    "multimodal_video_decode",
-    "orders_merge_upsert",
-    "part_affinity_triples",
+    "dedup_clusters",
+    "dedup_simhash",
+    "doc_winnow_overlap",
+    "embedding_pq_train",
+    "graph_common_neighbors",
+    "graph_common_neighbors_pruned",
+    "graph_kcore_decomposition",
+    "orders_open_backlog",
+    "part_affinity",
+    "sim_ann_recall_audit",
+    "sim_dim_truncation_recall",
+    "sim_neardup_recall_audit",
+    "sim_range_search",
+    "sim_semantic_decontaminate",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_ann_pq_adc",
+    "sim_neardup_pairs",
+    "vocab_zipf_fit",
+    "warehouse_compact_roundtrip",
+    "category_recode",
+    "corpus_bigram_novelty_decay",
+    "corpus_training_manifest",
+    "dedup_containment",
+    "doc_dup_aware_sampling",
+    "doc_perplexity_buckets",
+    "doc_rake_keywords",
+    "doc_winnow",
+    "embedding_power_iteration",
+    "events_active_streaks",
+    "events_approx_percentile_bound",
+    "events_attribution",
+    "events_cusum_drift",
+    "events_daily_from_hourly",
+    "events_daily_mv_refresh",
+    "events_distinct_sketch_rollup",
+    "events_ema_smoothing",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "events_multitouch_attribution",
+    "events_peak_detection",
+    "events_seasonal_naive_eval",
+    "events_top_paths",
+    "events_trailing_window",
+    "events_type_hourly_pivot",
+    "events_value_distribution",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_zscore_outliers",
 ]
 
 
