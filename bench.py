@@ -149,9 +149,33 @@ STDOUT_QUERIES = [
 ]
 
 
+def _purge_disk_indexes() -> list[str]:
+    """Delete pre-existing ``idx_*`` warehouse snapshots so every timed
+    run COLD-BUILDS its indexes from the parquet inputs (VERDICT r14 #2:
+    the r14 driver bench served ``clus_assigned`` from a snapshot built
+    in a prior session — cross-run precomputation, not speed).  The
+    durable index tier (index_store.py) stays: it is the production
+    posture; the *measurement* just may not benefit from it.  Opt back
+    in explicitly with SPARK_GRAFT_BENCH_ALLOW_DISK_INDEX=on (e.g. to
+    measure the amortized read-back path itself)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_ALLOW_DISK_INDEX", "off") == "on":
+        return []
+    import shutil
+
+    root = os.path.join(os.getcwd(), "spark-warehouse")
+    purged = []
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            if d.startswith("idx_"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                purged.append(d)
+    return purged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    purged = _purge_disk_indexes()
     spark = get_spark("bench")
     # harness-only: WARN-level JVM log noise (CacheManager re-persist
     # notices on repeated invocations of self-persisting queries) would
@@ -240,9 +264,20 @@ def main() -> None:
         # logical indexes served from a PRE-EXISTING on-disk table this
         # run (index_store.persisted_index) — their build_seconds entry
         # above is a warehouse READ-BACK, not a build; never compare it
-        # against a cold-build number without checking this list
+        # against a cold-build number without checking this list.
+        # Empty by construction since r15: _purge_disk_indexes() deletes
+        # idx_* snapshots before the run unless explicitly allowed.
         "producer_from_disk": sorted(index_store.PERSISTED_FROM_DISK),
+        "disk_indexes_purged": purged,
     }
+    if (
+        index_store.PERSISTED_FROM_DISK
+        and os.environ.get("SPARK_GRAFT_BENCH_ALLOW_DISK_INDEX", "off") != "on"
+    ):
+        raise RuntimeError(
+            "bench served an index from a pre-existing on-disk snapshot "
+            f"despite the purge: {sorted(index_store.PERSISTED_FROM_DISK)}"
+        )
     # SPARK_GRAFT_BENCH_OUT redirects the full map (e.g. BENCH_SF1.json
     # for the one-off sf1 scaling capture) — default stays BENCH_FULL.json
     full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
@@ -256,6 +291,9 @@ def main() -> None:
     compact.pop("headline", None)
     compact.pop("extended_min3", None)  # full map lives in BENCH_FULL.json
     compact.pop("single_pass", None)
+    # stdout stays compact: the purged-snapshot list lives in the full
+    # file; the one-word count is enough for the driver's record
+    compact["disk_indexes_purged"] = len(purged)
     compact["queries"] = {
         n: timings[n] for n in STDOUT_QUERIES if n in timings
     }

@@ -458,7 +458,10 @@ def pq_argmin_codes(
             if len(pdf) == 0:
                 continue
             marr = pdf["m"].to_numpy()
-            kout = np.empty(len(pdf), dtype=np.int32)
+            # -1 sentinel: an input m with no codebook entry must DROP
+            # (the old broadcast inner join's semantics), not emit
+            # uninitialized np.empty garbage (ADVICE r14, low)
+            kout = np.full(len(pdf), -1, dtype=np.int32)
             for m, (ks, cmat) in cmats.items():
                 mask = marr == m
                 if not mask.any():
@@ -479,7 +482,10 @@ def pq_argmin_codes(
             data = {id_col: pdf[id_col], "m": pdf["m"], "k": kout}
             for c in passthrough:
                 data[c] = pdf[c]
-            yield pd.DataFrame(data)[out_cols]
+            out = pd.DataFrame(data)[out_cols]
+            if (kout < 0).any():  # inner-join semantics: no match → drop
+                out = out[out["k"] >= 0]
+            yield out
 
     in_cols = [id_col, "m", "subv"]
     in_cols += [c for c in passthrough if c not in in_cols]
@@ -525,15 +531,6 @@ def cosine_rank_assign(
     import numpy as np
     import pandas as pd
 
-    cent_sorted = sorted(
-        ((int(r["cell"]), list(r["cv"]), float(r["cn"])) for r in cent_rows)
-    )
-    cells = np.asarray([c for c, _, _ in cent_sorted], dtype=np.int32)
-    cmat = np.asarray([cv for _, cv, _ in cent_sorted], dtype=np.float64)
-    cn = np.asarray([n for _, _, n in cent_sorted], dtype=np.float64)
-    cvs = [cv for _, cv, _ in cent_sorted]
-    nsel = min(int(nprobe), len(cells))
-
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -553,6 +550,20 @@ def cosine_rank_assign(
             StructField("crank", IntegerType(), False),
         ]
     )
+
+    cent_sorted = sorted(
+        ((int(r["cell"]), list(r["cv"]), float(r["cn"])) for r in cent_rows)
+    )
+    if not cent_sorted:
+        # empty centroid relation: the old HOF chain produced an empty
+        # result; np.asarray([]) here would be 1-D and crash the kernel
+        # inside the Arrow worker (ADVICE r14, low)
+        return e.sparkSession.createDataFrame([], out_schema)
+    cells = np.asarray([c for c, _, _ in cent_sorted], dtype=np.int32)
+    cmat = np.asarray([cv for _, cv, _ in cent_sorted], dtype=np.float64)
+    cn = np.asarray([n for _, _, n in cent_sorted], dtype=np.float64)
+    cvs = [cv for _, cv, _ in cent_sorted]
+    nsel = min(int(nprobe), len(cells))
 
     def assign(batches: Iterator):
         for pdf in batches:

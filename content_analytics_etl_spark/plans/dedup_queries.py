@@ -524,12 +524,22 @@ def neardup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-neighbors ×2) — at 100 TB the pair graph is written once per
     corpus snapshot next to the signature index and every graph job
     reads it; this is the local stand-in, same posture as
-    ``dedup_clusters`` itself. ``dedup_minhash_lsh`` (the registered
-    query) still computes the chain fresh — it IS the measured
-    producer pipeline."""
+    ``dedup_clusters`` itself.
+
+    The build re-applies the (idempotent) Jaccard threshold ON TOP of
+    the query plan, so the persisted entry's analyzed plan is
+    Filter(Filter(...)) — structurally different from the registered
+    ``dedup_minhash_lsh`` plan.  Without that node, Spark's
+    CacheManager plan-matches the registered query onto this producer's
+    InMemoryRelation and a timed ``dedup_minhash_lsh`` becomes a cache
+    read (VERDICT r14 #3: the "6.7×" was this artifact, not a speedup).
+    The registered query must always compute its chain fresh — it IS
+    the measured pipeline query."""
 
     def build() -> DataFrame:
-        return dedup_minhash_lsh(spark, sf_dir)
+        return dedup_minhash_lsh(spark, sf_dir).filter(
+            F.col("jaccard") >= JACCARD_THRESHOLD
+        )
 
     key = f"neardup_pairs:{source_fingerprint(sf_dir, 'documents')}"
     return session_materialized(spark, key, build)
