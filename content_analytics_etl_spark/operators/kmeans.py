@@ -38,7 +38,14 @@ from pyspark.sql import types as T
 
 from ..functions.vectors import dot_product
 
-__all__ = ["KMeansModel", "kmeans_fit", "assign_clusters", "assign_clusters_literal"]
+__all__ = [
+    "KMeansModel",
+    "kmeans_fit",
+    "assign_clusters",
+    "assign_clusters_literal",
+    "assign_clusters_literal_hof",
+    "d2_argmin_assign",
+]
 
 _DEC = "decimal(28,12)"
 
@@ -83,7 +90,103 @@ def assign_clusters(corpus: DataFrame, cent: DataFrame) -> DataFrame:
     return ranked.filter(F.col("rk") == 1).select("vec_id", "v", "cid", "d2")
 
 
+def d2_argmin_assign(
+    corpus: DataFrame,
+    cent_pairs: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
+    chunk_rows: int = 8192,
+) -> DataFrame:
+    """Nearest-centroid assignment as a row-local Arrow kernel — the
+    r15 optimization (guide §4.2) replacing the per-row interpreted HOF
+    chains (``assign_clusters_literal``'s transform/array_min pool and
+    ``assign_clusters``'s broadcast crossJoin × rank-1 window, which
+    additionally paid a full corpus-wide partitionBy(vec_id) exchange).
+    The k×dim centroid matrix rides in as a task closure (the
+    kmeans-centroid collect policy: O(k·dim) index metadata, never
+    corpus data); each Arrow batch computes its own argmin — no row
+    multiplication, no exchange, one pass.
+
+    BIT-IDENTICAL to both HOF forms and the oracles: d2 accumulates
+    dimension-by-dimension with the ``dot_product`` left-fold IEEE
+    sequence (one multiply, one add per step — numpy does not fuse),
+    combined as ``(v·v − 2·(v·c)) + c·c`` in the exact expression
+    order, and ties resolve to the LOWEST cid because the centroid
+    matrix is cid-sorted and ``np.argmin`` returns the first minimum —
+    the lexicographic struct-min / row_number (d2 ASC, cid ASC) rule.
+    Parity is pinned in tests/test_round15_ops.py and (transitively)
+    tests/test_kmeans.py's model-vs-assign_clusters contract.
+
+    ``cent_pairs``: (cid, centroid) pairs, any order, cids need not be
+    contiguous. ``corpus`` needs (id_col, v[, *passthrough]); output is
+    (id_col[, *passthrough], cid int, d2 double), same row count."""
+    import numpy as np
+    import pandas as pd
+
+    cent_sorted = sorted((int(c), [float(x) for x in cv]) for c, cv in cent_pairs)
+    cids = np.asarray([c for c, _ in cent_sorted], dtype=np.int32)
+    cmat = np.asarray([cv for _, cv in cent_sorted], dtype=np.float64)
+    k, dim = cmat.shape
+    # c·c per centroid: the same left fold, vectorized across centroids
+    dcc = np.zeros(k, dtype=np.float64)
+    for d in range(dim):
+        dcc += cmat[:, d] * cmat[:, d]
+
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[id_col]]
+        + [in_fields[c] for c in passthrough]
+        + [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("d2", T.DoubleType(), False),
+        ]
+    )
+    out_cols = [id_col, *passthrough, "cid", "d2"]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for start in range(0, len(pdf), chunk_rows):
+                ch = pdf.iloc[start : start + chunk_rows]
+                X = np.stack(ch["v"].to_numpy())
+                n = X.shape[0]
+                dv = np.zeros(n, dtype=np.float64)
+                dvc = np.zeros((n, k), dtype=np.float64)
+                for d in range(dim):
+                    xd = X[:, d]
+                    dv += xd * xd
+                    dvc += xd[:, None] * cmat[:, d]
+                d2 = (dv[:, None] - 2.0 * dvc) + dcc[None, :]
+                idx = np.argmin(d2, axis=1)  # first min -> lowest cid
+                data = {id_col: ch[id_col]}
+                for c in passthrough:
+                    data[c] = ch[c]
+                data["cid"] = cids[idx]
+                data["d2"] = d2[np.arange(n), idx]
+                yield pd.DataFrame(data)[out_cols]
+
+    in_cols = [id_col, "v"]
+    in_cols += [c for c in passthrough if c not in in_cols]
+    return corpus.select(*in_cols).mapInPandas(assign, schema=out_schema)
+
+
 def assign_clusters_literal(
+    corpus: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment with driver-resident centroids —
+    since r15 a thin wrapper over the :func:`d2_argmin_assign` Arrow
+    kernel (cid = list index), keeping the (vec_id, v, cid, d2) output
+    contract. The former HOF form is retained as
+    :func:`assign_clusters_literal_hof` — the parity reference the
+    kernel is pinned against."""
+    return d2_argmin_assign(
+        corpus, list(enumerate(centroids)), passthrough=("v",)
+    ).select("vec_id", "v", "cid", "d2")
+
+
+def assign_clusters_literal_hof(
     corpus: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
     """Nearest-centroid assignment with DRIVER-RESIDENT centroids:

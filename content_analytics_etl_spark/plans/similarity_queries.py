@@ -42,6 +42,7 @@ from ..operators.kmeans import (
     _centroid_df,
     assign_clusters,
     assign_clusters_literal,
+    d2_argmin_assign,
     kmeans_fit,
 )
 from ..operators.similarity import (
@@ -1416,16 +1417,22 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible half of k-means: nearest-centroid assignment
     with FIXED centroids (the k lowest-vec_id vectors — Lloyd's
     deterministic init, i.e. iteration 0 of ``embedding_kmeans``).
-    Broadcast k-row centroid relation → squared-L2 rank-1 window
-    (ties → lowest cid); corpus shuffles once on vec_id. Oracle-exact,
-    so only the iterative Lloyd loop stays rows-only."""
+    r15: the broadcast crossJoin × rank-1 window (which paid a full
+    corpus partitionBy(vec_id) exchange) is replaced by the row-local
+    ``d2_argmin_assign`` Arrow kernel against the collected k-row
+    centroid relation (bounded O(k·dim) — the kmeans-centroid collect
+    policy); bit-identical d2 fold and (d2 ASC, cid ASC) tie rule, so
+    the query stays oracle-exact."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
-    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
-    )
-    return assign_clusters(e, cent).select("vec_id", "cid", "d2")
+    cent_rows = [
+        (r["cid"], r["cv"])
+        for r in e.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv"))
+        .collect()
+    ]
+    return d2_argmin_assign(e, cent_rows).select("vec_id", "cid", "d2")
 
 
 SEMDEDUP_COSINE = NEARDUP_COSINE  # one near-dup notion across the module
@@ -1458,15 +1465,26 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", to_double_array("embedding").alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
     )
-    cent = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
-    )
-    assigned = assign_clusters(e.select("vec_id", "v"), cent).select("vec_id", "cid")
+    # r15: assignment via the row-local d2_argmin_assign Arrow kernel
+    # (collected bounded k-row centroid relation) instead of the
+    # broadcast crossJoin × rank-1 window — drops the corpus-wide
+    # partitionBy(vec_id) exchange AND the e ⋈ assigned re-join (nrm
+    # rides through the kernel as a passthrough column); bit-identical
+    # d2 fold and tie rule, so the query stays oracle-exact.
+    cent_rows = [
+        (r["cid"], r["cv"])
+        for r in e.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv"))
+        .collect()
+    ]
     # the assigned corpus feeds BOTH pair-scan sides and the final
-    # report — persist once or the centroid cross-join + rank-1 window
-    # re-executes three times (the pagerank persist-once discipline;
+    # report — persist once (the pagerank persist-once discipline;
     # at scale this is the one materialization SemDeDup budgets for)
-    m = e.join(assigned, "vec_id").persist()
+    m = (
+        d2_argmin_assign(e, cent_rows, passthrough=("v", "nrm"))
+        .select("vec_id", "v", "nrm", "cid")
+        .persist()
+    )
     a = m.select(
         "cid",
         F.col("vec_id").alias("kept_id"),
@@ -2242,14 +2260,21 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     single IEEE ops in both numpy and the JVM, and the per-element
     quantize-then-BIGINT-sum is associative across batches."""
     # persist once: each of the 3 iterations re-references the decoded
-    # corpus (PERF 27). The explicit repartition matters at scale: the
-    # sf1 parquet arrives as 2 input splits, so without it every
-    # iteration ran 2 tasks on a 32-core box (PERF: parallelism
-    # starvation dominated the 17 s, not arithmetic).
+    # corpus (PERF 27). r15: the fixed repartition(defaultParallelism)
+    # is GONE — it was added when the per-row reduction was the
+    # interpreted posexplode form (2 starved tasks at sf1 dominated the
+    # 17 s); with the Arrow kernel the per-split work is bounded by
+    # split bytes (~ms per 128 MB split), so the scan's own
+    # maxPartitionBytes sizing IS the scale-adaptive partitioning
+    # (guide §2/§6) and the constant-width exchange was pure overhead
+    # (same-session 6-round A/B, repartitioned vs scan-partitioned:
+    # 4.95 → 3.79 s at sf0.1, 7.55 → 6.25 s at sf1, bit-exact parity).
+    # Partition-count invariance of the result is exact: the per-dim
+    # reduction is an int64 fixed-point sum, associative under any
+    # partitioning.
     e = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", to_double_array("embedding").alias("x"))
-        .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
     w, norm = _power_rounds(e)  # r9: loop shared with embedding_pca_top2
@@ -2342,10 +2367,11 @@ def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's list_transform. Driver round-trips stay O(dim) per
     round. The oracle is the 6-round chained-CTE sequence with the
     deflated corpus as an intermediate MATERIALIZED relation."""
+    # r15: scan-partitioned, like embedding_power_iteration (the fixed
+    # repartition predates the Arrow kernel; see the note there)
     e = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", to_double_array("embedding").alias("x"))
-        .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
     w1, n1 = _power_rounds(e)
@@ -2506,6 +2532,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    # r15: kmeans_fit/assign_clusters_literal now assign through the
+    # row-local d2_argmin_assign Arrow kernel (operators/kmeans.py) —
+    # bit-identical fold + tie rule, parity-pinned; this call-site note
+    # re-enters the query into the driver window for re-verification.
     model = kmeans_fit(e, k=IVF_CELLS, iters=3)
     assigned = assign_clusters_literal(e, model.centroids)
     return assigned.groupBy("cid").agg(

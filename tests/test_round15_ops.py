@@ -71,3 +71,58 @@ def test_cosine_rank_assign_empty_centroids(spark):
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "v", "nrm", "cell", "cv", "crank",
     ]
+
+
+def test_d2_argmin_assign_parity(spark, sf001_dir):
+    """The Arrow argmin kernel reproduces the HOF struct-pool
+    (assign_clusters_literal_hof) AND the window chain
+    (assign_clusters) bit-for-bit on real data: same winner cid, same
+    winner d2 doubles."""
+    from content_analytics_etl_spark.functions.vectors import to_double_array
+    from content_analytics_etl_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_literal_hof,
+        d2_argmin_assign,
+        _centroid_df,
+    )
+    from content_analytics_etl_spark.plans._util import t
+
+    e = t(spark, sf001_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cents = [list(r["v"]) for r in e.orderBy("vec_id").limit(8).collect()]
+    want = {
+        (r["vec_id"], r["cid"], r["d2"])
+        for r in assign_clusters_literal_hof(e, cents).collect()
+    }
+    want_w = {
+        (r["vec_id"], r["cid"], r["d2"])
+        for r in assign_clusters(e, _centroid_df(spark, cents)).collect()
+    }
+    got = {
+        (r["vec_id"], r["cid"], r["d2"])
+        for r in d2_argmin_assign(e, list(enumerate(cents))).collect()
+    }
+    assert got == want == want_w
+    assert got  # non-vacuous
+
+
+def test_d2_argmin_tie_order_and_passthrough(spark):
+    """Bit-equal d2 ties resolve to the LOWEST cid (the array_min
+    lexicographic-struct / row_number rule); passthrough columns and
+    non-contiguous cids survive."""
+    from content_analytics_etl_spark.operators.kmeans import d2_argmin_assign
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [9.0, 9.0], "b")],
+        "vec_id long, v array<double>, tag string",
+    )
+    # cid 7 duplicates cid 3 exactly -> ties must pick cid 3
+    cents = [(7, [1.0, 0.0]), (3, [1.0, 0.0]), (5, [9.0, 9.0])]
+    got = {
+        (r["vec_id"], r["cid"], r["d2"], r["tag"])
+        for r in d2_argmin_assign(
+            corpus, cents, passthrough=("tag",)
+        ).collect()
+    }
+    assert got == {(1, 3, 0.0, "a"), (2, 5, 0.0, "b")}
