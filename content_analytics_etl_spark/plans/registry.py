@@ -113,14 +113,15 @@ _MODULES = [
 # 14 registered queries AFTER the last rotation and never re-rotated —
 # the shipped window excluded every one of them (tests/
 # test_driver_window.py was red; VERIFY_r14 tests_ok false).  This
-# window leads with those 14 fingerprint-drifted rewrites
-# (dedup_clusters, dedup_simhash, doc_winnow_overlap,
-# embedding_pq_train, graph_common_neighbors{,_pruned},
-# graph_kcore_decomposition, orders_open_backlog, part_affinity,
-# sim_ann_recall_audit, sim_dim_truncation_recall,
-# sim_neardup_recall_audit, sim_range_search,
-# sim_semantic_decontaminate), then the oldest-verdict fill (the r12-
-# era cohort: remaining sim_ann top-k family, events_* windows, etc.).
+# window leads with the fingerprint-drifted rewrites, then the
+# oldest-verdict fill (the r12-era cohort: remaining sim_ann top-k
+# family, events_* windows, etc.).  Re-rotated WITHIN round 15 after
+# each batch of r15 rewrites (the kmeans/PCA Arrow-kernel commit
+# 5ec00cb added embedding_kmeans, embedding_pca_top2, kmeans_assign,
+# sim_semdedup to the drifted set — the same
+# rewrite-after-rotation staleness r14 shipped, caught by the guard
+# this time and fixed before the round closed), so the shipped window
+# always contains every query this round's commits touched.
 # Canonical computation: ``python tools/rotate_window.py`` (checked by
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
@@ -128,10 +129,14 @@ DRIVER_WINDOW: list[str] = [
     "dedup_clusters",
     "dedup_simhash",
     "doc_winnow_overlap",
+    "embedding_kmeans",
+    "embedding_pca_top2",
+    "embedding_power_iteration",
     "embedding_pq_train",
     "graph_common_neighbors",
     "graph_common_neighbors_pruned",
     "graph_kcore_decomposition",
+    "kmeans_assign",
     "orders_open_backlog",
     "part_affinity",
     "sim_ann_recall_audit",
@@ -139,6 +144,7 @@ DRIVER_WINDOW: list[str] = [
     "sim_neardup_recall_audit",
     "sim_range_search",
     "sim_semantic_decontaminate",
+    "sim_semdedup",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
     "sim_ann_multiprobe_topk",
@@ -154,7 +160,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_perplexity_buckets",
     "doc_rake_keywords",
     "doc_winnow",
-    "embedding_power_iteration",
     "events_active_streaks",
     "events_approx_percentile_bound",
     "events_attribution",
@@ -171,10 +176,6 @@ DRIVER_WINDOW: list[str] = [
     "events_top_paths",
     "events_trailing_window",
     "events_type_hourly_pivot",
-    "events_value_distribution",
-    "events_value_histogram",
-    "events_value_percentiles",
-    "events_zscore_outliers",
 ]
 
 
