@@ -47,6 +47,65 @@ from ..cache import materialize_and_release
 _PID = "__psum_pid"
 
 
+_IEEE_SUB_BITS = 5
+_IEEE_SENTINEL = -(1 << 40)  # all non-positive / NULL / NaN values
+
+
+def ieee_bucket_asc(col: str, sub_bits: int = _IEEE_SUB_BITS) -> Column:
+    """Deterministic ascending-order bucket id for a POSITIVE numeric
+    column, derived from the IEEE-754 binade structure of the value —
+    pid = binade_exponent · 2^(sub_bits+2) + top-``sub_bits`` mantissa
+    bits.  Monotone non-decreasing in the value (the r15 replacement
+    for ``quantile_bucket_asc`` at call sites whose order key is the
+    bucketed column): the binade exponent is monotone, the scaled
+    mantissa is monotone within a binade, and a ±1 exponent slop at an
+    exact power of two (floor(log2) rounding) only shifts the value
+    into the adjacent sub-range of the SAME composite ordering — the
+    ·2^(sub_bits+2) stride leaves room for the slopped sub value, so
+    the composite never decreases.  Equal values always share a bucket
+    (pure function of the value).
+
+    Unlike the quantile buckets this needs NO data pass — the
+    per-invocation ``approxQuantile`` driver action (a full pass over
+    the ranked relation) disappears from every prefix-sum query (guide
+    §1.2 step 1 / §5: no driver round-trip, one fewer pass).  The
+    trade is balance: buckets are equal-width in log-value rather than
+    equal-count.  Uniform, lognormal and Zipf shapes all spread over
+    ≥ 64 buckets with max-bucket share ≤ ~2 % except ties (measured in
+    tests/test_round15_ops.py); tie-heavy columns collapse ties into
+    one bucket exactly as quantile boundaries did.  Values ≤ 0 / NULL
+    / NaN all land in one sentinel bucket BELOW every positive bucket
+    — monotone as long as the order direction puts them first (callers
+    here have strictly positive keys; the sentinel is defensive).
+
+    At 100 TB the collect stays O(#binades · 2^sub_bits) ≤ ~4k rows
+    for the full double range — same control-plane contract as the
+    quantile form."""
+    x = F.col(col).cast("double")
+    e = F.greatest(
+        F.lit(-1074.0), F.least(F.lit(1024.0), F.floor(F.log2(x)))
+    )
+    sub = F.least(
+        F.lit(float((1 << (sub_bits + 2)) - 1)),
+        F.floor(x * F.pow(F.lit(2.0), F.lit(float(sub_bits)) - e)),
+    )
+    pid = (
+        e.cast("long") * F.lit(1 << (sub_bits + 2)) + sub.cast("long")
+    )
+    return F.when(
+        x.isNull() | F.isnan(x) | (x <= 0.0), F.lit(_IEEE_SENTINEL)
+    ).otherwise(pid)
+
+
+def ieee_bucket_desc(col: str, sub_bits: int = _IEEE_SUB_BITS) -> Column:
+    """Descending twin of :func:`ieee_bucket_asc` (pid 0-ish holds the
+    largest values): the negated ascending bucket — monotone
+    non-decreasing along the value DESCENDING, non-positive/NULL/NaN
+    values in one sentinel bucket ABOVE every positive bucket (they
+    sort last descending)."""
+    return -ieee_bucket_asc(col, sub_bits)
+
+
 def quantile_bucket_desc(
     df: DataFrame, col: str, num_buckets: int, rel_err: float = 0.001
 ) -> Column:
@@ -102,7 +161,11 @@ def distributed_prefix_sum(
     may downcast. The window partitions by the pid COLUMN, so hash
     collisions of several pids into one physical partition are
     harmless."""
-    tagged = df.withColumn(_PID, pid).repartition(F.col(_PID)).persist()
+    tagged = (
+        df.withColumn(_PID, pid.cast("long"))
+        .repartition(F.col(_PID))
+        .persist()
+    )
     stats = (
         tagged.groupBy(_PID)
         .agg(F.sum(value_col).alias("s"), F.count(F.lit(1)).alias("c"))
@@ -115,8 +178,10 @@ def distributed_prefix_sum(
         rows.append((r[_PID], acc_s, acc_c))
         acc_s += r["s"]
         acc_c += r["c"]
+    # long pid: composite (group-index · stride + ieee bucket) pids
+    # exceed int32 once the stride leaves room for the full ieee range
     offsets = spark.createDataFrame(
-        rows, f"{_PID} int, __psum_off long, __psum_off_rank long"
+        rows, f"{_PID} long, __psum_off long, __psum_off_rank long"
     )
     w = W.partitionBy(_PID).orderBy(*order)
     out = tagged.withColumn(
@@ -135,4 +200,10 @@ def distributed_prefix_sum(
     out = out.drop(
         _PID, "__psum_local", "__psum_off", "__psum_off_rank", "__psum_rn"
     )
+    # r15 note: a caller-managed lazy mode (skip this persist+count,
+    # release tagged with the caller's terminal materialization) was
+    # tried for graph_negative_samples and measured WORSE in an
+    # interleaved same-session A/B (min 4.7 -> 6.3 s: the result
+    # persist + double window re-evaluation outweigh the saved count
+    # job) — the eager materialization below is the measured-best shape.
     return materialize_and_release(out, tagged), total

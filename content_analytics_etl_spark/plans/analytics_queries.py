@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join_forward
 from ..operators.merge import merge_upsert
-from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
+from ..operators.prefix_sum import distributed_prefix_sum, ieee_bucket_desc
 from ..operators.scd import scd2_apply
 from ..sources.writers import compact_parquet
 from ._util import (
@@ -1045,38 +1045,40 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The prefix sum is DISTRIBUTED (VERDICT r4 #1 replaced the global
     single-partition window) via ``operators/prefix_sum.py``: rows are
-    bucketed by DETERMINISTIC revenue-quantile boundaries (one
-    ``approxQuantile`` pass, embedded as literals — ADVICE r5 replaced
-    ``spark_partition_id`` over ``repartitionByRange``, whose sampled
-    bounds could shift on recomputation and silently corrupt
-    cum_share/rank), per-bucket totals become broadcast prefix offsets
-    (an O(#buckets) control-plane collect), and a window PARTITIONED BY
-    bucket computes local running sums. Integer addition is
-    associative, so offset + local-cumsum is bit-identical to the
-    global running fold the oracle computes. No task ever holds more
-    than one bucket (|parts|/32 rows here; at 100 TB raise
-    ABC_RANGE_PARTS with the cluster)."""
+    bucketed by the ROW-LOCAL IEEE-binade bucket of revenue (r15 —
+    monotone in revenue with no boundary pass; it replaced the
+    per-invocation ``approxQuantile`` pass, which was a second full
+    evaluation of the per-part aggregate), per-bucket totals become
+    broadcast prefix offsets (an O(#buckets) control-plane collect),
+    and a window PARTITIONED BY bucket computes local running sums.
+    Integer addition is associative, so offset + local-cumsum is
+    bit-identical to the global running fold the oracle computes. No
+    task ever holds more than one binade sub-bucket."""
     li = t(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
+    # r15 (guide §1.2 step 1): the revenue-quantile boundary pass — a
+    # second full evaluation of the lineitem aggregate, plus the persist
+    # that existed only to share it — is gone; the IEEE-binade bucket is
+    # a row-local monotone pid needing no data pass, and the aggregate
+    # is evaluated exactly once (inside the prefix sum's tagged build).
     per = li.groupBy("l_partkey").agg(
         F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
         F.floor(F.sum(rev).cast("double") * F.lit(1e6) + F.lit(0.5))
         .cast("bigint")
         .alias("rev_fp"),
-    ).persist()  # one lineitem agg feeds the quantile pass AND the cumsum
+    )
     ranked, tot_fp = distributed_prefix_sum(
         spark,
         per,
-        pid=quantile_bucket_desc(per, "revenue", ABC_RANGE_PARTS),
+        pid=ieee_bucket_desc("revenue"),
         order=[F.col("revenue").desc(), F.col("l_partkey")],
         value_col="rev_fp",
         cum_col="cum_fp",
         rank_col="rank",
     )
-    per.unpersist()
     share = F.col("cum_fp").cast("double") / F.lit(tot_fp).cast("double")
     cls = (
         F.when(share <= ABC_A_SHARE, "A")

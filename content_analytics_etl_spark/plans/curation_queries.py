@@ -33,8 +33,8 @@ from pyspark.sql import Window as W
 from ..functions.text_metrics import tokens
 from ..operators.prefix_sum import (
     distributed_prefix_sum,
-    quantile_bucket_asc,
-    quantile_bucket_desc,
+    ieee_bucket_asc,
+    ieee_bucket_desc,
 )
 from .text_queries import (
     ORACLES as T_ORACLES,
@@ -233,11 +233,14 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, s in enumerate(srcs):
         cond = F.col("source") == s
         six = F.when(cond, i) if six is None else six.when(cond, i)
-    qb = quantile_bucket_desc(scored, "quality_score", BUDGET_QUALITY_PARTS)
+    # r15: row-local IEEE-binade bucket replaces the per-invocation
+    # quality-quantile boundary pass (guide §1.2 step 1); the 2^42
+    # stride dominates the full ieee pid range incl. its sentinel, so
+    # the composite stays monotone in (source, quality desc)
     ranked, _ = distributed_prefix_sum(
         spark,
         scored,
-        pid=six * BUDGET_QUALITY_PARTS + qb,
+        pid=six.cast("long") * F.lit(1 << 42) + ieee_bucket_desc("quality_score"),
         order=[F.col("source"), F.col("quality_score").desc(), F.col("doc_id")],
         value_col="ntl",
         cum_col="cum_global",
@@ -287,11 +290,11 @@ def corpus_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, s in enumerate(srcs):
         cond = F.col("source") == s
         six = F.when(cond, i) if six is None else six.when(cond, i)
-    db = quantile_bucket_asc(d, "doc_id", SYS_DOC_PARTS)
+    # r15: same ieee-bucket swap as corpus_token_budget_sample
     lined, total = distributed_prefix_sum(
         spark,
         d,
-        pid=(six * SYS_DOC_PARTS + db).cast("int"),
+        pid=six.cast("long") * F.lit(1 << 42) + ieee_bucket_asc("doc_id"),
         order=[F.col("source"), F.col("doc_id")],
         value_col="wc",
         cum_col="cum",

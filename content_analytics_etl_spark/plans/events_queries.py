@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import loglog_reg_rho
-from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_asc
+from ..operators.prefix_sum import distributed_prefix_sum, ieee_bucket_asc
 from ..sources.writers import write_parquet_partitioned
 from ._util import dec, dsum, rank_limited, source_fingerprint, t, warehouse_root
 
@@ -507,26 +507,27 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0 = uniform, →1 = one key owns the table).
 
     Exact, not sampled: one groupBy on the key, then the distributed
-    prefix-sum operator ranks keys by count ASCENDING (deterministic
-    quantile buckets — ``quantile_bucket_asc``), giving the global rank
-    every statistic needs. Gini comes from integer arithmetic
+    prefix-sum operator ranks keys by count ASCENDING (row-local
+    IEEE-binade buckets since r15 — no boundary pass), giving the
+    global rank every statistic needs. Gini comes from integer arithmetic
     (2·Σ rank·cnt − (n+1)·Σcnt) / (n·Σcnt) — exact BIGINTs until one
     final double division, so the number is partitioning-independent.
     The only driver-side data are the operator's O(#buckets) offsets
     and two 1-row aggregates (allowlisted broadcasts)."""
+    # r15: the key-count aggregate is referenced once now that the
+    # ieee bucket needs no boundary pass — persist dropped
     c = t(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).persist()  # feeds the quantile boundary pass AND the cumsum
+    )
     ranked, total_rows = distributed_prefix_sum(
         spark,
         c,
-        pid=quantile_bucket_asc(c, "cnt", 32),
+        pid=ieee_bucket_asc("cnt"),
         order=[F.col("cnt").asc(), F.col("user_id")],
         value_col="cnt",
         cum_col="_cum",
         rank_col="rnk",
     )
-    c.unpersist()
     stats = ranked.agg(
         F.max("rnk").alias("n_keys"),
         F.max("cnt").alias("max_cnt"),

@@ -18,12 +18,12 @@ materialization; the node-count scalar is a 1-row broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCKDB_HASH64, portable_hash64
 from ..operators.graph import common_neighbor_scores
-from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_asc
+from ..operators.prefix_sum import distributed_prefix_sum, ieee_bucket_asc
 from ..cache import session_materialized
 from ._util import materialize_and_release, source_fingerprint, t
 from .dedup_queries import ORACLES as _DEDUP_ORACLES
@@ -387,34 +387,41 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan grows 3^rounds). No driver-side data, no windows. Edge list
     from the session-materialized co-purchase graph producer."""
     edges = _strong_copurchase_edges(spark, sf_dir).select("u", "v")
-    cur = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(
-            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-        # r14 note: lazy checkpoints (eager=False) were tried and REVERTED
-        # — within the one consuming action, concurrent downstream stages
-        # recompute the not-yet-stored checkpoint partitions and the query
-        # measured 5.6 → 10.5 s; the eager per-round materialization is
-        # the cheaper shape.
-        .localCheckpoint()
+    # r15: the symmetrized edge list and the initial node set are LAZY —
+    # both derive from the session-cached producer with narrow work, so
+    # their former eager checkpoints (two jobs) bought nothing.  The
+    # per-round checkpoint moved from the filtered NODE set to the DEG
+    # table: previously ``fell`` stayed lazy and the terminal action
+    # re-ran every round's degree aggregation + liveness join a second
+    # time (6 extra shuffle chains in the one consuming job); with deg
+    # checkpointed once per round, ``fell``/``nodes``/``kept`` are
+    # narrow filters over the materialized table.  (r14 note stands:
+    # lazy checkpoints (eager=False) measured WORSE — concurrent
+    # downstream stages recompute not-yet-stored partitions, 5.6 →
+    # 10.5 s — so the per-round materialization stays eager.)
+    cur = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     # Explicit node set per round: a survivor whose LAST edges vanish
     # because its neighbors fell this round has degree 0 next round and
     # must be peeled then — deriving liveness from the edge relation
     # alone would silently drop such nodes from the output.
-    nodes = cur.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nodes = cur.select(F.col("src").alias("node")).distinct()
     peeled = None
     for i in range(1, KCORE_PEELS + 1):
         edeg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("ed"))
-        deg = nodes.join(
-            edeg.select(F.col("src").alias("node"), "ed"), "node", "left"
-        ).select("node", F.coalesce("ed", F.lit(0)).alias("deg"))
+        deg = (
+            nodes.join(
+                edeg.select(F.col("src").alias("node"), "ed"), "node", "left"
+            )
+            .select("node", F.coalesce("ed", F.lit(0)).alias("deg"))
+            .localCheckpoint()
+        )
         fell = deg.filter(F.col("deg") < KCORE_K).select(
             "node", F.lit(i).cast("int").alias("peel_round")
         )
         peeled = fell if peeled is None else peeled.unionAll(fell)
-        nodes = deg.filter(F.col("deg") >= KCORE_K).select("node").localCheckpoint()
+        nodes = deg.filter(F.col("deg") >= KCORE_K).select("node")
         kept = nodes.select(F.col("node").alias("src"))
         cur = (
             cur.join(kept, "src", "semi")
@@ -472,7 +479,7 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered, n_nodes = distributed_prefix_sum(
         spark,
         nodes,
-        pid=quantile_bucket_asc(nodes, "node", 16),
+        pid=ieee_bucket_asc("node"),
         order=[F.col("node")],
         value_col="one",
         cum_col="__cum",
@@ -510,15 +517,34 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anti",
     )
     # two proposals can hash to the same partner — a repeated negative
-    # is training waste, so collapse to the earliest proposal
-    dedup = survivors.groupBy("node", "neg_id").agg(
-        F.min("proposal_idx").alias("proposal_idx")
+    # is training waste, so collapse to the earliest proposal. r15
+    # (guide §2.4): the (node, neg_id) dedup aggregate and the per-node
+    # keep window were TWO exchanges on different keys; one
+    # groupBy(node) + array fold over the ≤ NEG_PROPOSALS survivor
+    # structs computes the same rows — sort by proposal_idx (unique per
+    # node: each proposal resolves to one partner), keep the first
+    # occurrence per partner (= min proposal_idx), slice NEG_KEEP,
+    # number in order (= the old row_number over proposal_idx).
+    grouped = survivors.groupBy("node").agg(
+        F.array_sort(
+            F.collect_list(F.struct("proposal_idx", "neg_id"))
+        ).alias("s")
     )
-    wk = W.partitionBy("node").orderBy("proposal_idx")
+    first_seen = F.filter(
+        F.col("s"),
+        lambda x, i: ~F.exists(
+            F.slice(F.col("s"), 1, i), lambda a: a["neg_id"] == x["neg_id"]
+        ),
+    )
     return (
-        dedup.withColumn("keep_rank", F.row_number().over(wk).cast("int"))
-        .filter(F.col("keep_rank") <= NEG_KEEP)
-        .select("node", "neg_id", "proposal_idx", "keep_rank")
+        grouped.select("node", F.slice(first_seen, 1, NEG_KEEP).alias("kept"))
+        .select("node", F.posexplode("kept").alias("i", "k"))
+        .select(
+            "node",
+            F.col("k.neg_id").alias("neg_id"),
+            F.col("k.proposal_idx").alias("proposal_idx"),
+            (F.col("i") + 1).cast("int").alias("keep_rank"),
+        )
     )
 
 

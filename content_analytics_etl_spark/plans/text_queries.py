@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_fingerprint
 from ..functions.text_metrics import marker_hits, norm_text, tokens
 from ..operators.dedup import shingle_rows
-from ..operators.prefix_sum import distributed_prefix_sum, quantile_bucket_desc
+from ..operators.prefix_sum import distributed_prefix_sum, ieee_bucket_asc, ieee_bucket_desc
 from ..cache import session_materialized
 from ._util import (
     DEC,
@@ -208,17 +208,18 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the tiny side against the vocab-sized ranked frame.
     At 100 TB the ranked frame is vocab-sized (millions), not
     corpus-sized — every stage stays keyed/bounded."""
-    bg = bigram_frequency(spark, sf_dir).persist()
+    # r15: single reference now (no quantile boundary pass) — the
+    # bigram aggregate is evaluated once inside the prefix sum
+    bg = bigram_frequency(spark, sf_dir)
     ranked, total = distributed_prefix_sum(
         spark,
         bg,
-        pid=quantile_bucket_desc(bg, "n", 32),
+        pid=ieee_bucket_desc("n"),
         order=[F.col("n").desc(), F.col("bigram")],
         value_col="n",
         cum_col="cum",
         rank_col="rank",
     )
-    bg.unpersist()
     cuts = spark.createDataFrame(
         [(c,) for c in VOCAB_CUTOFFS], "cutoff int"
     )
@@ -1587,10 +1588,10 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang ...)`` puts an ENTIRE language in one task — with ~5 languages
     over a 100 TB corpus that is a handful of tasks sorting terabytes
     each. Instead the per-lang rank is DISTRIBUTED: one control-plane
-    pass collects per-lang approx perplexity boundaries (|langs| ×
-    PPL_RANK_PARTS literals) + per-lang counts, rows get a
-    deterministic pid = lang_index·PARTS + quantile-bucket (monotone in
-    (lang, perplexity) order), ``operators/prefix_sum.py`` turns
+    pass collects per-lang counts, rows get a deterministic
+    pid = lang_index·2⁴² + IEEE-binade-bucket(perplexity) (row-local
+    since r15 — the percentile_approx sketch left the boundary collect;
+    monotone in (lang, perplexity) order), ``operators/prefix_sum.py`` turns
     per-pid row numbers + broadcast offsets into the GLOBAL rank over
     (lang, perplexity, doc_id), and rank − lang_offset is the exact
     per-lang rank — identical integers to the oracle's keyed
@@ -1604,26 +1605,29 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = doc_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = ppl.join(d, "doc_id").persist()
-    probs = [i / PPL_RANK_PARTS for i in range(1, PPL_RANK_PARTS)]
+    # r15: the per-lang boundary collect keeps only the COUNTS (needed
+    # for the lang offsets); the percentile_approx sketch is gone — the
+    # within-lang pid is the row-local IEEE-binade bucket of perplexity
+    # (operators/prefix_sum.ieee_bucket_asc), monotone in (lang, ppl)
+    # under the 2^42 lang stride.
     qrows = (
         scored.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.percentile_approx("perplexity", probs, 10000).alias("qs"),
-        )
+        .agg(F.count(F.lit(1)).alias("c"))
         .orderBy("lang")
         .collect()
     )
-    pid = None
+    lang_idx = None
     off_rows, off = [], 0
     for i, r in enumerate(qrows):
-        barr = F.array(*[F.lit(float(b)) for b in r["qs"]])
-        bucket = F.size(F.filter(barr, lambda b: b < F.col("perplexity")))
-        branch = F.lit(i * PPL_RANK_PARTS) + bucket
         cond = F.col("lang") == r["lang"]
-        pid = F.when(cond, branch) if pid is None else pid.when(cond, branch)
+        lang_idx = (
+            F.when(cond, i) if lang_idx is None else lang_idx.when(cond, i)
+        )
         off_rows.append((r["lang"], off, r["c"]))
         off += r["c"]
+    pid = lang_idx.cast("long") * F.lit(1 << 42) + ieee_bucket_asc(
+        "perplexity"
+    )
     lang_off = spark.createDataFrame(
         off_rows, "lang string, lang_off long, n_lang long"
     )

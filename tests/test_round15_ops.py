@@ -126,3 +126,141 @@ def test_d2_argmin_tie_order_and_passthrough(spark):
         ).collect()
     }
     assert got == {(1, 3, 0.0, "a"), (2, 5, 0.0, "b")}
+
+def test_ieee_bucket_monotone_and_ranges(spark):
+    """ieee_bucket_asc is monotone non-decreasing over adversarial
+    doubles (binade boundaries, 1-ulp neighbors, uniform ints), equal
+    values share a bucket, non-positives land in one sentinel bucket
+    below every positive bucket — evaluated through the REAL Spark
+    expression, not a Python model."""
+    import numpy as np
+
+    from content_analytics_etl_spark.operators.prefix_sum import (
+        _IEEE_SENTINEL,
+        ieee_bucket_asc,
+        ieee_bucket_desc,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = (
+        list(rng.uniform(1e-9, 1e9, 2000))
+        + [2.0**k for k in range(-200, 200, 7)]
+        + [2.0**k * (1 - 2**-52) for k in range(-200, 200, 7)]
+        + [2.0**k * (1 + 2**-52) for k in range(-200, 200, 7)]
+        + [float(v) for v in range(1, 500)]
+        + [0.0, -1.0, -1e300]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    rows = (
+        df.select("x", ieee_bucket_asc("x").alias("p"),
+                  ieee_bucket_desc("x").alias("pd"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["x"])
+    ps = [r["p"] for r in rows]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    pds = [r["pd"] for r in rows]
+    assert all(a >= b for a, b in zip(pds, pds[1:]))
+    by_val = {}
+    for r in rows:
+        by_val.setdefault(r["x"], set()).add(r["p"])
+    assert all(len(s) == 1 for s in by_val.values())
+    neg = [r["p"] for r in rows if r["x"] <= 0]
+    pos = [r["p"] for r in rows if r["x"] > 0]
+    assert set(neg) == {_IEEE_SENTINEL} and min(pos) > _IEEE_SENTINEL
+
+
+def test_prefix_sum_ieee_pid_parity(spark):
+    """distributed_prefix_sum yields IDENTICAL (cum, rank) under the
+    r15 ieee pid and the old quantile pid — the rank/cum contract is
+    pid-invariant for any monotone pid."""
+    import numpy as np
+
+    from content_analytics_etl_spark.operators.prefix_sum import (
+        distributed_prefix_sum,
+        ieee_bucket_desc,
+        quantile_bucket_desc,
+    )
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(int(i), float(v), int(v * 10) + 1)
+         for i, v in enumerate(rng.lognormal(3, 2, 500))],
+        "id long, score double, w long",
+    ).persist()
+    order = [F.col("score").desc(), F.col("id")]
+    a, ta = distributed_prefix_sum(
+        spark, df, pid=ieee_bucket_desc("score"), order=order,
+        value_col="w", cum_col="cum", rank_col="rank",
+    )
+    b, tb = distributed_prefix_sum(
+        spark, df, pid=quantile_bucket_desc(df, "score", 16), order=order,
+        value_col="w", cum_col="cum", rank_col="rank",
+    )
+    assert ta == tb
+    ra = {(r["id"], r["cum"], r["rank"]) for r in a.collect()}
+    rb = {(r["id"], r["cum"], r["rank"]) for r in b.collect()}
+    assert ra == rb and len(ra) == 500
+    df.unpersist()
+
+
+def test_negative_samples_fold_matches_window(spark):
+    """The r15 groupBy(node) array fold in graph_negative_samples
+    reproduces the old dedup-aggregate + keep-window rows exactly,
+    including duplicate-partner collapse to the earliest proposal and
+    the NEG_KEEP cut."""
+    from pyspark.sql import Window as W
+
+    NEG_KEEP = 3
+    surv = spark.createDataFrame(
+        [
+            # node 1: dup partner 20 at pi 2 and 5 -> keep pi 2; 4 partners
+            (1, 20, 2), (1, 20, 5), (1, 30, 0), (1, 40, 6), (1, 50, 7),
+            # node 2: single survivor
+            (2, 99, 3),
+        ],
+        "node long, neg_id long, proposal_idx int",
+    )
+    dedup = surv.groupBy("node", "neg_id").agg(
+        F.min("proposal_idx").alias("proposal_idx")
+    )
+    wk = W.partitionBy("node").orderBy("proposal_idx")
+    want = {
+        tuple(r)
+        for r in dedup.withColumn(
+            "keep_rank", F.row_number().over(wk).cast("int")
+        )
+        .filter(F.col("keep_rank") <= NEG_KEEP)
+        .select("node", "neg_id", "proposal_idx", "keep_rank")
+        .collect()
+    }
+    grouped = surv.groupBy("node").agg(
+        F.array_sort(
+            F.collect_list(F.struct("proposal_idx", "neg_id"))
+        ).alias("s")
+    )
+    first_seen = F.filter(
+        F.col("s"),
+        lambda x, i: ~F.exists(
+            F.slice(F.col("s"), 1, i), lambda a: a["neg_id"] == x["neg_id"]
+        ),
+    )
+    got = {
+        tuple(r)
+        for r in grouped.select(
+            "node", F.slice(first_seen, 1, NEG_KEEP).alias("kept")
+        )
+        .select("node", F.posexplode("kept").alias("i", "k"))
+        .select(
+            "node",
+            F.col("k.neg_id").alias("neg_id"),
+            F.col("k.proposal_idx").alias("proposal_idx"),
+            (F.col("i") + 1).cast("int").alias("keep_rank"),
+        )
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: node 1's dup partner collapsed to pi 2 (rank 2 after
+    # partner 30@pi 0), and the 4th-ranked partner (50@pi 7) was cut
+    assert (1, 30, 0, 1) in got and (1, 20, 2, 2) in got
+    assert all(not (r[0] == 1 and r[1] == 50) for r in got)
