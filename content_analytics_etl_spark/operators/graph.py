@@ -25,15 +25,28 @@ __all__ = ["connected_components", "common_neighbor_scores"]
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, *, max_iter: int = 50
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 50,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id = the
     minimum node id reachable in the undirected graph (deterministic
-    canonical representative)."""
+    canonical representative).
+
+    ``distinct_pairs=True`` declares the input a DISTINCT canonical
+    (src < dst) pair list — the near-dup pair graph's contract — whose
+    symmetrization is then distinct by construction (the two
+    orientations cannot collide), skipping the dedup exchange (r15).
+    Duplicate edges would only inflate the per-round join fan-out, not
+    change labels, so the flag is a performance declaration."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint()
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not distinct_pairs:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
     labels = sym.select("u").distinct().select("u", F.col("u").alias("lbl"))
 
     for _ in range(max_iter):
@@ -42,21 +55,23 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # r15: the convergence flag rides ON the checkpointed label
+        # table — the old shape re-joined new vs old labels (one extra
+        # shuffle join per round) just to count changes; now the count
+        # is a narrow filter over the checkpoint.
         new_labels = (
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
                 F.least("lbl", F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("u", "lbl")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("lbl").alias("cluster_id"))

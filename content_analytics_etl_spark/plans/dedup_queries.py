@@ -559,7 +559,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         pairs = neardup_pair_graph(spark, sf_dir)
-        cc = connected_components(pairs, "doc_a", "doc_b")
+        # r15: the verified pair list is distinct canonical (a < b) by
+        # construction — declare it so the symmetrization skips its
+        # dedup exchange (operators/graph.py)
+        cc = connected_components(pairs, "doc_a", "doc_b", distinct_pairs=True)
         return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
     key = f"dedup_clusters:{source_fingerprint(sf_dir, 'documents')}"
