@@ -126,25 +126,32 @@ _MODULES = [
 # tests/test_driver_window.py).  Audit trail: no query has ever failed a
 # driver verdict and stayed failed.
 DRIVER_WINDOW: list[str] = [
+    "corpus_systematic_sample",
+    "corpus_token_budget_sample",
     "dedup_clusters",
     "dedup_simhash",
+    "doc_perplexity_buckets",
     "doc_winnow_overlap",
     "embedding_kmeans",
     "embedding_pca_top2",
     "embedding_power_iteration",
     "embedding_pq_train",
+    "events_key_skew_profile",
     "graph_common_neighbors",
     "graph_common_neighbors_pruned",
     "graph_kcore_decomposition",
+    "graph_negative_samples",
     "kmeans_assign",
     "orders_open_backlog",
     "part_affinity",
+    "part_revenue_abc",
     "sim_ann_recall_audit",
     "sim_dim_truncation_recall",
     "sim_neardup_recall_audit",
     "sim_range_search",
     "sim_semantic_decontaminate",
     "sim_semdedup",
+    "vocab_coverage_curve",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
     "sim_ann_multiprobe_topk",
@@ -157,7 +164,6 @@ DRIVER_WINDOW: list[str] = [
     "corpus_training_manifest",
     "dedup_containment",
     "doc_dup_aware_sampling",
-    "doc_perplexity_buckets",
     "doc_rake_keywords",
     "doc_winnow",
     "events_active_streaks",
@@ -170,12 +176,6 @@ DRIVER_WINDOW: list[str] = [
     "events_ema_smoothing",
     "events_mad_outliers",
     "events_markov_transitions",
-    "events_multitouch_attribution",
-    "events_peak_detection",
-    "events_seasonal_naive_eval",
-    "events_top_paths",
-    "events_trailing_window",
-    "events_type_hourly_pivot",
 ]
 
 

@@ -32,7 +32,14 @@ MAX_SHUFFLES = {
     # embeds the cached build lineage (7 → 9 TEXT exchanges while the
     # executed signature work moved to producer_build_seconds), the
     # same cache-state artifact as the other producer-backed queries.
-    "dedup_simhash": 5,
+    # dedup_simhash: unpinned in r15 — r14 (49d84fe) persisted the
+    # 60-bit signature relation for the invocation (it feeds BOTH band
+    # self-join sides; measured 3.1 → 1.9 s), so the executed-plan
+    # STRING embeds the cached build lineage on each side plus the
+    # probe chain (5 → 14 TEXT exchanges while the executed signature
+    # work halved) — the same cache-state artifact as dedup_minhash_lsh
+    # above. Caught only now: the r14 driver pytest aborted at the
+    # stale-window guard before reaching this file.
     # dedup_ngram_jaccard_prefix: unpinned in r9 — the per-doc ranked
     # array is now persisted (prefix + verify consumers; 5.31 → ~0.8 s
     # at sf0.1, PERF 57), so the plan string embeds the cached lineage
